@@ -1,13 +1,211 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AggOps, CleanOps, JoinOps, SeriesOps}
+
+/** Driver contract — one `queries` entry per implemented operator from SURVEY.md §2,
+  * each paired with equivalent DuckDB SQL in `oracleSql`.
+  *
+  * Numeric-parity conventions (Spark ↔ DuckDB):
+  *  - sums of 2-dp doubles go through DECIMAL(18,2) so both engines sum exactly;
+  *  - interpolated percentiles / stddevs are rounded to 4 dp;
+  *  - timestamps are emitted as epoch seconds (BIGINT) or DATE, never raw TIMESTAMP;
+  *  - every integer output is BIGINT in both engines;
+  *  - every aggregate is aliased identically in both (driver sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum of a 2-decimal double column (order-independent across engines). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Flagship (sf0.001 smoke): QAQC slice 0 — world-record bounds flag + hourly
+    * standardization + flag counts per hour, the SURVEY §7.2 end-to-end slice
+    * instantiated over `events` as a single-variable obs table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val obs = t(spark, dir, "events")
+      .select(col("user_id").cast("string").as("station"), col("ts").as("time"),
+        col("value").as("tas"), lit(null).cast("int").as("tas_eraqc"))
+    val flagged = CleanOps.flagOutOfBounds(obs, "tas", "tas_eraqc", 1.0, 480.0)
+    flagged
+      .groupBy(date_trunc("HOUR", col("time")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_obs"),
+        count(col("tas_eraqc")).as("n_flagged"),
+        avg(col("tas")).as("mean_tas"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: star-schema equi-join with broadcast dims (SURVEY §2.3 J1)
+    "j1_revenue_by_nation" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // P2: time-bounds filter (SURVEY §2.2 P2)
+    "p2_time_filter" -> ((s, dir) => {
+      CleanOps.timeBounds(t(s, dir, "events"), "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    }),
+
+    // P10: keep-first dedup via row_number (SURVEY §2.2 P10)
+    "p10_dedup_keep_first" -> ((s, dir) => {
+      CleanOps.dedupKeepFirst(t(s, dir, "events"),
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }),
+
+    // A16: world-record bounds flag (SURVEY §2.4 A16)
+    "a16_world_record" -> ((s, dir) => {
+      val obs = t(s, dir, "events").withColumn("value_eraqc", lit(null).cast("int"))
+      CleanOps.flagOutOfBounds(obs, "value", "value_eraqc", 1.0, 480.0)
+        .filter(col("value_eraqc").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_flagged"))
+    }),
+
+    // A8: daily resample-sum (SURVEY §2.4 A8)
+    "a8_daily_sum" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("total"))
+    }),
+
+    // W15: hourly resample "first" convention (SURVEY §2.5 W15)
+    "w15_hourly_first" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), date_trunc("HOUR", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      e.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("HOUR", col("ts"))).as("hour_s"), col("value"))
+    }),
+
+    // A3: grouped IQR with floor (SURVEY §2.4 A3)
+    "a3_iqr" -> ((s, dir) => {
+      AggOps.groupedIqr(t(s, dir, "events"), Seq("event_type"), "value", floor = 1.5, out = "iqr")
+        .select(col("event_type"), r4(col("iqr")).as("iqr"))
+    }),
+
+    // A4: fixed-width histogram (SURVEY §2.4 A4)
+    "a4_histogram" -> ((s, dir) => {
+      AggOps.histogram(t(s, dir, "events"), Seq("event_type"), "value", origin = 0.0, width = 10.0)
+        .select(col("event_type"), col("bin"), col("count").as("cnt"))
+    }),
+
+    // A1/A2: grouped exact median (SURVEY §2.4 A1)
+    "a1_daily_median" -> ((s, dir) => {
+      AggOps.groupedPercentile(
+          t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          Seq("event_type", "day"), "value", 0.5, out = "med")
+        .select(col("event_type"), col("day"), r4(col("med")).as("med"))
+    }),
+
+    // W20: DJF season-year assignment (SURVEY §2.5 W20)
+    "w20_season_key" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(SeriesOps.season(col("l_shipdate")).as("season"),
+          SeriesOps.seasonYear(col("l_shipdate")).cast("long").as("season_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    }),
+
+    // J10: anti-join (SURVEY §2.3 J10)
+    "j10_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // W2: run-length streak encoding (SURVEY §2.5 W2)
+    "w2_rle_max_streak" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changed = when(lag(col("event_type"), 1).over(w).isNull ||
+        lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0)
+      e.withColumn("sid", sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id")).agg(max(col("cnt")).as("max_streak"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "j1_revenue_by_nation" ->
+      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "p2_time_filter" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY event_type""",
+    "p10_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1""",
+    "a16_world_record" ->
+      """SELECT event_type, COUNT(*) AS n_flagged FROM events
+         WHERE value < 1.0 OR value > 480.0 GROUP BY event_type""",
+    "a8_daily_sum" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+    "w15_hourly_first" ->
+      """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, value FROM (
+           SELECT user_id, ts, value, event_id,
+                  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                     ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1""",
+    "a3_iqr" ->
+      """SELECT event_type,
+         ROUND(GREATEST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 1.5), 4) AS iqr
+         FROM events GROUP BY event_type""",
+    "a4_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2""",
+    "a1_daily_median" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(quantile_cont(value, 0.5), 4) AS med
+         FROM events GROUP BY 1, 2""",
+    "w20_season_key" ->
+      """SELECT CASE WHEN month(l_shipdate) IN (12,1,2) THEN 'DJF'
+                     WHEN month(l_shipdate) IN (3,4,5) THEN 'MAM'
+                     WHEN month(l_shipdate) IN (6,7,8) THEN 'JJA'
+                     ELSE 'SON' END AS season,
+                CAST(CASE WHEN month(l_shipdate) = 12 THEN year(l_shipdate) + 1
+                     ELSE year(l_shipdate) END AS BIGINT) AS season_year,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY 1, 2""",
+    "j10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "w2_rle_max_streak" ->
+      """WITH d AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM events),
+         s AS (
+           SELECT user_id, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d)
+         SELECT user_id, MAX(cnt) AS max_streak FROM (
+           SELECT user_id, sid, COUNT(*) AS cnt FROM s GROUP BY 1, 2) GROUP BY 1"""
+  )
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / predicate operators (SURVEY.md §2.2, P1–P11).
+  * All schema-parameterized, partition-key-agnostic: nothing here assumes
+  * single-station cardinality, so each op scales by its grouping key alone.
+  */
+object CleanOps {
+
+  /** P1 — missing-sentinel standardization: null out values matching per-column sentinel
+    * codes (`/root/reference/scripts/3_qaqc_data/qaqc_wholestation.py:113-196`).
+    * Sentinels are a tiny static map → generated `when(isin)` per column, no join, stays
+    * in whole-stage codegen. */
+  def nullSentinels(df: DataFrame, sentinels: Map[String, Seq[Double]]): DataFrame =
+    sentinels.foldLeft(df) { case (d, (col0, vals)) =>
+      d.withColumn(col0, when(col(col0).isin(vals: _*), lit(null)).otherwise(col(col0)))
+    }
+
+  /** P2 — time-bounds filter (`/root/reference/scripts/2_clean_data/ASOSAWOS_clean.py:600-603`). */
+  def timeBounds(df: DataFrame, timeCol: String, lo: String, hi: String): DataFrame =
+    df.filter(col(timeCol) >= lit(lo).cast("timestamp") && col(timeCol) < lit(hi).cast("timestamp"))
+
+  /** P3 — bounding-box geo filter (`ASOSAWOS_clean.py:173-281`). */
+  def bboxFilter(df: DataFrame, latCol: String, lonCol: String,
+                 latLo: Double, latHi: Double, lonLo: Double, lonHi: Double): DataFrame =
+    df.filter(col(latCol).between(latLo, latHi) && col(lonCol).between(lonLo, lonHi))
+
+  /** P4 — point-in-polygon membership (ray casting) for stations passing the bbox
+    * prefilter (`qaqc_wholestation.py:231-267`). Polygon is tiny → evaluated as a scalar
+    * UDF over broadcast vertices; call on the *stations* dim table (15k rows), never on
+    * observations, then semi-join. */
+  def pointInPolygon(poly: Seq[(Double, Double)]): (Double, Double) => Boolean = {
+    val xs = poly.map(_._1).toArray
+    val ys = poly.map(_._2).toArray
+    (px: Double, py: Double) => {
+      var inside = false
+      var j = xs.length - 1
+      var i = 0
+      while (i < xs.length) {
+        if ((ys(i) > py) != (ys(j) > py) &&
+          px < (xs(j) - xs(i)) * (py - ys(i)) / (ys(j) - ys(i)) + xs(i)) inside = !inside
+        j = i; i += 1
+      }
+      inside
+    }
+  }
+
+  /** P5 — whole-partition gate: drop groups where a column is null for every row
+    * (`qaqc_wholestation.py:199-228`). One shuffle on `keys`, tiny survivor set,
+    * broadcast semi-join back. */
+  def dropGroupsAllNull(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val survivors = df.groupBy(keys.map(col): _*)
+      .agg(max(col(valueCol).isNotNull).as("_any"))
+      .filter(col("_any")).drop("_any")
+    df.join(broadcast(survivors), keys, "left_semi")
+  }
+
+  /** P9 — flag-aware valid-obs predicate (`/root/reference/scripts/3_qaqc_data/qaqc_utils.py:326-378`):
+    * a row is valid for `variable` when unflagged, or only yellow-flagged (19/20) unless
+    * `dropYellow`. Composable into any downstream check's filter. */
+  def validObs(flagCol: Column, dropYellow: Boolean = false): Column =
+    if (dropYellow) flagCol.isNull
+    else flagCol.isNull || flagCol.isin(graft.core.Flags.Yellow: _*)
+
+  /** P10 — keep-first time de-duplication within (keys) ordered by `order`
+    * (`QAQC_pipeline.py:486-487`). `row_number` (not dropDuplicates) so the survivor is
+    * deterministic under any partitioning. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** P11 — per-group conditional unit repair: if the group mean of `valueCol` is below
+    * `threshold`, rescale the whole group by `factor` (hPa→Pa mis-clean repair,
+    * `/root/reference/scripts/3_qaqc_data/qaqc_logic_checks.py:376-414`).
+    * Group mean via window avg — no join, one shuffle on `keys`. */
+  def conditionalRescale(df: DataFrame, keys: Seq[String], valueCol: String,
+                         threshold: Double, factor: Double): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn(valueCol,
+      when(avg(col(valueCol)).over(w) < threshold, col(valueCol) * factor)
+        .otherwise(col(valueCol)))
+  }
+
+  /** A16 analog (P-side application) — world-record bounds flag: set `flagCol` = 11 where
+    * the value escapes [lo, hi], respecting already-set flags
+    * (`qaqc_wholestation.py:689-842`). Bounds are compile-time constants per variable →
+    * literal predicates, zero join. */
+  def flagOutOfBounds(df: DataFrame, valueCol: String, flagColName: String,
+                      lo: Double, hi: Double, flag: Int = graft.core.Flags.WorldRecord): DataFrame = {
+    val existing = col(flagColName)
+    df.withColumn(flagColName,
+      when(validObs(existing) && (col(valueCol) < lo || col(valueCol) > hi),
+        lit(flag).cast("int")).otherwise(existing))
+  }
+}

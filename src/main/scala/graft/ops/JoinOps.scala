@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3, J1–J10). Small dimension sides are broadcast;
+  * series-local joins never shuffle more than one series' rows to a partition.
+  */
+object JoinOps {
+
+  /** J1 — two-key equi-join with single-key fallback patch-in
+    * (`/root/reference/scripts/2_clean_data/ASOSAWOS_clean.py:71-138`): left join on the
+    * full key, then rows that missed are joined on the fallback key alone and coalesced. */
+  def joinWithFallback(left: DataFrame, right: DataFrame,
+                       fullKeys: Seq[String], fallbackKeys: Seq[String]): DataFrame = {
+    val full = left.join(broadcast(right), fullKeys, "left")
+    val rightCols = right.columns.filterNot(fullKeys.contains)
+    val fallbackRight = right.select((fallbackKeys ++ rightCols).map(col): _*)
+      .groupBy(fallbackKeys.map(col): _*)
+      .agg(rightCols.map(c => first(col(c), ignoreNulls = true).as(s"_fb_$c")).head,
+        rightCols.map(c => first(col(c), ignoreNulls = true).as(s"_fb_$c")).tail: _*)
+    val patched = full.join(broadcast(fallbackRight), fallbackKeys, "left")
+    rightCols.foldLeft(patched) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"_fb_$c"))).drop(s"_fb_$c")
+    }
+  }
+
+  /** J3 — co-located grouping: dense group id over identical join-key tuples
+    * (`/root/reference/scripts/3_qaqc_data/qaqc_concatenate_stations.py:87-152`). */
+  def colocatedGroups(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("members"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** J4 — latest-wins overlap union: n-way union of prioritized sources; for duplicate
+    * keys keep the row with the highest `recency` (one window pass replaces the
+    * reference's pairwise-reduce loop, `qaqc_concatenate_stations.py:206-405`). */
+  def latestWins(sources: Seq[DataFrame], keys: Seq[String], recency: Column): DataFrame = {
+    val unioned = sources.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(recency.desc)
+    unioned.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** J9 — pairwise-difference outlier without the O(n²) self-join: x is an outlier in its
+    * group iff x − max(others) > thr, i.e. compare to the max and the 2nd max
+    * (`/root/reference/scripts/3_qaqc_data/qaqc_unusual_gaps.py:449-481`). */
+  def pairwiseDiffOutlier(df: DataFrame, keys: Seq[String], valueCol: String,
+                          threshold: Double): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val v = col(valueCol)
+    val mx = max(v).over(w)
+    val n = count(v).over(w)
+    // max of "the others": if this row is the unique max, it is the 2nd max; approximate
+    // the reference's |xi - xj| scan exactly for the flag predicate via rank ordering.
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(v.desc)
+    val rk = row_number().over(wOrd)
+    val second = max(when(rk =!= 1, v)).over(w)
+    df.withColumn("_rk", rk)
+      .withColumn("max_other", when(col("_rk") === 1, second).otherwise(mx))
+      .withColumn("outlier", n > 1 && (v - col("max_other")) > threshold)
+      .drop("_rk")
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window / time-series operators (SURVEY.md §2.5, W1–W20). Every op partitions by the
+  * series key (station/user) — Spark shuffles once on that key and all windows below are
+  * partition-local, so these scale linearly with the number of series.
+  */
+object SeriesOps {
+
+  def seriesWindow(keys: Seq[String], timeCol: String): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+
+  /** W1 — first differences of value and time over the series
+    * (`/root/reference/scripts/3_qaqc_data/qaqc_unusual_large_jumps.py:252-262`). */
+  def withDiffs(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
+                diffCol: String = "diff", dtCol: String = "dt_s"): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    df.withColumn(diffCol, col(valueCol) - lag(col(valueCol), 1).over(w))
+      .withColumn(dtCol, col(timeCol).cast("long") - lag(col(timeCol), 1).over(w).cast("long"))
+  }
+
+  /** W2 — run-length encoding: monotone streak id that increments whenever the observed
+    * value changes (`qaqc_unusual_streaks.py:607-633`; pandas `(x != x.shift()).cumsum()`).
+    * Running sum over an unbounded-preceding frame — single pass, no self-join. */
+  def withStreakId(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
+                   out: String = "streak_id"): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    val changed = when(
+      lag(col(valueCol), 1).over(w).isNull ||
+        lag(col(valueCol), 1).over(w) =!= col(valueCol), 1).otherwise(0)
+    df.withColumn(out,
+      sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** W3 — straight-repeat streak summary: per streak, length in rows and span in days;
+    * caller joins criteria and flags streaks exceeding either
+    * (`qaqc_unusual_streaks.py:573-670`). */
+  def streakStats(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String): DataFrame = {
+    val withId = withStreakId(df, keys, timeCol, valueCol)
+    withId.groupBy((keys :+ "streak_id").map(col): _*).agg(
+      first(col(valueCol)).as("value"),
+      count(lit(1)).as("n_values"),
+      min(col(timeCol)).as("start_t"),
+      max(col(timeCol)).as("end_t"),
+      ((max(col(timeCol)).cast("double") - min(col(timeCol)).cast("double")) / 86400.0).as("span_days"))
+  }
+
+  /** W7 — range-frame window max: true where `valueCol` stays constant (max |dd| == 0)
+    * for `rangeSeconds` ahead (dewpoint-depression 24 h check,
+    * `/root/reference/scripts/3_qaqc_data/qaqc_logic_checks.py:80-151`). */
+  def constantAheadFlag(df: DataFrame, keys: Seq[String], timeCol: String, ddCol: String,
+                        rangeSeconds: Long, out: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).cast("long")).rangeBetween(0, rangeSeconds)
+    df.withColumn(out, max(abs(col(ddCol))).over(w) === 0)
+  }
+
+  /** W8 — ringing detector: count of diff sign changes in a centered 3-row window,
+    * combined with a magnitude test (`/root/reference/scripts/3_qaqc_data/qaqc_deaccumulate.py:74-113`). */
+  def withRinging(df: DataFrame, keys: Seq[String], timeCol: String, diffCol: String,
+                  out: String = "ringing"): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    val sgn = signum(col(diffCol))
+    val flip = when(sgn =!= lag(sgn, 1).over(w), 1).otherwise(0)
+    df.withColumn("_flip", flip)
+      .withColumn(out, sum(col("_flip")).over(w.rowsBetween(-1, 1)) > 2)
+      .drop("_flip")
+  }
+
+  /** W9/W10 — de-accumulation of a cumulative gauge with reset handling: diff the series;
+    * resets (diff < `resetBelow`) become 0; gated by lag-1 autocorrelation > `acThreshold`
+    * (`qaqc_deaccumulate.py:28-234`). Adds `deacc` plus a boolean `was_reset`. */
+  def deaccumulate(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
+                   resetBelow: Double = -50.0): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    val d = col(valueCol) - lag(col(valueCol), 1).over(w)
+    df.withColumn("_d", d)
+      .withColumn("was_reset", col("_d") < resetBelow)
+      .withColumn("deacc", when(col("_d").isNull, lit(null))
+        .when(col("_d") < resetBelow, 0.0).otherwise(col("_d")))
+      .drop("_d")
+  }
+
+  /** W10 — lag-1 autocorrelation per series (accumulated-gauge detector,
+    * `qaqc_deaccumulate.py:28-71`). Returns one row per key with `autocorr`. */
+  def lag1Autocorr(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    df.withColumn("_lag", lag(col(valueCol), 1).over(w))
+      .filter(col("_lag").isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(corr(col(valueCol), col("_lag")).as("autocorr"))
+  }
+
+  /** W15 — hourly resample, top-of-hour "first" convention for instantaneous variables
+    * (`/root/reference/scripts/4_merge_data/merge_hourly_standardization.py:156-173`).
+    * Deterministic: earliest (time, tiebreak) row per hour via min_by. */
+  def hourlyFirst(df: DataFrame, keys: Seq[String], timeCol: String, valueCols: Seq[String],
+                  tiebreak: Column): DataFrame = {
+    val hour = date_trunc("HOUR", col(timeCol)).as("hour_ts")
+    df.groupBy((keys.map(col) :+ hour): _*)
+      .agg(
+        valueCols.map(v => min_by(col(v), struct(col(timeCol), tiebreak)).as(v)).head,
+        valueCols.map(v => min_by(col(v), struct(col(timeCol), tiebreak)).as(v)).tail: _*)
+  }
+
+  /** W16 — hourly resample-sum where an all-null hour stays null (not 0)
+    * (`merge_hourly_standardization.py:144-154,214-218`). */
+  def hourlySum(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String): DataFrame =
+    df.groupBy((keys.map(col) :+ date_trunc("HOUR", col(timeCol)).as("hour_ts")): _*)
+      .agg(AggOps.sumOrNull(col(valueCol)).as(valueCol))
+
+  /** W17 — hourly flag concat: distinct flags in the hour joined with ","; sorted for
+    * determinism (`merge_hourly_standardization.py:25-43`). */
+  def flagConcat(flagCol: Column): Column =
+    array_join(array_sort(collect_set(flagCol)), ",")
+
+  /** W18 — gap infill: per key, materialize the full hourly grid between the series'
+    * min and max hour (`sequence` + `explode` — a generator, not a driver loop), left
+    * join observations back, and mark generated rows `standardized_infill = 'y'`
+    * (`merge_hourly_standardization.py:46-94`). */
+  def hourlyGrid(df: DataFrame, keys: Seq[String], hourCol: String): DataFrame = {
+    val kc = keys.map(col)
+    df.groupBy(kc: _*)
+      .agg(min(col(hourCol)).as("_lo"), max(col(hourCol)).as("_hi"))
+      .select((kc :+ explode(sequence(col("_lo"), col("_hi"), expr("interval 1 hour"))).as(hourCol)): _*)
+  }
+
+  def gapInfill(hourly: DataFrame, keys: Seq[String], hourCol: String): DataFrame = {
+    val grid = hourlyGrid(hourly, keys, hourCol)
+    grid.join(hourly.withColumn("_obs", lit(true)), keys :+ hourCol, "left")
+      .withColumn("standardized_infill", when(col("_obs").isNull, "y").otherwise("n"))
+      .drop("_obs")
+  }
+
+  /** W20 — season key with DJF winter-year convention: December belongs to the *next*
+    * year's winter (`/root/reference/scripts/3_qaqc_data/qaqc_frequent.py:407-428`). */
+  def season(timeCol: Column): Column =
+    when(month(timeCol).isin(12, 1, 2), "DJF")
+      .when(month(timeCol).isin(3, 4, 5), "MAM")
+      .when(month(timeCol).isin(6, 7, 8), "JJA")
+      .otherwise("SON")
+
+  def seasonYear(timeCol: Column): Column =
+    when(month(timeCol) === 12, year(timeCol) + 1).otherwise(year(timeCol))
+
+  /** W12 — linear interpolation of interior null gaps, time-weighted between the last
+    * and next non-null observation (`qaqc_climatological_outlier.py:175`). Window-only:
+    * two passes of last/first over unbounded frames, no sequential kernel needed. */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
+                        out: String): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    val past = w.rowsBetween(Window.unboundedPreceding, 0)
+    val future = w.rowsBetween(0, Window.unboundedFollowing)
+    val t = col(timeCol).cast("double")
+    val prevV = last(col(valueCol), ignoreNulls = true).over(past)
+    val nextV = first(col(valueCol), ignoreNulls = true).over(future)
+    val prevT = last(when(col(valueCol).isNotNull, t), ignoreNulls = true).over(past)
+    val nextT = first(when(col(valueCol).isNotNull, t), ignoreNulls = true).over(future)
+    val frac = (t - prevT) / (nextT - prevT)
+    df.withColumn(out,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .when(prevV.isNull, nextV)
+        .when(nextV.isNull, prevV)
+        .when(nextT === prevT, prevV)
+        .otherwise(prevV + (nextV - prevV) * frac))
+  }
+}
