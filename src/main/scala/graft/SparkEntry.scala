@@ -18,8 +18,19 @@ import graft.ops.{AggOps, CleanOps, JoinOps, SeriesOps}
   */
 object SparkEntry {
 
+  /** Table loader. `events.parquet` carries TIMESTAMP(NANOS) (parquet-cpp-arrow), which
+    * Spark 4 refuses to read natively: read nanos as long and truncate to microseconds
+    * (integer DIV — no double round-trip), matching DuckDB's ns→µs cast so oracles stay
+    * valid. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Public alias for tests and pipelines. */
+  def loadTable(s: SparkSession, dir: String, name: String): DataFrame = t(s, dir, name)
 
   /** Exact sum of a 2-decimal double column (order-independent across engines). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
@@ -121,11 +132,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     }),
 
-    // J10: anti-join (SURVEY §2.3 J10)
+    // J10: anti-join (SURVEY §2.3 J10) — parts never shipped in high-quantity lineitems,
+    // a non-vacuous subset (every sf0.01 customer has orders, so the customer variant
+    // returned 0 rows and proved nothing).
     "j10_anti_join" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
     }),
 
     // W2: run-length streak encoding (SURVEY §2.5 W2)
@@ -193,8 +207,8 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY 1, 2""",
     "j10_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)""",
     "w2_rle_max_streak" ->
       """WITH d AS (
            SELECT user_id, ts, event_id,
