@@ -1,0 +1,410 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Batch B query instantiations — the window/time-series operator family (spikes,
+  * streaks, de-accumulation, interpolation, distribution gaps), each with an exact
+  * DuckDB window-SQL oracle. */
+object QueriesSeries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.loadTable(s, dir, name)
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def r4(c: Column): Column = round(c, 4)
+  private def tS(c: Column): Column = unix_timestamp(c) // floor-to-second epoch
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W3: straight-repeat streaks on a quantized value (SURVEY §2.5 W3)
+    "w3_straight_repeats" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("v", floor(col("value") / 50))
+      StreakOps.straightRepeats(e, Seq("user_id"), "ts", "v",
+          nValues = 2, nDays = 9999, minSeqLen = 2)
+        .filter(col("straight_streak"))
+        .select(col("user_id"), tS(col("ts")).as("t_s"))
+    }),
+
+    // W4: same-hour repeat streaks (SURVEY §2.5 W4)
+    "w4_same_hour_repeats" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("vb", floor(col("value") / 100))
+      StreakOps.sameHourRepeats(e, Seq("event_type"), "ts", "vb", clusterThreshold = 15)
+        .filter(col("hour_streak"))
+        .select(col("event_type"), tS(col("ts")).as("t_s"))
+    }),
+
+    // W5: whole-day replication over a deterministic hourly profile (SURVEY §2.5 W5)
+    "w5_whole_day_repeats" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("g", lit(0))
+        .withColumn("vh", (hour(col("ts")) % 6).cast("double"))
+      StreakOps.wholeDayRepeatDates(e, Seq("g"), "ts", "vh", threshold = 7)
+        .select(col("_date").as("day"))
+    }),
+
+    // W6: spike detection with injected spikes (SURVEY §2.5 W6)
+    "w6_spikes" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v", col("value") + when(pmod(col("event_id"), lit(199)) === 0, 2000.0).otherwise(0.0))
+      SpikeOps.detectSpikes(e, Seq("user_id"), "ts", "v")
+        .filter(col("spike"))
+        .select(col("user_id"), tS(col("ts")).as("t_s"))
+    }),
+
+    // W7: constant-ahead range window (SURVEY §2.5 W7)
+    "w7_constant_ahead" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("dd", when(col("value") < 450, 0.0).otherwise(1.0))
+      SeriesOps.constantAheadFlag(e, Seq("user_id"), "ts", "dd", 7200L, "const2h")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("const2h"), 1).otherwise(0)).as("n_const"))
+    }),
+
+    // W8: ringing detector with auto threshold (SURVEY §2.5 W8)
+    "w8_ringing" -> ((s, dir) => {
+      val d = SeriesOps.withDiffs(t(s, dir, "events"), Seq("user_id"), "ts", "value")
+      SeriesOps.withRinging(d, Seq("user_id"), "ts", "diff")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ringing"), 1).otherwise(0)).as("n_ringing"))
+    }),
+
+    // W9: de-accumulation of a synthetic cumulative gauge with resets (SURVEY §2.5 W9)
+    "w9_deaccumulate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val e = t(s, dir, "events")
+        .withColumn("acc", pmod(sum(col("value")).over(w), lit(10000.0)))
+      SeriesOps.deaccumulate(e, Seq("user_id"), "ts", "acc",
+          resetThreshold = 50.0, ringingThreshold = Some(10.0))
+        .groupBy(col("user_id"))
+        .agg(count(col("deacc")).as("n_deacc"),
+          dsum(col("deacc")).as("total_deacc"),
+          sum(col("deacc_flagged").cast("int")).as("n_flagged"))
+    }),
+
+    // W12: linear interpolation of interior gaps (SURVEY §2.5 W12)
+    "w12_interpolate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v", when(col("value").between(100, 400), lit(null)).otherwise(col("value")))
+      SeriesOps.interpolateLinear(e, Seq("user_id"), "ts", "v", "vi")
+        .groupBy(col("user_id"))
+        .agg(count(col("vi")).as("n_filled"),
+          sum(round(col("vi"), 2).cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // J9: pairwise-diff outlier on daily totals (SURVEY §2.3 J9)
+    "j9_pairwise_outlier" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("total"))
+      JoinOps.pairwiseDiffOutlier(daily, Seq("user_id"), "total", threshold = 300.0)
+        .filter(col("outlier"))
+        .select(col("user_id"), col("day"), round(col("total"), 2).as("total"))
+    }),
+
+    // A7: standardized anomaly vs winsorized climatology (SURVEY §2.4 A7)
+    "a7_std_anomaly" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("hr", hour(col("ts")))
+      AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
+        .groupBy(col("event_type"), col("hr"))
+        .agg(r4(expr("percentile(std_anom, 0.5)")).as("med_std"))
+    }),
+
+    // A9: p95 daily-total outlier days (SURVEY §2.4 A9)
+    "a9_daily_p95" -> ((s, dir) => {
+      GapOps.dailyPrecipOutlierDates(t(s, dir, "events"), Seq("user_id"), "ts", "value",
+          factor = 1.02, recordCap = 1e9)
+        .select(col("user_id"), col("_date").as("day"), round(col("_total"), 2).as("total"))
+    }),
+
+    // A13: value-resolution inference (SURVEY §2.4 A13)
+    "a13_resolution" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("v", round(col("value"), 0))
+      AggOps.inferResolution(e, Seq("user_id"), "v")
+        .select(col("user_id"), col("resolution"))
+    }),
+
+    // A14: time-delta frequency inference on hour-truncated stamps (SURVEY §2.4 A14)
+    "a14_time_freqs" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("tsh", date_trunc("HOUR", col("ts")))
+      AggOps.timeDeltaFreqs(e, Seq("user_id"), "tsh", minFrac = 0.05)
+        .select(col("user_id"), col("delta_s"), col("count").as("cnt"), r4(col("frac")).as("frac"))
+    }),
+
+    // A17: span-consistency minority vote with row flags (SURVEY §2.4 A17)
+    "a17_span_consistency" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("elev", (floor(col("value") / 100) * 100).cast("double"))
+        .withColumn("elev_eraqc", lit(null).cast("int"))
+      AggOps.flagSpanInconsistent(e, Seq("user_id"), "elev", "elev_eraqc")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("elev_eraqc") === 36, 1).otherwise(0)).as("n_flagged"))
+    }),
+
+    // W14: monthly-median IQR-bound flag over multi-year lineitem (SURVEY §2.5 W14)
+    "w14_month_gap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      GapOps.monthlyMedianGapFlag(li, Seq("l_returnflag"), "l_shipdate", "l_quantity",
+          iqrThresh = 0.02, out = "gap")
+        .filter(col("gap"))
+        .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"),
+          year(col("l_shipdate")).as("y"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w3_straight_repeats" ->
+      """WITH v AS (SELECT user_id, ts, floor(value/50) AS v FROM events),
+         c AS (SELECT user_id, ts, v,
+                 CASE WHEN lag(v) OVER (PARTITION BY user_id ORDER BY ts) IS DISTINCT FROM v
+                      THEN 1 ELSE 0 END AS chg
+               FROM v),
+         s AS (SELECT user_id, ts,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               FROM c),
+         g AS (SELECT user_id, sid, COUNT(*) AS len FROM s GROUP BY 1, 2)
+         SELECT s.user_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS t_s
+         FROM s JOIN g USING (user_id, sid) WHERE g.len >= 3""",
+    "w4_same_hour_repeats" ->
+      """WITH b AS (SELECT event_type, ts, hour(ts) AS hr, floor(value/100) AS vb FROM events),
+         g AS (SELECT event_type, ts, hr, vb,
+                 COALESCE(floor((epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type, hr, vb ORDER BY ts)))/86400.0), 1) AS gap
+               FROM b),
+         cid AS (SELECT event_type, ts, hr, vb,
+                 SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type, hr, vb ORDER BY ts ROWS UNBOUNDED PRECEDING) AS cl
+               FROM g),
+         sz AS (SELECT event_type, ts,
+                 COUNT(*) OVER (PARTITION BY event_type, hr, vb, cl) AS csz
+               FROM cid)
+         SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+         FROM sz WHERE csz > 15""",
+    "w5_whole_day_repeats" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS d, hour(ts) AS hr,
+                 AVG(CAST(hour(ts) % 6 AS DOUBLE)) AS hm
+               FROM events GROUP BY 1, 2),
+         dv AS (SELECT d, list(round(hm, 1) ORDER BY hr) AS vec FROM h GROUP BY d),
+         m AS (SELECT d, vec,
+                 (lag(vec) OVER (ORDER BY d) IS NOT NULL
+                  AND len(vec) = len(lag(vec) OVER (ORDER BY d))
+                  AND vec = lag(vec) OVER (ORDER BY d)) AS mt
+               FROM dv),
+         r AS (SELECT d, mt,
+                 SUM(CASE WHEN NOT mt THEN 1 ELSE 0 END) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS run
+               FROM m),
+         rc AS (SELECT d, mt, SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER (PARTITION BY run) AS mc
+               FROM r)
+         SELECT d AS day FROM rc WHERE mt AND mc > 7""",
+    "w6_spikes" ->
+      """WITH base AS (SELECT user_id, ts,
+                 value + CASE WHEN event_id % 199 = 0 THEN 2000.0 ELSE 0.0 END AS v
+               FROM events),
+         d0 AS (SELECT user_id, ts,
+                 COALESCE(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts), 0) AS d,
+                 COALESCE((epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))/3600.0, 0) AS dt_h
+               FROM base),
+         f AS (SELECT * FROM d0 WHERE dt_h > 0 AND dt_h <= 12),
+         c AS (SELECT user_id, date_trunc('month', ts) AS ym, COUNT(*) AS n,
+                 ceil(6*(quantile_cont(d, 0.75) - quantile_cont(d, 0.25))) AS crit
+               FROM f GROUP BY 1, 2),
+         j AS (SELECT f.user_id, f.ts, f.d, c.crit
+               FROM f JOIN c ON f.user_id = c.user_id AND date_trunc('month', f.ts) = c.ym
+               WHERE c.n > 50),
+         x AS (SELECT user_id, ts, d, crit,
+                 lag(d) OVER w AS dm1, lead(d, 1) OVER w AS dp1, lead(d, 2) OVER w AS dp2,
+                 lead(d, 3) OVER w AS dp3, lead(d, 4) OVER w AS dp4,
+                 lag(crit) OVER w AS cm1, lead(crit, 1) OVER w AS cp1, lead(crit, 2) OVER w AS cp2,
+                 lead(crit, 3) OVER w AS cp3, lead(crit, 4) OVER w AS cp4,
+                 (ABS(d) > crit) AS pot
+               FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sp AS (SELECT user_id, ts,
+                 COALESCE(pot AND sign(d) <> sign(dp2) AND abs(dm1) < 0.5*cm1 AND abs(dp1) < 0.5*cp1
+                   AND abs(dp2) < 0.5*cp2 AND abs(dp3) > cp3 AND abs(dp4) < 0.5*cp4, false) AS s3a,
+                 COALESCE(pot AND sign(d) <> sign(dp2) AND abs(dm1) < 0.5*cm1 AND abs(dp1) < 0.5*cp1
+                   AND abs(dp2) > cp2 AND abs(dp3) < 0.5*cp3, false) AS s2raw,
+                 COALESCE(pot AND sign(d) <> sign(dp1) AND abs(dm1) < cm1 AND abs(dp1) > cp1
+                   AND abs(dp2) < cp2, false) AS s1raw
+               FROM x),
+         sp2 AS (SELECT user_id, ts, s3a,
+                 (s2raw AND NOT s3a) AS s2a,
+                 (s1raw AND NOT s3a AND NOT (s2raw AND NOT s3a)) AS s1a
+               FROM sp),
+         fl AS (SELECT user_id, ts,
+                 (s1a OR s2a OR s3a
+                  OR COALESCE(lag(s2a) OVER w, false)
+                  OR COALESCE(lag(s3a) OVER w, false)
+                  OR COALESCE(lag(s3a, 2) OVER w, false)) AS spike
+               FROM sp2 WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s FROM fl WHERE spike""",
+    "w7_constant_ahead" ->
+      """SELECT user_id,
+           SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS n_const
+         FROM (
+           SELECT user_id,
+                  MAX(ABS(dd)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                     RANGE BETWEEN CURRENT ROW AND 7200 FOLLOWING) AS mx
+           FROM (SELECT user_id, ts, CASE WHEN value < 450 THEN 0.0 ELSE 1.0 END AS dd FROM events))
+         GROUP BY user_id""",
+    "w8_ringing" ->
+      """WITH d0 AS (SELECT user_id, ts,
+                 value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+               FROM events),
+         med AS (SELECT user_id, 2*quantile_cont(abs(d), 0.5) AS thr FROM d0 GROUP BY 1),
+         sc AS (SELECT user_id, ts, d,
+                 COALESCE(abs(sign(d) - sign(lag(d) OVER (PARTITION BY user_id ORDER BY ts))), 0) AS s
+               FROM d0),
+         r AS (SELECT sc.user_id, ts, d, thr,
+                 SUM(s) OVER w3 AS ss, COUNT(*) OVER w3 AS c3
+               FROM sc JOIN med ON sc.user_id = med.user_id
+               WINDOW w3 AS (PARTITION BY sc.user_id ORDER BY ts ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+         SELECT user_id,
+           SUM(CASE WHEN c3 = 3 AND ss > 2 AND abs(d) > thr THEN 1 ELSE 0 END) AS n_ringing
+         FROM r GROUP BY user_id""",
+    "w9_deaccumulate" ->
+      """WITH a AS (SELECT user_id, ts,
+                 SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) % 10000.0 AS v
+               FROM events),
+         d0 AS (SELECT user_id, ts, v,
+                 v - lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS d
+               FROM a),
+         sc AS (SELECT user_id, ts, v, d,
+                 COALESCE(abs(sign(d) - sign(lag(d) OVER (PARTITION BY user_id ORDER BY ts))), 0) AS s
+               FROM d0),
+         r AS (SELECT user_id, ts, v, d,
+                 (COUNT(*) OVER w3 = 3 AND SUM(s) OVER w3 > 2 AND abs(d) > 10.0) AS ring
+               FROM sc WINDOW w3 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+         fl AS (SELECT user_id, ts, d,
+                 COALESCE((((ring OR d < 0) AND v <> 0.0) OR (d < 0 AND NOT (d < -50.0))), false) AS flagged
+               FROM r)
+         SELECT user_id,
+           COUNT(CASE WHEN NOT flagged THEN 1 END) AS n_deacc,
+           CAST(SUM(CAST(CASE WHEN flagged THEN NULL
+                              WHEN d IS NULL THEN 0.0
+                              WHEN d < -50.0 THEN 0.0
+                              ELSE d END AS DECIMAL(18,2))) AS DOUBLE) AS total_deacc,
+           SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS n_flagged
+         FROM fl GROUP BY user_id""",
+    "w12_interpolate" ->
+      """WITH v0 AS (SELECT user_id, ts, epoch(ts) AS et,
+                 CASE WHEN value BETWEEN 100 AND 400 THEN NULL ELSE value END AS v
+               FROM events),
+         w AS (SELECT user_id, ts, v, et,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 first_value(v IGNORE NULLS) OVER wf AS nv,
+                 last_value(CASE WHEN v IS NOT NULL THEN et END IGNORE NULLS) OVER wp AS pt,
+                 first_value(CASE WHEN v IS NOT NULL THEN et END IGNORE NULLS) OVER wf AS nt
+               FROM v0
+               WINDOW wp AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         i AS (SELECT user_id,
+                 CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (et - pt) / (nt - pt) END AS vi
+               FROM w)
+         SELECT user_id, COUNT(vi) AS n_filled,
+           CAST(SUM(CAST(round(vi, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM i GROUP BY user_id""",
+    "j9_pairwise_outlier" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT user_id, day, total,
+                 COUNT(total) OVER (PARTITION BY user_id) AS n,
+                 lag(total) OVER (PARTITION BY user_id ORDER BY total) AS pv,
+                 lead(total) OVER (PARTITION BY user_id ORDER BY total) AS nx
+               FROM daily)
+         SELECT user_id, day, round(total, 2) AS total
+         FROM o
+         WHERE n > 1 AND (pv IS NULL OR total - pv > 300.0)
+           AND (nx IS NULL OR nx - total > 300.0)""",
+    "a7_std_anomaly" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS hr, value FROM events),
+         b AS (SELECT event_type, hr,
+                 quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+               FROM e GROUP BY 1, 2),
+         cl AS (SELECT e.event_type, e.hr,
+                 AVG(LEAST(GREATEST(e.value, b.lo), b.hi)) AS clim
+               FROM e JOIN b ON e.event_type = b.event_type AND e.hr = b.hr
+               GROUP BY 1, 2),
+         an AS (SELECT e.event_type, e.hr, e.value - cl.clim AS anom
+               FROM e JOIN cl ON e.event_type = cl.event_type AND e.hr = cl.hr),
+         iq AS (SELECT event_type, hr,
+                 GREATEST(quantile_cont(anom, 0.75) - quantile_cont(anom, 0.25), 1.5) AS iqr
+               FROM an GROUP BY 1, 2)
+         SELECT an.event_type, an.hr,
+           ROUND(quantile_cont(an.anom / iq.iqr, 0.5), 4) AS med_std
+         FROM an JOIN iq ON an.event_type = iq.event_type AND an.hr = iq.hr
+         GROUP BY 1, 2""",
+    "a9_daily_p95" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  SUM(value) AS total
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT user_id, month(day) AS m, quantile_cont(total, 0.95) AS p95
+               FROM daily WHERE total > 0 GROUP BY 1, 2)
+         SELECT d.user_id, d.day, round(d.total, 2) AS total
+         FROM daily d LEFT JOIN p ON d.user_id = p.user_id AND month(d.day) = p.m
+         WHERE d.total > LEAST(1e9, p.p95 * 1.02)""",
+    "a13_resolution" ->
+      """WITH v AS (SELECT user_id, round(value, 0) AS v FROM events WHERE value IS NOT NULL),
+         d AS (SELECT user_id, v - lag(v) OVER (PARTITION BY user_id ORDER BY v) AS d FROM v),
+         dd AS (SELECT user_id, d FROM d WHERE d IS NOT NULL),
+         mo AS (SELECT user_id, d AS md FROM (
+                  SELECT user_id, d, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, d ASC) AS rn
+                  FROM (SELECT user_id, d, COUNT(*) AS cnt FROM dd GROUP BY 1, 2))
+                WHERE rn = 1),
+         me AS (SELECT user_id, quantile_cont(d, 0.5) AS md2, COUNT(*) AS n FROM dd GROUP BY 1)
+         SELECT mo.user_id,
+           CASE WHEN me.n <= 10 THEN 0.5
+                WHEN round((mo.md + me.md2)/2*2)/2 <= 0.25 THEN 0.1
+                ELSE LEAST(round((mo.md + me.md2)/2*2)/2, 1.0) END AS resolution
+         FROM mo JOIN me ON mo.user_id = me.user_id""",
+    "a14_time_freqs" ->
+      """WITH d AS (SELECT user_id,
+                 CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                   - CAST(floor(epoch(lag(date_trunc('hour', ts))
+                       OVER (PARTITION BY user_id ORDER BY date_trunc('hour', ts)))) AS BIGINT) AS delta_s
+               FROM events),
+         c AS (SELECT user_id, delta_s, COUNT(*) AS cnt FROM d WHERE delta_s IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT user_id, delta_s, cnt,
+                 CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY user_id) AS frac
+               FROM c)
+         SELECT user_id, delta_s, cnt, ROUND(frac, 4) AS frac FROM tot WHERE frac > 0.05""",
+    "a17_span_consistency" ->
+      """WITH e AS (SELECT user_id, CAST(floor(value/100)*100 AS DOUBLE) AS elev FROM events),
+         pv AS (SELECT user_id, elev, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+         st AS (SELECT user_id, COUNT(*) AS nd, MAX(elev) - MIN(elev) AS span,
+                 quantile_cont(elev, 0.5) AS dmed,
+                 CASE WHEN COUNT(*) = 2 AND MIN(cnt) <> MAX(cnt)
+                      THEN arg_min(elev, cnt) END AS minority
+               FROM pv GROUP BY 1)
+         SELECT e.user_id,
+           SUM(CASE WHEN (st.nd > 2 AND st.span > 50 AND (e.elev < st.dmed - 50 OR e.elev > st.dmed + 50))
+                      OR (st.nd = 2 AND st.span > 50 AND e.elev = st.minority)
+                    THEN 1 ELSE 0 END) AS n_flagged
+         FROM e JOIN st ON e.user_id = st.user_id
+         GROUP BY e.user_id""",
+    "w14_month_gap" ->
+      """WITH wp AS (SELECT l_returnflag, l_quantity,
+                 month(l_shipdate) AS m, year(l_shipdate) AS y
+               FROM lineitem),
+         b AS (SELECT l_returnflag, m, quantile_cont(l_quantity, 0.5) AS med,
+                 quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+               FROM wp GROUP BY 1, 2),
+         ym AS (SELECT l_returnflag, m, y, quantile_cont(l_quantity, 0.5) AS ymed
+               FROM wp GROUP BY 1, 2, 3),
+         bad AS (SELECT ym.l_returnflag, ym.m, ym.y
+               FROM ym JOIN b ON ym.l_returnflag = b.l_returnflag AND ym.m = b.m
+               WHERE ym.ymed < b.med - 0.02*b.iqr OR ym.ymed > b.med + 0.02*b.iqr)
+         SELECT wp.l_returnflag, wp.m, wp.y, COUNT(*) AS n
+         FROM wp JOIN bad ON wp.l_returnflag = bad.l_returnflag AND wp.m = bad.m AND wp.y = bad.y
+         GROUP BY 1, 2, 3"""
+  )
+}

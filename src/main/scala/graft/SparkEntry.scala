@@ -52,7 +52,10 @@ object SparkEntry {
         avg(col("tas")).as("mean_tas"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.queries ++ QueriesSeries.queries ++ base
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: star-schema equi-join with broadcast dims (SURVEY §2.3 J1)
     "j1_revenue_by_nation" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -154,7 +157,10 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    QueriesCore.oracles ++ QueriesSeries.oracles ++ baseOracles
+
+  private def baseOracles: Map[String, String] = Map(
     "j1_revenue_by_nation" ->
       """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          COUNT(*) AS n_orders

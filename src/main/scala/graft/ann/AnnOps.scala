@@ -1,0 +1,102 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force cosine top-k
+  * as the exact baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - brute force is O(|Q|x|C|) and exists as the correctness baseline and for small
+  *    |Q| with a broadcast query side -- the corpus is NEVER collected;
+  *  - the LSH path shuffles the corpus ONCE on a bucket key (signature prefix); each
+  *    query probes its own bucket plus `probes` Hamming-1 neighbors -- a bounded
+  *    equi-join, no cross product;
+  *  - vector math is zip_with/aggregate Catalyst expressions (codegen'd, no UDF).
+  */
+object AnnOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force cosine top-k: every query row against every corpus row, ranked
+    * per query. The query side is broadcast (callers pass a SMALL query set — this is
+    * the baseline/oracle path, not the billion-vector path). */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian), as literal nested arrays. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Random-hyperplane signature: bit i = 1 when dot(v, plane_i) > 0, rendered as a
+    * bit-string bucket key ("0110..."). */
+  def rhSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.map { p =>
+      val pArr = array(p.map(lit): _*)
+      when(dot(vec, pArr) > 0.0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** All bucket keys within Hamming distance 1 of the signature (multi-probe LSH):
+    * the signature itself plus each single-bit flip. */
+  def probeKeys(sig: Column, nPlanes: Int): Column = {
+    val flips = (0 until nPlanes).map { i =>
+      concat(substring(sig, 1, i),
+        when(substring(sig, i + 1, 1) === "1", "0").otherwise("1"),
+        substring(sig, i + 2, nPlanes - i - 1))
+    }
+    array((sig +: flips): _*)
+  }
+
+  /** LSH-bucketed approximate cosine top-k: corpus bucketed by signature (one shuffle),
+    * queries probe their bucket + Hamming-1 neighbors, cosine ranked within candidates.
+    * Recall vs [[bruteForceTopK]] is property-tested (>= 0.9 on planted neighbors). */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val bucketed = corpus.withColumn("_bkt", rhSignature(col(corpusVec), planes))
+    val probed = queries
+      .withColumn("_sig", rhSignature(col(queryVec), planes))
+      .withColumn("_bkt", explode(probeKeys(col("_sig"), nPlanes)))
+      .drop("_sig")
+    val cands = bucketed.join(probed, "_bkt")
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of `centroids`
+    * (small, broadcast as literals); search probes the `nProbe` nearest centroid
+    * posting lists only. Centroids come from a driver-side sample (a real system would
+    * k-means them; nearest-of-sample preserves the partitioning contract). */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("cos"), lit(i).as("cid"))
+    }
+    greatest(scored: _*).getField("cid")
+  }
+}

@@ -32,8 +32,11 @@ object Flags {
   val FrequentValue = 24
   val FrequentValuePrecip = 25
   val ClimatologicalOutlier = 26
-  val StraightStreak = 27
-  val HourRepeatStreak = 28
+  // Code assignment follows the reference CODE (qaqc_unusual_streaks.py:385,410,433),
+  // which is normative over the CSV prose: 27 = same-hour repeats, 28 = straight
+  // repeats, 29 = whole-day replication.
+  val HourRepeatStreak = 27
+  val StraightStreak = 28
   val DayRepeatStreak = 29
   val ValleywaterInfill = 30
   val PrecipDailyFrequent = 31

@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+banded LSH,
+  * SimHash, and n-gram Jaccard. Designed for 100 TB:
+  *
+  *  - candidate generation is ALWAYS bucketed (LSH band -> bucket key -> equi-join);
+  *    nothing here compares all pairs;
+  *  - the only shuffles are groupBy(fingerprint) for exact dedup and
+  *    groupBy(band bucket) for LSH -- both key-balanced (md5 output is uniform);
+  *  - a pathological bucket (thousands of near-identical docs) degrades to a local
+  *    quadratic INSIDE one bucket only; cap it with `maxBucketSize`, which drops
+  *    oversized buckets (those documents are caught by other bands or exact dedup).
+  *
+  * Hash determinism: shingle/band hashes route through md5 so every step has an exact
+  * DuckDB oracle (Spark `hash`/`xxhash64` seeds don't exist in other engines).
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the smallest `idCol` per normalized-text fingerprint.
+    * One hash-shuffle on the 128-bit fingerprint. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = graft.text.TextOps.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word `n`-gram shingles of the text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = graft.text.TextOps.tokens(lower(text))
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** 60-bit shingle hash: `conv(substr(md5(shingle),1,15),16,10)` -- uniform, positive,
+    * identical in DuckDB. */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne prime 2^61-1 for the universal-hash family (a_i*h + b_i) mod p. */
+  val MinhashPrime: Long = (1L << 61) - 1
+
+  /** Deterministic universal-hash coefficients, 31-bit so a_i*h32 + b_i < 2^63 never
+    * overflows 64-bit arithmetic (h is truncated to 32 bits in the signature). Seeded --
+    * no runtime randomness, signatures reproducible across engines and resumes. */
+  def minhashCoeffs(k: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val as = Seq.fill(k)(math.abs(rng.nextInt()).toLong max 1L)
+    val bs = Seq.fill(k)(math.abs(rng.nextInt()).toLong)
+    (as, bs)
+  }
+
+  /** MinHash signature (length `k`) of a shingle array: sig_i = min over shingles of
+    * (a_i*h32(s) + b_i) mod p, with h32 = 60-bit md5 hash mod 2^32 (keeps a_i*h32
+    * within 63 bits -- no overflow, no 128-bit intermediates). One nested transform --
+    * O(k*|shingles|) per row, fully codegen'd, no UDF, no shuffle. */
+  def minhashSignature(shingleArr: Column, k: Int = 32, seed: Long = 42L): Column = {
+    val (as, bs) = minhashCoeffs(k, seed)
+    val h32 = transform(shingleArr, s => pmod(shingleHash(s), lit(1L << 32)))
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      // element_at is 1-based
+      array_min(transform(h32,
+        h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashPrime)))))
+  }
+
+  /** LSH band keys: the signature split into `bands` contiguous rows-per-band groups,
+    * each rendered as "bandIdx:v1,v2,..." -- the bucket join key. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit(":"),
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Candidate pairs from banded LSH: explode band keys, self-join per bucket with
+    * id1 < id2, distinct. Buckets larger than `maxBucketSize` are dropped (skew guard --
+    * at 100 TB a boilerplate-heavy bucket would otherwise go quadratic; its members
+    * still meet in other bands or exact dedup). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                        maxBucketSize: Long = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val withBands = df
+      .withColumn("_sig", minhashSignature(shingles(col(textCol), shingleN), k))
+      .withColumn("_band", explode(lshBandKeys(col("_sig"), bands, k / bands)))
+      .select(col(idCol), col("_band"))
+    val bucketed = withBands
+      .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("_band"))))
+      .filter(col("_bs") <= maxBucketSize)
+      .drop("_bs")
+    val left = bucketed.select(col("_band"), col(idCol).as("id1"))
+    val right = bucketed.select(col("_band"), col(idCol).as("id2"))
+    left.join(right, "_band")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
+
+  /** MinHash near-dup pairs: banded-LSH candidates verified by exact shingle Jaccard >=
+    * `threshold`. The verify join re-reads only candidate rows' shingle sets. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, shingleN: Int = 3,
+                      k: Int = 32, bands: Int = 8): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("_sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("_sh1"), col("_sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash of the token multiset: per token, md5-derived 32-bit hash votes
+    * +/-1 on each bit position; positive vote-sums set bits. O(tokens x 32) codegen'd
+    * expression, no UDF. */
+  def simhash32(text: Column): Column = {
+    val toks = graft.text.TextOps.tokens(lower(text))
+    val th = transform(toks, t => pmod(shingleHash(t), lit(1L << 32)))
+    // dynamic shift amounts aren't in the functions API -- bit i of h as
+    // floor(h / 2^i) mod 2 (h < 2^32, exact in double)
+    def bitAt(h: Column, i: Column): Column =
+      pmod(floor(h.cast("double") / pow(lit(2.0), i)).cast("long"), lit(2L))
+    val counts = aggregate(th,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (a, i) => a + when(bitAt(h, i) === 1, 1L).otherwise(-1L)))
+    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
+      (cnt, i) => when(cnt > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L), (acc, bit) => acc + bit)
+  }
+
+  /** Hamming distance between two SimHash values (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -40,7 +40,10 @@ object AggOps {
     * Input must be the output of [[histogram]]; window over bin index within keys. */
   def frequentBins(hist: DataFrame, keys: Seq[String], frac: Double = 0.5,
                    minCount: Long = 30): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bin")).rowsBetween(-3, 3)
+    // rangeBetween on the bin INDEX: empty bins are absent rows, so a rows-frame would
+    // span farther than the reference's contiguous ±3-bin block and inflate the
+    // neighborhood mass with distant bins (`qaqc_frequent.py` bins_to_flag).
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bin")).rangeBetween(-3, 3)
     hist.withColumn("neighborhood", sum(col("count")).over(w))
       .filter(col("count") > col("neighborhood") * frac && col("count") > minCount)
   }
@@ -58,31 +61,61 @@ object AggOps {
       .groupBy(kc: _*).agg(avg("_clipped").as(out))
   }
 
+  /** A7 — anomaly standardization against the winsorized climatology
+    * (`qaqc_climatological_outlier.py:105-145`): anom = v − winsorizedMean(keys);
+    * std = anom / max(IQR(anom), 1.5), both per key group. Two aggregation join-backs,
+    * keys are (station, month, hour)-shaped so groups stay bounded. */
+  def standardizedAnomaly(df: DataFrame, keys: Seq[String], valueCol: String,
+                          out: String): DataFrame = {
+    val kc = keys.map(col)
+    val clim = winsorizedMean(df, keys, valueCol, out = "_clim")
+    val withAnom = df.join(clim, keys)
+      .withColumn("_anom", col(valueCol) - col("_clim"))
+    val iqr = withAnom.groupBy(kc: _*)
+      .agg(greatest(expr("percentile(_anom, 0.75) - percentile(_anom, 0.25)"), lit(1.5))
+        .as("_iqr"))
+    withAnom.join(iqr, keys)
+      .withColumn(out, col("_anom") / col("_iqr"))
+      .drop("_clim", "_anom", "_iqr")
+  }
+
   /** A8 — daily resample-sum with all-null-stays-null semantics
     * (`/root/reference/scripts/4_merge_data/merge_hourly_standardization.py:216-218`). */
   def sumOrNull(c: Column): Column = when(count(c) === 0, lit(null)).otherwise(sum(c))
 
-  /** A13 — value-resolution inference: mode of successive diffs of the value-sorted
-    * series, blended with the median diff, snapped to {1.0, 0.5, 0.1}
-    * (`/root/reference/scripts/3_qaqc_data/qaqc_unusual_streaks.py:172-223`).
+  /** A13 — value-resolution inference, full reference semantics (`infere_res_var`,
+    * `/root/reference/scripts/3_qaqc_data/qaqc_unusual_streaks.py:172-223`):
+    *  - diffs of the value-SORTED series, INCLUDING zero diffs (duplicates);
+    *  - ≤10 diffs → fall back to 0.5;
+    *  - mode of diffs (pandas mode → smallest on tie) blended with the median diff:
+    *    (mode+median)/2, rounded to the nearest 0.5; rounded ≤0.25 → 0.1; capped at 1.0.
+    * Rounding is HALF_UP (Spark `round`) where numpy uses banker's — divergence only at
+    * exact .25 multiples of the blend, which real data never hits.
+    * `prescale`: reference divides pressure variables by 100 (Pa→hPa) before inference
+    * when the mean exceeds 10000 — pass `v => v / 100` for those columns.
     * Returns one row per key group with a `resolution` column. */
-  def inferResolution(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+  def inferResolution(df: DataFrame, keys: Seq[String], valueCol: String,
+                      prescale: Column => Column = identity): DataFrame = {
     val kc = keys.map(col)
-    val w = Window.partitionBy(kc: _*).orderBy(col(valueCol))
-    val diffs = df
-      .withColumn("_d", col(valueCol) - lag(col(valueCol), 1).over(w))
-      .filter(col("_d").isNotNull && col("_d") > 0)
-    val counted = diffs.groupBy((keys :+ "_d").map(col): _*).count()
+    val scaled = df.filter(col(valueCol).isNotNull)
+      .withColumn("_v", prescale(col(valueCol)))
+    val w = Window.partitionBy(kc: _*).orderBy(col("_v"))
+    val diffs = scaled
+      .withColumn("_d", col("_v") - lag(col("_v"), 1).over(w))
+      .filter(col("_d").isNotNull)
+    val counted = diffs.groupBy((kc :+ col("_d")): _*).count()
     val mode = counted
       .groupBy(kc: _*)
       .agg(max_by(col("_d"), struct(col("count"), -col("_d"))).as("_mode"))
-    val med = diffs.groupBy(kc: _*).agg(expr("percentile(_d, 0.5)").as("_med"))
-    val blended = mode.join(med, keys)
+    val medAndN = diffs.groupBy(kc: _*)
+      .agg(expr("percentile(_d, 0.5)").as("_med"), count(lit(1)).as("_n"))
+    mode.join(medAndN, keys)
       .withColumn("_blend", (col("_mode") + col("_med")) / 2.0)
-    blended.withColumn("resolution",
-      when(col("_blend") >= 0.75, lit(1.0))
-        .when(col("_blend") >= 0.3, lit(0.5))
-        .otherwise(lit(0.1)))
+      .withColumn("_snap", round(col("_blend") * 2.0, 0) / 2.0)
+      .withColumn("resolution",
+        when(col("_n") <= 10, lit(0.5))
+          .when(col("_snap") <= 0.25, lit(0.1))
+          .otherwise(least(col("_snap"), lit(1.0))))
       .select((kc :+ col("resolution")): _*)
   }
 
@@ -103,14 +136,39 @@ object AggOps {
       .filter(col("frac") > minFrac)
   }
 
-  /** A17 — per-group internal consistency vote: groups whose distinct (rounded) values
-    * exceed 2 and span more than `maxSpan` (`qaqc_wholestation.py:318-392` applied to
-    * elevation). Returns offending groups with median + span. */
-  def spanConsistency(df: DataFrame, keys: Seq[String], valueCol: String,
-                      maxSpan: Double): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(
-        countDistinct(col(valueCol)).as("n_distinct"),
-        (max(col(valueCol)) - min(col(valueCol))).as("span"),
-        expr(s"percentile($valueCol, 0.5)").as("median"))
-      .filter(col("n_distinct") > 2 && col("span") > maxSpan)
+  /** A17 — per-group internal range consistency with row-level flags, full reference
+    * semantics (`qaqc_elev_internal_range_consistency`, `qaqc_wholestation.py:318-392`):
+    *  - >2 distinct values AND span > `maxSpan`: flag rows outside
+    *    median(DISTINCT values) ± maxSpan (the reference medians the unique list, not
+    *    the rows);
+    *  - exactly 2 distinct values differing by > maxSpan: flag the minority value's
+    *    rows (tie → no flag);
+    *  - ≤1 distinct value: bypass.
+    * Adds `flagCol` = `flag` (36) on offending rows. Two aggregations over the DISTINCT
+    * (key, value) pairs — group count is bounded by distinct values per key, never rows. */
+  def flagSpanInconsistent(df: DataFrame, keys: Seq[String], valueCol: String,
+                           flagColName: String, maxSpan: Double = 50.0,
+                           flag: Int = graft.core.Flags.ElevInconsistent): DataFrame = {
+    val kc = keys.map(col)
+    val v = col(valueCol)
+    val perValue = df.filter(v.isNotNull).groupBy((kc :+ v.as("_val")): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val stats = perValue.groupBy(kc: _*).agg(
+      count(lit(1)).as("_n_distinct"),
+      (max(col("_val")) - min(col("_val"))).as("_span"),
+      expr("percentile(_val, 0.5)").as("_dmed"),
+      // minority value among exactly two (null when counts tie; struct tiebreak keeps
+      // min_by deterministic even then)
+      when(count(lit(1)) === 2 && min(col("_cnt")) =!= max(col("_cnt")),
+        min_by(col("_val"), struct(col("_cnt"), col("_val")))).as("_minority"))
+    val joined = df.join(stats, keys, "left")
+    val bad =
+      (col("_n_distinct") > 2 && col("_span") > maxSpan &&
+        (v < col("_dmed") - maxSpan || v > col("_dmed") + maxSpan)) ||
+      (col("_n_distinct") === 2 && col("_span") > maxSpan && v === col("_minority"))
+    joined
+      .withColumn(flagColName,
+        when(coalesce(bad, lit(false)), lit(flag).cast("int")).otherwise(col(flagColName)))
+      .drop("_n_distinct", "_span", "_dmed", "_minority")
+  }
 }

@@ -49,13 +49,15 @@ object CleanOps {
   }
 
   /** P5 — whole-partition gate: drop groups where a column is null for every row
-    * (`qaqc_wholestation.py:199-228`). One shuffle on `keys`, tiny survivor set,
-    * broadcast semi-join back. */
+    * (`qaqc_wholestation.py:199-228`). One shuffle on `keys` for the survivor set;
+    * the semi-join back is left to AQE (the survivor set is nearly all groups in
+    * practice — an unconditional broadcast would ship an unbounded key set to every
+    * executor at 100 TB). */
   def dropGroupsAllNull(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     val survivors = df.groupBy(keys.map(col): _*)
       .agg(max(col(valueCol).isNotNull).as("_any"))
       .filter(col("_any")).drop("_any")
-    df.join(broadcast(survivors), keys, "left_semi")
+    df.join(survivors, keys, "left_semi")
   }
 
   /** P9 — flag-aware valid-obs predicate (`/root/reference/scripts/3_qaqc_data/qaqc_utils.py:326-378`):

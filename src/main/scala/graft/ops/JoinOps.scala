@@ -14,13 +14,15 @@ object JoinOps {
     * full key, then rows that missed are joined on the fallback key alone and coalesced. */
   def joinWithFallback(left: DataFrame, right: DataFrame,
                        fullKeys: Seq[String], fallbackKeys: Seq[String]): DataFrame = {
-    val full = left.join(broadcast(right), fullKeys, "left")
+    // No forced broadcast: the right side is a station list today but the op is
+    // generic — let AQE pick broadcast vs shuffle by observed size.
+    val full = left.join(right, fullKeys, "left")
     val rightCols = right.columns.filterNot(fullKeys.contains)
     val fallbackRight = right.select((fallbackKeys ++ rightCols).map(col): _*)
       .groupBy(fallbackKeys.map(col): _*)
       .agg(rightCols.map(c => first(col(c), ignoreNulls = true).as(s"_fb_$c")).head,
         rightCols.map(c => first(col(c), ignoreNulls = true).as(s"_fb_$c")).tail: _*)
-    val patched = full.join(broadcast(fallbackRight), fallbackKeys, "left")
+    val patched = full.join(fallbackRight, fallbackKeys, "left")
     rightCols.foldLeft(patched) { (d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"_fb_$c"))).drop(s"_fb_$c")
     }
@@ -42,23 +44,22 @@ object JoinOps {
     unioned.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** J9 — pairwise-difference outlier without the O(n²) self-join: x is an outlier in its
-    * group iff x − max(others) > thr, i.e. compare to the max and the 2nd max
-    * (`/root/reference/scripts/3_qaqc_data/qaqc_unusual_gaps.py:449-481`). */
+  /** J9 — pairwise-difference outlier without the O(n²) self-join: the reference flags
+    * row i when |xᵢ − xⱼ| > thr for EVERY other j (`check_differences`,
+    * `/root/reference/scripts/3_qaqc_data/qaqc_unusual_gaps.py:449-481`). Over the
+    * value-sorted group the minimum distance to any other element is the distance to a
+    * sorted neighbor, so the all-pairs predicate collapses to two lag/lead comparisons —
+    * exact, one shuffle, no matrix. */
   def pairwiseDiffOutlier(df: DataFrame, keys: Seq[String], valueCol: String,
                           threshold: Double): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
     val v = col(valueCol)
-    val mx = max(v).over(w)
-    val n = count(v).over(w)
-    // max of "the others": if this row is the unique max, it is the 2nd max; approximate
-    // the reference's |xi - xj| scan exactly for the flag predicate via rank ordering.
-    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(v.desc)
-    val rk = row_number().over(wOrd)
-    val second = max(when(rk =!= 1, v)).over(w)
-    df.withColumn("_rk", rk)
-      .withColumn("max_other", when(col("_rk") === 1, second).otherwise(mx))
-      .withColumn("outlier", n > 1 && (v - col("max_other")) > threshold)
-      .drop("_rk")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(v)
+    val n = count(v).over(Window.partitionBy(keys.map(col): _*))
+    val prev = lag(v, 1).over(w)
+    val next = lead(v, 1).over(w)
+    df.withColumn("outlier",
+      n > 1 &&
+        (prev.isNull || (v - prev) > threshold) &&
+        (next.isNull || (next - v) > threshold))
   }
 }

@@ -58,30 +58,72 @@ object SeriesOps {
     df.withColumn(out, max(abs(col(ddCol))).over(w) === 0)
   }
 
-  /** W8 — ringing detector: count of diff sign changes in a centered 3-row window,
-    * combined with a magnitude test (`/root/reference/scripts/3_qaqc_data/qaqc_deaccumulate.py:74-113`). */
+  /** W8 — ringing detector (`/root/reference/scripts/3_qaqc_data/qaqc_deaccumulate.py:74-113`).
+    * Reference scale: sign_changes = |sign(diff) − lag(sign(diff))| ∈ {0,1,2} (null → 0);
+    * ringing where the centered 3-row sum of sign_changes > 2 AND |diff| exceeds the
+    * magnitude threshold (`flag_ringing`'s `large_fluctuations`; default 2×median|diff|
+    * per series — the round-1 version omitted the magnitude test and used a 0/1 flip
+    * scale, over-flagging). `threshold=None` → per-group 2×median|diff| via one
+    * percentile join-back. */
   def withRinging(df: DataFrame, keys: Seq[String], timeCol: String, diffCol: String,
-                  out: String = "ringing"): DataFrame = {
+                  threshold: Option[Double] = None, out: String = "ringing"): DataFrame = {
     val w = seriesWindow(keys, timeCol)
     val sgn = signum(col(diffCol))
-    val flip = when(sgn =!= lag(sgn, 1).over(w), 1).otherwise(0)
-    df.withColumn("_flip", flip)
-      .withColumn(out, sum(col("_flip")).over(w.rowsBetween(-1, 1)) > 2)
-      .drop("_flip")
+    val sgnChg = coalesce(abs(sgn - lag(sgn, 1).over(w)), lit(0.0))
+    val withThr = threshold match {
+      case Some(t) => df.withColumn("_thr", lit(t))
+      case None =>
+        val med = df.groupBy(keys.map(col): _*)
+          .agg(expr(s"percentile(abs($diffCol), 0.5)").as("_medabs"))
+        df.join(med, keys).withColumn("_thr", col("_medabs") * 2).drop("_medabs")
+    }
+    // pandas rolling(3, center=True) yields NaN unless all 3 rows exist (min_periods
+    // defaults to the window size) -> series edges are never ringing
+    withThr.withColumn("_sc", sgnChg)
+      .withColumn(out,
+        (count(lit(1)).over(w.rowsBetween(-1, 1)) === 3) &&
+          (sum(col("_sc")).over(w.rowsBetween(-1, 1)) > 2) &&
+          (abs(col(diffCol)) > col("_thr")))
+      .drop("_sc", "_thr")
   }
 
-  /** W9/W10 — de-accumulation of a cumulative gauge with reset handling: diff the series;
-    * resets (diff < `resetBelow`) become 0; gated by lag-1 autocorrelation > `acThreshold`
-    * (`qaqc_deaccumulate.py:28-234`). Adds `deacc` plus a boolean `was_reset`. */
+  /** W9 — de-accumulation of a cumulative gauge, full reference semantics
+    * (`qaqc_deaccumulate.py:116-234`, `de_accumulate`):
+    * over the non-null subseries ordered by time,
+    *  - diff; resets are drops below −`resetThreshold` → de-accumulated value 0, NOT flagged;
+    *  - ringing rows (W8: oscillation count AND magnitude) → flag;
+    *  - negative diffs that are not resets → flag; ringing/negative flags are suppressed
+    *    where the original accumulated value is exactly 0 (a natural empty gauge), except
+    *    negative non-reset diffs which the reference re-flags post-reset-zeroing;
+    *  - the first diff of each series is 0 (reference `fillna(0)`), flagged rows get a
+    *    null de-accumulated value (flag 34) and `accum` keeps the original (flag 35 is
+    *    the caller's whole-column marker).
+    * Null-value rows pass through with null `deacc` and no flag. Gating by W10
+    * autocorrelation (`is_precip_accumulated`) is the caller's join — see
+    * [[lag1Autocorr]]. Adds `deacc` (double) and `deacc_flagged` (boolean). */
   def deaccumulate(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
-                   resetBelow: Double = -50.0): DataFrame = {
+                   resetThreshold: Double = 50.0,
+                   ringingThreshold: Option[Double] = Some(10.0)): DataFrame = {
+    val v = col(valueCol)
+    val marked = df.withColumn("_valid", v.isNotNull)
+    val valid = marked.filter(col("_valid"))
     val w = seriesWindow(keys, timeCol)
-    val d = col(valueCol) - lag(col(valueCol), 1).over(w)
-    df.withColumn("_d", d)
-      .withColumn("was_reset", col("_d") < resetBelow)
-      .withColumn("deacc", when(col("_d").isNull, lit(null))
-        .when(col("_d") < resetBelow, 0.0).otherwise(col("_d")))
-      .drop("_d")
+    val d = v - lag(v, 1).over(w)
+    val diffed = withRinging(valid.withColumn("_d", d), keys, timeCol, "_d",
+      threshold = ringingThreshold, out = "_ring")
+    val dd = col("_d")
+    val isReset = dd < -resetThreshold
+    val flagged =
+      (((col("_ring") || dd < 0) && v =!= 0.0) || (dd < 0 && !isReset)) && dd.isNotNull
+    val deacc0 = when(dd.isNull, 0.0).when(isReset, 0.0).otherwise(dd)
+    val computed = diffed
+      .withColumn("deacc_flagged", coalesce(flagged, lit(false)))
+      .withColumn("deacc", when(col("deacc_flagged"), lit(null)).otherwise(deacc0))
+      .drop("_d", "_ring")
+    val untouched = marked.filter(!col("_valid"))
+      .withColumn("deacc_flagged", lit(false))
+      .withColumn("deacc", lit(null).cast("double"))
+    computed.unionByName(untouched).drop("_valid")
   }
 
   /** W10 — lag-1 autocorrelation per series (accumulated-gauge detector,
@@ -100,10 +142,13 @@ object SeriesOps {
   def hourlyFirst(df: DataFrame, keys: Seq[String], timeCol: String, valueCols: Seq[String],
                   tiebreak: Column): DataFrame = {
     val hour = date_trunc("HOUR", col(timeCol)).as("hour_ts")
+    // Per column, first NON-null value in the hour (pandas resample('1h').first()
+    // skips nulls per column): nulling the min_by ordering key when the value is null
+    // makes min_by skip that row for this column only.
+    def firstNonNull(v: String): Column =
+      min_by(col(v), when(col(v).isNotNull, struct(col(timeCol), tiebreak))).as(v)
     df.groupBy((keys.map(col) :+ hour): _*)
-      .agg(
-        valueCols.map(v => min_by(col(v), struct(col(timeCol), tiebreak)).as(v)).head,
-        valueCols.map(v => min_by(col(v), struct(col(timeCol), tiebreak)).as(v)).tail: _*)
+      .agg(firstNonNull(valueCols.head), valueCols.tail.map(firstNonNull): _*)
   }
 
   /** W16 — hourly resample-sum where an all-null hour stays null (not 0)
@@ -113,9 +158,12 @@ object SeriesOps {
       .agg(AggOps.sumOrNull(col(valueCol)).as(valueCol))
 
   /** W17 — hourly flag concat: distinct flags in the hour joined with ","; sorted for
-    * determinism (`merge_hourly_standardization.py:25-43`). */
-  def flagConcat(flagCol: Column): Column =
-    array_join(array_sort(collect_set(flagCol)), ",")
+    * determinism; no flags → the literal "nan" (the reference's empty marker,
+    * `merge_hourly_standardization.py:25-43`). */
+  def flagConcat(flagCol: Column): Column = {
+    val s = array_sort(collect_set(flagCol))
+    when(size(s) === 0, "nan").otherwise(array_join(s, ","))
+  }
 
   /** W18 — gap infill: per key, materialize the full hourly grid between the series'
     * min and max hour (`sequence` + `explode` — a generator, not a driver loop), left
@@ -146,8 +194,10 @@ object SeriesOps {
   def seasonYear(timeCol: Column): Column =
     when(month(timeCol) === 12, year(timeCol) + 1).otherwise(year(timeCol))
 
-  /** W12 — linear interpolation of interior null gaps, time-weighted between the last
-    * and next non-null observation (`qaqc_climatological_outlier.py:175`). Window-only:
+  /** W12 — linear interpolation of INTERIOR null gaps, time-weighted between the last
+    * and next non-null observation (`qaqc_climatological_outlier.py:175`). Pandas
+    * `interpolate(method='linear')` leaves leading nulls unfilled but forward-fills
+    * trailing nulls with the last non-null value; matched exactly. Window-only:
     * two passes of last/first over unbounded frames, no sequential kernel needed. */
   def interpolateLinear(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
                         out: String): DataFrame = {
@@ -162,8 +212,8 @@ object SeriesOps {
     val frac = (t - prevT) / (nextT - prevT)
     df.withColumn(out,
       when(col(valueCol).isNotNull, col(valueCol))
-        .when(prevV.isNull, nextV)
-        .when(nextV.isNull, prevV)
+        .when(prevV.isNull, lit(null)) // leading nulls stay null (pandas behavior)
+        .when(nextV.isNull, prevV) // trailing nulls forward-fill (pandas behavior)
         .when(nextT === prevT, prevV)
         .otherwise(prevV + (nextV - prevV) * frac))
   }

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: tokenization,
+  * quality scoring, language ID, and document fingerprinting. All pure Catalyst
+  * expressions (codegen'd, no UDFs) so they run at scan speed over 100 TB of
+  * `documents(text)`-shaped data.
+  *
+  * Cross-engine determinism: every hash routes through md5 (identical in Spark and
+  * DuckDB) so each op can carry an exact SQL oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text; empty string → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces plus standalone punctuation, the usual
+    * pre-tokenizer regex shape (`\w+|[^\w\s]`). Upper bound proxy for LLM token counts. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()\\-]", "")).cast("double") /
+        length(text))
+
+  /** Fraction of tokens found in `stopwords` (pass a small language-specific set). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+        size(toks))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate punctuation,
+    * healthy mean token length — the C4/Gopher-style cheap filters folded into one
+    * monotone score. Weights are engine defaults, not reference-derived. */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenScore = least(charCount(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    val mtl = meanTokenLength(text)
+    val wordScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
+    round((lenScore * 0.3 + punctScore * 0.2 + swScore * 0.2 + wordScore * 0.3), 6)
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this", "are", "from", "not")
+
+  /** Language ID (n-gram/stopword heuristic): score text against per-language marker
+    * sets, return the best-scoring language code or "und". Marker sets are the standard
+    * high-frequency function words per language — a real production system would use
+    * fastText-style models; this is the classic cheap heuristic tier. */
+  def langIdLite(text: Column,
+                 markers: Map[String, Seq[String]] = DefaultLangMarkers): Column = {
+    val toks = tokens(lower(text))
+    val scores = markers.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+        lit(langCode).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  val DefaultLangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "y", "es", "para", "con"),
+    "fr" -> Seq("le", "la", "les", "des", "que", "et", "est", "pour", "dans", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "für", "ein", "zu"),
+    "it" -> Seq("il", "lo", "gli", "che", "di", "e", "è", "per", "con", "una"))
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text — the
+    * exact-dedup key. md5 keeps it DuckDB-comparable. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))))
+
+  /** 60-bit integer fingerprint (rolling-hash analog through md5, cross-engine):
+    * `conv(substr(md5(normalized),1,15),16,10)`. */
+  def fingerprint60(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+}
