@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.AnnOps
+import graft.dedup.DedupOps
+import graft.text.TextOps
+
+/** Batch C query instantiations — the LLM-training-data quadrant (text analysis,
+  * dedup, similarity search, multimodal plumbing) over `documents` / `embeddings`.
+  *
+  * The MinHash/SimHash oracles replicate the EXACT Spark computation in DuckDB SQL —
+  * possible because every hash routes through md5 and the universal-hash coefficients
+  * are deterministic Scala constants inlined into the generated SQL below. */
+object QueriesLlm {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.loadTable(s, dir, name)
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Marker sets chosen from the synthetic documents' vocabulary so language-ID is
+    * non-vacuous on the test tables (real deployments pass real language markers). */
+  private val TestMarkers: Map[String, Seq[String]] = Map(
+    "alpha" -> Seq("spark", "sql", "batch", "stream"),
+    "beta" -> Seq("data", "table", "row", "column"),
+    "gamma" -> Seq("sort", "hash", "scan", "merge"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text stats: token/char counts + mean token length per document
+    "t1_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpe"),
+        TextOps.charCount(col("text")).as("n_chars2"),
+        r4(TextOps.meanTokenLength(col("text"))).as("mean_tok_len"))
+    }),
+
+    // Language ID (argmax over marker-set hits)
+    "t2_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("det", TextOps.langIdLite(col("text"), TestMarkers))
+        .groupBy(col("det")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact dedup on a 10-token prefix (24 collision groups in sf0.01)
+    "d1_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text10",
+          concat_ws(" ", slice(TextOps.tokens(lower(col("text"))), 1, 10)))
+      DedupOps.exactDedup(docs, "doc_id", "text10").select(col("doc_id"))
+    }),
+
+    // MinHash + banded LSH near-duplicate pairs, Jaccard-verified
+    "d2_minhash_neardups" -> ((s, dir) => {
+      DedupOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4, shingleN = 3, k = 32, bands = 8)
+    }),
+
+    // SimHash-32 per document
+    "d3_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        DedupOps.simhash32(col("text")).as("simhash"))
+    }),
+
+    // n-gram Jaccard of consecutive doc pairs
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(DedupOps.jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
+    }),
+
+    // Brute-force cosine top-5 for 10 query vectors (exact ANN baseline)
+    "e1_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.bruteForceTopK(corpus, "cid", "cv", queries, "qid", "qv", k = 5)
+        .select(col("qid"), col("cid"), r4(col("cos")).as("cos"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (rows-only check here; recall >= 0.9 property-tested in
+    // AnnOpsSpec against the brute-force baseline)
+    "e2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.lshTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        k = 5, nPlanes = 10, dim = 64)
+    }),
+
+    // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
+    "mm1_byte_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      graft.multimodal.MultimodalOps.withByteFeatures(docs, "doc_id", "payload")
+        .select(col("doc_id"), col("length"))
+    })
+  )
+
+  // ---- oracle SQL ------------------------------------------------------------
+
+  /** Shared SQL fragments (must mirror TextOps/DedupOps exactly). */
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+
+  private def shinglesSql(tk: String): String =
+    s"""list_distinct(CASE WHEN len($tk) < 3 THEN [array_to_string($tk, ' ')]
+        ELSE list_transform(generate_series(1, len($tk) - 2),
+               i -> array_to_string(list_slice($tk, i, i + 2), ' ')) END)"""
+
+  private val (mhA, mhB) = DedupOps.minhashCoeffs(32)
+  private val aList = mhA.mkString("[", ", ", "]")
+  private val bList = mhB.mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "t1_text_stats" ->
+      s"""SELECT doc_id,
+            len($toksSql) AS n_tok,
+            len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS n_bpe,
+            length(text) AS n_chars2,
+            ROUND(CASE WHEN len($toksSql) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+                       / len($toksSql) END, 4) AS mean_tok_len
+          FROM documents""",
+    "t2_langid" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          hits AS (
+            SELECT doc_id, lang, hits FROM (
+              SELECT doc_id,
+                'alpha' AS lang,
+                len(list_filter(tk, x -> x IN ('spark', 'sql', 'batch', 'stream'))) AS hits
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'beta',
+                len(list_filter(tk, x -> x IN ('data', 'table', 'row', 'column')))
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'gamma',
+                len(list_filter(tk, x -> x IN ('sort', 'hash', 'scan', 'merge')))
+              FROM toks)),
+          best AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+            FROM hits)
+          SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS det, COUNT(*) AS n
+          FROM best WHERE rn = 1 GROUP BY 1""",
+    "d1_dedup_exact" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+              array_to_string(list_slice($toksSql, 1, 10), ' ') AS text10
+            FROM documents)
+          SELECT MIN(doc_id) AS doc_id FROM p
+          GROUP BY md5(array_to_string(
+            list_filter(regexp_split_to_array(trim(lower(text10)), '\\s+'), x -> len(x) > 0), ' '))""",
+    "d2_minhash_neardups" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks),
+          h AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 4294967296) AS h32
+                FROM sh),
+          sig AS (SELECT doc_id, sh,
+                  list_transform(generate_series(0, 31), i ->
+                    list_min(list_transform(h32,
+                      x -> ($aList[i + 1] * x + $bList[i + 1]) % 2305843009213693951))) AS sig
+                FROM h),
+          bands AS (SELECT doc_id, sh,
+                  unnest(list_transform(generate_series(0, 7), b ->
+                    CAST(b AS VARCHAR) || ':' ||
+                    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ','))) AS band
+                FROM sig),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          verified AS (
+            SELECT p.id1, p.id2,
+              CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(s1.sh, s2.sh))) END AS j
+            FROM pairs p
+            JOIN sh s1 ON p.id1 = s1.doc_id
+            JOIN sh s2 ON p.id2 = s2.doc_id)
+          SELECT id1, id2, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.4""",
+    "d3_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+          th AS (SELECT doc_id,
+                   ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4294967296 AS h
+                 FROM toks),
+          bits AS (SELECT doc_id, i,
+                   SUM(CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END) AS cnt
+                 FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+                 GROUP BY 1, 2)
+          SELECT doc_id,
+            SUM(CASE WHEN cnt > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+          FROM bits GROUP BY doc_id""",
+    "d4_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+    "e1_ann_brute" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+          s AS (SELECT q.qid, c.cid,
+                  CASE WHEN list_dot_product(c.cv, c.cv) = 0 OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+                       ELSE list_dot_product(c.cv, q.qv)
+                            / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) END AS cos
+                FROM c CROSS JOIN q),
+          r AS (SELECT qid, cid, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+                FROM s)
+          SELECT qid, cid, ROUND(cos, 4) AS cos, rank FROM r WHERE rank <= 5""",
+    "mm1_byte_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length
+         FROM documents"""
+    // e2_ann_lsh intentionally has no oracle: plane constants live in Scala; the
+    // driver records a rows-only check and AnnOpsSpec property-tests recall >= 0.9.
+  )
+}
