@@ -144,6 +144,29 @@ object QueriesSeries {
         .agg(sum(when(col("elev_eraqc") === 36, 1).otherwise(0)).as("n_flagged"))
     }),
 
+    // W11: Butterworth low-pass kernel (rows-only: IIR has no SQL oracle; numeric
+    // parity vs scipy is pinned in KernelsSpec) (SURVEY §2.5 W11)
+    "w11_butterworth" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val e = t(s, dir, "events")
+        .withColumn("tsh", date_trunc("HOUR", col("ts")))
+        .groupBy(col("user_id"), col("tsh")).agg(avg(col("value")).as("v"))
+        .withColumn("freq_s", lit(3600.0))
+      graft.kernels.Butterworth.lowPass(e, Seq("user_id"), "tsh", "v", "freq_s", "lp")
+        .groupBy(col("user_id"))
+        .agg(count(col("lp")).as("n"), r4(max(abs(col("lp")))).as("max_lp"))
+    }),
+
+    // W13: Gaussian-fit distribution gap scan kernel (rows-only; behavior pinned in
+    // KernelsSpec) (SURVEY §2.5 W13)
+    "w13_gauss_gap" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val e = t(s, dir, "events").withColumn("hr", hour(col("ts")))
+      val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
+      graft.kernels.GaussGapScan.flagged(std, Seq("event_type", "hr"), "ts", "std_anom")
+        .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
+    }),
+
     // W14: monthly-median IQR-bound flag over multi-year lineitem (SURVEY §2.5 W14)
     "w14_month_gap" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")

@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ann.AnnOps
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words =
+    "spark sql batch stream data table row column sort hash scan merge key value fast slow".split(" ")
+  private def doc(rng: scala.util.Random, n: Int): String =
+    Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+
+  test("exact dedup keeps smallest id per duplicate group and is idempotent") {
+    val df = Seq((1L, "a b c"), (2L, "a  b c "), (3L, "x y z"), (4L, "A B C"))
+      .toDF("id", "text")
+    val out = DedupOps.exactDedup(df, "id", "text")
+    // whitespace + case normalization folds 1,2,4 together; min id survives
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(DedupOps.exactDedup(out, "id", "text").count() == out.count())
+  }
+
+  test("minhash signature agreement approximates Jaccard") {
+    val rng = new scala.util.Random(7)
+    val base = doc(rng, 120)
+    val perturbed = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 10 == 0) words(rng.nextInt(words.length)) else w }
+      .mkString(" ")
+    val df = Seq((1L, base), (2L, perturbed)).toDF("id", "text")
+    val sigj = df.select(col("id"),
+        DedupOps.minhashSignature(DedupOps.shingles(col("text"), 3), k = 128).as("sig"),
+        DedupOps.shingles(col("text"), 3).as("sh"))
+      .collect()
+    val s1 = sigj.find(_.getLong(0) == 1L).get
+    val s2 = sigj.find(_.getLong(0) == 2L).get
+    val sig1 = s1.getSeq[Long](1); val sig2 = s2.getSeq[Long](1)
+    val sh1 = s1.getSeq[String](2).toSet; val sh2 = s2.getSeq[String](2).toSet
+    val trueJ = sh1.intersect(sh2).size.toDouble / sh1.union(sh2).size
+    val estJ = sig1.zip(sig2).count { case (a, b) => a == b }.toDouble / sig1.size
+    assert(math.abs(trueJ - estJ) < 0.15, s"true=$trueJ est=$estJ")
+  }
+
+  test("LSH candidate pairs find planted near-duplicates") {
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 40L).map(i => (i, doc(rng, 80))) ++
+      Seq((100L, "alpha beta gamma delta " * 20), (101L, "alpha beta gamma delta " * 20))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(df, "doc_id", "text", threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("simhash: similar docs have small Hamming distance, dissimilar large") {
+    val rng = new scala.util.Random(3)
+    val base = doc(rng, 200)
+    val near = base.split(" ").updated(0, "zzz").mkString(" ")
+    val far = Seq.fill(200)("qqq" + rng.nextInt(1000)).mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .select(col("id"), DedupOps.simhash32(col("text")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 6)
+    assert(ham(h(1L), h(3L)) > 6)
+  }
+
+  test("ANN LSH recall >= 0.9 vs brute force on planted neighbors") {
+    val rng = new scala.util.Random(5)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // 30 query centers; each center plants 4 near neighbors (center + noise)
+    val centers = (0 until 30).map(_ => unit())
+    val corpus = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 4).map { j =>
+        val v = c.zip(Array.fill(dim)(rng.nextGaussian() * 0.05)).map { case (a, b) => a + b }
+        (ci.toLong * 10 + j, v)
+      }
+    }
+    val corpusDf = corpus.toDF("cid", "cv")
+    val queryDf = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("qid", "qv")
+    val k = 3
+    val brute = AnnOps.bruteForceTopK(corpusDf, "cid", "cv", queryDf, "qid", "qv", k)
+      .select("qid", "cid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val lsh = AnnOps.lshTopK(corpusDf, "cid", "cv", queryDf, "qid", "qv", k,
+        nPlanes = 8, dim = dim)
+      .select("qid", "cid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = brute.map { case (q, want) =>
+      lsh.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"mean recall $meanRecall")
+  }
+
+  test("IVF assignment routes vectors to their nearest centroid") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq((1L, Array(0.9, 0.1)), (2L, Array(0.1, 0.9))).toDF("id", "v")
+    val got = df.select(col("id"), AnnOps.ivfAssign(col("v"), centroids).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 0 && got(2L) == 1)
+  }
+}
