@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{DeriveDag, MergePipeline, QaqcPipeline}
+
+/** Batch D query instantiations — pipeline composition (SURVEY §3): the ordered,
+  * flag-dependency-respecting QA/QC pipeline end-to-end, the merge pipeline's hourly
+  * standardization (J7 — four resamples as one groupBy), and the derive DAG (§2.8).
+  * The e2e oracle replicates each stage IN ORDER, with later stages filtered to
+  * rows the earlier stages left unflagged — verifying the `grab_valid_obs`
+  * dependency semantics, not just each operator in isolation. */
+object QueriesPipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.loadTable(s, dir, name)
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §3.1 end-to-end: world-record -> negative -> spikes -> streaks over a quantized
+    // events series with injected spikes; report = flag value counts (A10)
+    "pipe1_qaqc_e2e" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .withColumn("v",
+          floor(col("value") / 50) * 50 +
+            when(pmod(col("event_id"), lit(199)) === 0, 3000.0).otherwise(0.0))
+        .withColumn("v_eraqc", lit(null).cast("int"))
+      val stages = QaqcPipeline.singleVariable("user_id", "ts", "v",
+        lo = 25.0, hi = 5000.0, streakNValues = 2, streakNDays = 9999,
+        streakMinSeqLen = 2)
+      val out = QaqcPipeline.run(obs, stages)
+      QaqcPipeline.flagCountReport(out, "v_eraqc")
+    }),
+
+    // J7: hourly standardization -- instant/sum/flag/const resamples in ONE groupBy
+    "j7_hourly_standardize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v1", col("value"))
+        .withColumn("v2", when(col("value") >= 5, col("value")))
+        .withColumn("fl", when(col("value") > 400, "11").when(col("value") < 1, "19"))
+        .withColumn("c", pmod(col("user_id"), lit(7)))
+      MergePipeline.hourlyStandardize(e, Seq("user_id"), "ts",
+          instantCols = Seq("v1"), sumCols = Seq("v2"), flagCols = Seq("fl"),
+          constCols = Seq("c"), tiebreak = col("event_id"))
+        .select(col("user_id"), unix_timestamp(col("hour_ts")).as("hour_s"),
+          round(col("v1"), 4).as("v1"), round(col("v2"), 2).as("v2"),
+          col("fl"), col("c"))
+    }),
+
+    // Flags 12/14/15: cross-variable logic checks on constructed wind/temp columns
+    "l1_logic_checks" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tas", lit(280.0) + col("value") / 10)
+        .withColumn("tdps", lit(275.0) + col("value") / 5) // exceeds tas when value > 100
+        .withColumn("sfcWind", when(col("value") < 10, 0.0).otherwise(col("value") / 50))
+        .withColumn("sfcWind_dir", (col("event_id") % 361).cast("double"))
+        .withColumn("tdps_eraqc", lit(null).cast("int"))
+        .withColumn("tas_eraqc", when(col("value") > 400, 11).cast("int"))
+        .withColumn("sfcWind_dir_eraqc", lit(null).cast("int"))
+        .withColumn("sfcWind_eraqc", lit(null).cast("int"))
+      val step1 = graft.ops.LogicOps.flagSupersaturation(e, "tdps", "tas",
+        "tdps_eraqc", col("tas_eraqc"))
+      val step2 = graft.ops.LogicOps.flagCalmWindDir(step1, "sfcWind", "sfcWind_dir",
+        "sfcWind_dir_eraqc", col("sfcWind_eraqc"))
+      step2.groupBy(col("event_type"))
+        .agg(sum(when(col("tdps_eraqc") === 12, 1).otherwise(0)).as("n_supersat"),
+          sum(when(col("sfcWind_dir_eraqc") === 14, 1).otherwise(0)).as("n_calm_bad"),
+          sum(when(col("sfcWind_dir_eraqc") === 15, 1).otherwise(0)).as("n_recoded"),
+          sum(when(col("sfcWind_dir") === 360.0, 1).otherwise(0)).as("n_dir360"))
+    }),
+
+    // §2.8: derive DAG -- dewpoint derived from (tas, hurs) with synergistic flag 38
+    "d8_derive_dag" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .withColumn("tas", lit(280.0) + col("value") / 10)
+        .withColumn("hurs", lit(50.0) + col("value") / 20)
+        .withColumn("tas_eraqc",
+          when(col("value") > 400, 11).cast("int"))
+      DeriveDag.deriveMissing(obs)
+        .select(col("event_id"), r4(col("tdps_derived")).as("tdps_derived"),
+          col("tdps_derived_eraqc").cast("long").as("syn_flag"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pipe1_qaqc_e2e" ->
+      """WITH obs AS (
+           SELECT user_id, ts,
+                  floor(value/50)*50 + CASE WHEN event_id % 199 = 0 THEN 3000.0 ELSE 0.0 END AS v
+           FROM events),
+         -- stage 1: world-record bounds [25, 5000] -> flag 11
+         s1 AS (SELECT user_id, ts, v,
+                  CASE WHEN v < 25.0 OR v > 5000.0 THEN 11 END AS f
+                FROM obs),
+         -- stage 2: negative values -> flag 10 on valid rows (none here, by construction)
+         s2 AS (SELECT user_id, ts, v,
+                  CASE WHEN f IS NULL AND v < 0 THEN 10 ELSE f END AS f
+                FROM s1),
+         -- stage 3: spikes among rows still valid after stages 1-2
+         val3 AS (SELECT user_id, ts, v FROM s2 WHERE f IS NULL OR f IN (19, 20)),
+         d0 AS (SELECT user_id, ts,
+                  COALESCE(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts), 0) AS d,
+                  COALESCE((epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))/3600.0, 0) AS dt_h
+                FROM val3),
+         fdt AS (SELECT * FROM d0 WHERE dt_h > 0 AND dt_h <= 12),
+         c AS (SELECT user_id, date_trunc('month', ts) AS ym, COUNT(*) AS n,
+                  ceil(6*(quantile_cont(d, 0.75) - quantile_cont(d, 0.25))) AS crit
+                FROM fdt GROUP BY 1, 2),
+         j AS (SELECT fdt.user_id, fdt.ts, fdt.d, c.crit
+                FROM fdt JOIN c ON fdt.user_id = c.user_id AND date_trunc('month', fdt.ts) = c.ym
+                WHERE c.n > 50),
+         x AS (SELECT user_id, ts, d, crit,
+                  lag(d) OVER w AS dm1, lead(d, 1) OVER w AS dp1, lead(d, 2) OVER w AS dp2,
+                  lead(d, 3) OVER w AS dp3, lead(d, 4) OVER w AS dp4,
+                  lag(crit) OVER w AS cm1, lead(crit, 1) OVER w AS cp1, lead(crit, 2) OVER w AS cp2,
+                  lead(crit, 3) OVER w AS cp3, lead(crit, 4) OVER w AS cp4,
+                  (ABS(d) > crit) AS pot
+                FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sp AS (SELECT user_id, ts,
+                  COALESCE(pot AND sign(d) <> sign(dp2) AND abs(dm1) < 0.5*cm1 AND abs(dp1) < 0.5*cp1
+                    AND abs(dp2) < 0.5*cp2 AND abs(dp3) > cp3 AND abs(dp4) < 0.5*cp4, false) AS s3a,
+                  COALESCE(pot AND sign(d) <> sign(dp2) AND abs(dm1) < 0.5*cm1 AND abs(dp1) < 0.5*cp1
+                    AND abs(dp2) > cp2 AND abs(dp3) < 0.5*cp3, false) AS s2raw,
+                  COALESCE(pot AND sign(d) <> sign(dp1) AND abs(dm1) < cm1 AND abs(dp1) > cp1
+                    AND abs(dp2) < cp2, false) AS s1raw
+                FROM x),
+         sp2 AS (SELECT user_id, ts, s3a, (s2raw AND NOT s3a) AS s2a,
+                  (s1raw AND NOT s3a AND NOT (s2raw AND NOT s3a)) AS s1a
+                FROM sp),
+         spk AS (SELECT user_id, ts,
+                  (s1a OR s2a OR s3a
+                   OR COALESCE(lag(s2a) OVER w, false)
+                   OR COALESCE(lag(s3a) OVER w, false)
+                   OR COALESCE(lag(s3a, 2) OVER w, false)) AS spike
+                FROM sp2 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s3 AS (SELECT s2.user_id, s2.ts, s2.v,
+                  CASE WHEN s2.f IS NULL AND COALESCE(spk.spike, false) THEN 23 ELSE s2.f END AS f
+                FROM s2 LEFT JOIN spk ON s2.user_id = spk.user_id AND s2.ts = spk.ts),
+         -- stage 4: straight streaks among rows still valid after stages 1-3
+         val4 AS (SELECT user_id, ts, v FROM s3 WHERE f IS NULL OR f IN (19, 20)),
+         chg AS (SELECT user_id, ts, v,
+                  CASE WHEN lag(v) OVER (PARTITION BY user_id ORDER BY ts) IS DISTINCT FROM v
+                       THEN 1 ELSE 0 END AS chg
+                FROM val4),
+         sid AS (SELECT user_id, ts,
+                  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM chg),
+         runs AS (SELECT user_id, sid, COUNT(*) AS len FROM sid GROUP BY 1, 2),
+         stk AS (SELECT sid.user_id, sid.ts
+                FROM sid JOIN runs ON sid.user_id = runs.user_id AND sid.sid = runs.sid
+                WHERE runs.len >= 3),
+         s4 AS (SELECT s3.user_id, s3.ts,
+                  CASE WHEN s3.f IS NULL AND stk.ts IS NOT NULL THEN 28 ELSE s3.f END AS f
+                FROM s3 LEFT JOIN stk ON s3.user_id = stk.user_id AND s3.ts = stk.ts)
+         -- A10 report: per-flag counts + no_flag + total row
+         SELECT COALESCE(CAST(f AS VARCHAR), 'no_flag') AS flag, COUNT(*) AS cnt FROM s4 GROUP BY 1
+         UNION ALL
+         SELECT 'total_obs_count', COUNT(*) FROM s4""",
+    "j7_hourly_standardize" ->
+      """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+           ROUND(any_value(v1 ORDER BY ts, event_id), 4) AS v1,
+           ROUND(CASE WHEN COUNT(v2) = 0 THEN NULL ELSE SUM(v2) END, 2) AS v2,
+           CASE WHEN COUNT(DISTINCT fl) = 0 THEN 'nan'
+                ELSE array_to_string(list_sort(list(DISTINCT fl)), ',') END AS fl,
+           any_value(c) AS c
+         FROM (
+           SELECT user_id, ts, event_id, value AS v1,
+                  CASE WHEN value >= 5 THEN value END AS v2,
+                  CASE WHEN value > 400 THEN '11' WHEN value < 1 THEN '19' END AS fl,
+                  user_id % 7 AS c
+           FROM events)
+         GROUP BY 1, 2""",
+    "l1_logic_checks" ->
+      """WITH e AS (
+           SELECT event_type, value,
+                  280.0 + value/10 AS tas, 275.0 + value/5 AS tdps,
+                  CASE WHEN value < 10 THEN 0.0 ELSE value/50 END AS w,
+                  CAST(event_id % 361 AS DOUBLE) AS wd,
+                  CASE WHEN value > 400 THEN 11 END AS tasf
+           FROM events),
+         f AS (
+           SELECT event_type,
+                  CASE WHEN tasf IS NULL AND tdps > tas THEN 12 END AS tdpsf,
+                  CASE WHEN w = 0 AND wd <> 0 THEN 14
+                       WHEN w <> 0 AND wd = 0 THEN 15 END AS wdf,
+                  CASE WHEN w <> 0 AND wd = 0 THEN 360.0 ELSE wd END AS wd2
+           FROM e)
+         SELECT event_type,
+           SUM(CASE WHEN tdpsf = 12 THEN 1 ELSE 0 END) AS n_supersat,
+           SUM(CASE WHEN wdf = 14 THEN 1 ELSE 0 END) AS n_calm_bad,
+           SUM(CASE WHEN wdf = 15 THEN 1 ELSE 0 END) AS n_recoded,
+           SUM(CASE WHEN wd2 = 360.0 THEN 1 ELSE 0 END) AS n_dir360
+         FROM f GROUP BY event_type""",
+    "d8_derive_dag" ->
+      """SELECT event_id,
+           ROUND(1.0 / ((1.0/273.0) - 0.0001844 * ln(
+             (0.611 * exp(5423.0 * ((1.0/273.0) - 1.0/(280.0 + value/10)))
+              * (50.0 + value/20) / 100.0) / 0.611)), 4) AS tdps_derived,
+           CASE WHEN value > 400 THEN 38 END AS syn_flag
+         FROM events"""
+  )
+}

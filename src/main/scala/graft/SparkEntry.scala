@@ -53,7 +53,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesSeries.queries ++ QueriesLlm.queries ++ base
+    QueriesCore.queries ++ QueriesSeries.queries ++ QueriesLlm.queries ++ QueriesPipeline.queries ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: star-schema equi-join with broadcast dims (SURVEY §2.3 J1)
@@ -158,7 +158,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles ++ QueriesSeries.oracles ++ QueriesLlm.oracles ++ baseOracles
+    QueriesCore.oracles ++ QueriesSeries.oracles ++ QueriesLlm.oracles ++ QueriesPipeline.oracles ++ baseOracles
 
   private def baseOracles: Map[String, String] = Map(
     "j1_revenue_by_nation" ->

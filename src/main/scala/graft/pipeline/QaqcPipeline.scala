@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Flags, Lookups}
+import graft.ops._
+
+/** §3.1 — the ordered QA/QC pipeline (`run_qaqc_pipeline`,
+  * `/root/reference/scripts/3_qaqc_data/QAQC_pipeline.py:510-984`).
+  *
+  * Order is SEMANTIC: later checks consume earlier flags through the `validObs`
+  * predicate (`grab_valid_obs`, `qaqc_utils.py:326-378`), so stages compose as an
+  * explicit `Seq[Stage]` fold — no reordering freedom — with each stage declaring the
+  * flag codes it writes. The whole pipeline stays ONE lazy Spark plan: every stage is
+  * expressions/windows/joins over the same `(station, time)`-keyed DataFrame, so
+  * Catalyst sees end-to-end column lineage and the station shuffle is reused across
+  * stages.
+  *
+  * The reference's per-station SLURM process becomes `Window.partitionBy(station)`;
+  * its hard station-abort gates (P4/P5) become semi-join filters.
+  */
+object QaqcPipeline {
+
+  /** One pipeline stage: a named DataFrame transform declaring the flags it writes. */
+  final case class Stage(name: String, writesFlags: Seq[Int], transform: DataFrame => DataFrame)
+
+  def run(df: DataFrame, stages: Seq[Stage]): DataFrame =
+    stages.foldLeft(df)((d, s) => s.transform(d))
+
+  /** The canonical single-variable pipeline over an obs table
+    * `(station, time, v, v_eraqc)` — the reference's Part 1b → Part 2 → Part 3 order
+    * (`QAQC_pipeline.py:683-965`) instantiated for one observed variable:
+    * world-record bounds → negative values → spike detection → straight streaks.
+    * Each stage sees (and skips) rows flagged by its predecessors. */
+  def singleVariable(station: String, timeCol: String, v: String,
+                     lo: Double, hi: Double,
+                     spikeIqrThresh: Double = 6.0,
+                     streakNValues: Long = 20, streakNDays: Long = 7,
+                     streakMinSeqLen: Long = 10): Seq[Stage] = {
+    val flag = v + "_eraqc"
+    Seq(
+      Stage("world_record", Seq(Flags.WorldRecord),
+        df => CleanOps.flagOutOfBounds(df, v, flag, lo, hi)),
+      Stage("negative_values", Seq(Flags.NegativePrecip),
+        df => LogicOps.flagNegative(df, v, flag)),
+      Stage("spikes", Seq(Flags.Spike), { df =>
+        val valid = df.filter(CleanOps.validObs(col(flag)) && col(v).isNotNull)
+        // rename the derived side before the self-join: same-lineage column references
+        // would otherwise resolve ambiguously and the join would never match
+        val spikes = SpikeOps.detectSpikes(valid, Seq(station), timeCol, v,
+            iqrThresh = spikeIqrThresh)
+          .filter(col("spike"))
+          .select(col(station).as("_sp_k"), col(timeCol).as("_sp_t"))
+        df.join(spikes,
+            col(station) === col("_sp_k") && col(timeCol) === col("_sp_t"), "left")
+          .withColumn(flag,
+            when(col("_sp_t").isNotNull && CleanOps.validObs(col(flag)),
+              lit(Flags.Spike).cast("int")).otherwise(col(flag)))
+          .drop("_sp_k", "_sp_t")
+      }),
+      Stage("straight_streaks", Seq(Flags.StraightStreak), { df =>
+        val valid = df.filter(CleanOps.validObs(col(flag)) && col(v).isNotNull)
+        val streaks = StreakOps.straightRepeats(valid, Seq(station), timeCol, v,
+            nValues = streakNValues, nDays = streakNDays, minSeqLen = streakMinSeqLen)
+          .filter(col("straight_streak"))
+          .select(col(station).as("_st_k"), col(timeCol).as("_st_t"))
+        df.join(streaks,
+            col(station) === col("_st_k") && col(timeCol) === col("_st_t"), "left")
+          .withColumn(flag,
+            when(col("_st_t").isNotNull && CleanOps.validObs(col(flag)),
+              lit(Flags.StraightStreak).cast("int")).otherwise(col(flag)))
+          .drop("_st_k", "_st_t")
+      }))
+  }
+
+  /** A10 report off the pipeline output: flag value counts per variable, including the
+    * `no_flag` and `total_obs_count` rows (`merge_eraqc_counts.py:22-84`). */
+  def flagCountReport(df: DataFrame, flagColName: String): DataFrame = {
+    val counted = df
+      .withColumn("flag", coalesce(col(flagColName).cast("string"), lit("no_flag")))
+      .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("cnt"))
+      .withColumn("flag", lit("total_obs_count"))
+      .select(col("flag"), col("cnt"))
+    counted.unionByName(total)
+  }
+
+  /** A10 hourly variant: comma-joined flag strings are exploded first
+    * (`merge_eraqc_counts.py:87-157`). */
+  def hourlyFlagCountReport(df: DataFrame, flagsColName: String): DataFrame =
+    df.withColumn("flag", explode(split(col(flagsColName), ",")))
+      .filter(col("flag") =!= "nan")
+      .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class IsdParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Build a synthetic ISD line with known values at the reference's positions
+    * (`ASOSAWOS_clean.py:254-580`). */
+  private def isdLine(time: String = "202401151230", lat: String = "+34123",
+                      lon: String = "-118456", elev: String = "+0123",
+                      windDir: String = "270", wind: String = "0051",
+                      tas: String = "+0215", tdps: String = "+0107",
+                      psl: String = "10132", extra: String = ""): String = {
+    val sb = new StringBuilder("0" * 105)
+    def put(at: Int, s: String): Unit = sb.replace(at, at + s.length, s)
+    put(15, time); put(28, lat); put(34, lon); put(46, elev)
+    put(56, "V020"); put(60, windDir); put(63, "1"); put(64, "N"); put(65, wind); put(69, "1")
+    put(87, tas); put(92, "1"); put(93, tdps); put(98, "1"); put(99, psl); put(104, "1")
+    sb.toString + extra
+  }
+
+  test("parses mandatory section fields at reference positions") {
+    val df = Seq(isdLine()).toDF("value")
+    val r = IsdParser.parse(df).head()
+    assert(r.getAs[java.sql.Timestamp]("time").toString.startsWith("2024-01-15 12:30"))
+    assert(approx(r.getAs[Double]("lat"), 34.123))
+    assert(approx(r.getAs[Double]("lon"), -118.456))
+    assert(approx(r.getAs[Double]("elevation"), 123.0))
+    assert(approx(r.getAs[Double]("sfcWind_dir"), 270.0))
+    assert(approx(r.getAs[Double]("sfcWind"), 5.1))
+    assert(approx(r.getAs[Double]("tas"), 21.5))
+    assert(approx(r.getAs[Double]("tdps"), 10.7))
+    assert(approx(r.getAs[Double]("psl"), 1013.2))
+    assert(r.getAs[String]("tas_qc") == "1")
+  }
+
+  test("all-9 sentinels become null") {
+    val df = Seq(isdLine(wind = "9999", tas = "+9999", psl = "99999", windDir = "999"))
+      .toDF("value")
+    val r = IsdParser.parse(df).head()
+    assert(r.isNullAt(r.fieldIndex("sfcWind")))
+    assert(r.isNullAt(r.fieldIndex("tas")))
+    assert(r.isNullAt(r.fieldIndex("psl")))
+    assert(r.isNullAt(r.fieldIndex("sfcWind_dir")))
+  }
+
+  test("AA1 precipitation section extracted when present") {
+    val df = Seq(isdLine(extra = "ADDAA101001523"), isdLine()).toDF("value")
+    val rows = IsdParser.parse(df).collect()
+    val withPr = rows(0)
+    assert(withPr.getAs[Int]("pr_duration") == 1)
+    assert(approx(withPr.getAs[Double]("pr"), 0.15 * 10)) // "0015"/10 = 1.5 mm
+    assert(rows(1).isNullAt(rows(1).fieldIndex("pr")))
+  }
+
+  test("parse is a pure projection (row count preserved, scan-speed shape)") {
+    val df = (1 to 100).map(_ => isdLine()).toDF("value")
+    assert(IsdParser.parse(df).count() == 100)
+  }
+}
