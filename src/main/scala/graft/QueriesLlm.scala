@@ -167,30 +167,42 @@ object QueriesLlm {
     "d2_minhash_neardups" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks),
-          h AS (SELECT doc_id, sh,
-                  list_transform(sh, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 4294967296) AS h32
+          h AS (SELECT doc_id,
+                  list_distinct(list_transform(sh,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 4294967296)) AS h32
                 FROM sh),
-          sig AS (SELECT doc_id, sh,
+          sig AS (SELECT doc_id, h32,
                   list_transform(generate_series(0, 31), i ->
                     list_min(list_transform(h32,
                       x -> ($aList[i + 1] * x + $bList[i + 1]) % 2305843009213693951))) AS sig
                 FROM h),
-          bands AS (SELECT doc_id, sh,
+          bands AS (SELECT doc_id,
                   unnest(list_transform(generate_series(0, 7), b ->
                     CAST(b AS VARCHAR) || ':' ||
                     array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ','))) AS band
                 FROM sig),
+          okbands AS (
+            SELECT band FROM bands GROUP BY band
+            HAVING COUNT(*) BETWEEN 2 AND 500),
           pairs AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-          verified AS (
-            SELECT p.id1, p.id2,
-              CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) = 0 THEN 0.0
-                   ELSE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-                        / len(list_distinct(list_concat(s1.sh, s2.sh))) END AS j
+            FROM bands a
+            JOIN okbands ob ON a.band = ob.band
+            JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          prefiltered AS (
+            SELECT p.id1, p.id2, s1.h32 AS a1, s2.h32 AS a2
             FROM pairs p
-            JOIN sh s1 ON p.id1 = s1.doc_id
-            JOIN sh s2 ON p.id2 = s2.doc_id)
+            JOIN sig s1 ON p.id1 = s1.doc_id
+            JOIN sig s2 ON p.id2 = s2.doc_id
+            WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+                  / 32 >= 0.2),
+          verified AS (
+            SELECT id1, id2,
+              CASE WHEN len(list_distinct(list_concat(a1, a2))) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(a1, a2)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a1, a2))) END AS j
+            FROM prefiltered)
           SELECT id1, id2, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.4""",
     "d3_simhash" ->
       s"""WITH toks AS (

@@ -21,7 +21,12 @@ object SparkEntry {
   /** Table loader. `events.parquet` carries TIMESTAMP(NANOS) (parquet-cpp-arrow), which
     * Spark 4 refuses to read natively: read nanos as long and truncate to microseconds
     * (integer DIV — no double round-trip), matching DuckDB's ns→µs cast so oracles stay
-    * valid. */
+    * valid.
+    *
+    * Perf note: the conversion expression blocks predicate pushdown on `ts` (the scan
+    * sees only the raw long). This is a TESTDATA adapter — a production deployment
+    * writes µs timestamps and time filters push to the parquet scan (as `p2`'s plan
+    * does for every other column). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

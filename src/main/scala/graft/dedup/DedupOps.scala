@@ -59,9 +59,16 @@ object DedupOps {
     * (a_i*h32(s) + b_i) mod p, with h32 = 60-bit md5 hash mod 2^32 (keeps a_i*h32
     * within 63 bits -- no overflow, no 128-bit intermediates). One nested transform --
     * O(k*|shingles|) per row, fully codegen'd, no UDF, no shuffle. */
-  def minhashSignature(shingleArr: Column, k: Int = 32, seed: Long = 42L): Column = {
+  def minhashSignature(shingleArr: Column, k: Int = 32, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(
+      transform(shingleArr, s => pmod(shingleHash(s), lit(1L << 32))), k, seed)
+
+  /** Signature from PRE-hashed 32-bit shingle values. Callers that also need the
+    * hashes (LSH pipelines) should materialize them in their own column first — an
+    * expression passed here is inlined into all k lambdas and would recompute the md5
+    * per signature row (32x the hash work; measured 70%+ of an LSH run). */
+  def minhashSignatureFromHashes(h32: Column, k: Int = 32, seed: Long = 42L): Column = {
     val (as, bs) = minhashCoeffs(k, seed)
-    val h32 = transform(shingleArr, s => pmod(shingleHash(s), lit(1L << 32)))
     val aArr = array(as.map(lit): _*)
     val bArr = array(bs.map(lit): _*)
     transform(sequence(lit(0), lit(k - 1)), i =>
@@ -69,6 +76,23 @@ object DedupOps {
       array_min(transform(h32,
         h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashPrime)))))
   }
+
+  /** (id, hashed-shingle array, minhash signature), CACHED. The cache is load-bearing,
+    * not a convenience: projection collapse inlines the md5 hash array into every one
+    * of the k signature lambdas and then into every band lambda (k x bands md5
+    * re-evaluations per shingle — measured 131s vs ~2s for 5k docs at sf0.1), and a
+    * repartition does not stop it (projections push through exchanges). Persisting the
+    * signature table pins one evaluation — the same design as Spark ML's MinHashLSH,
+    * and the table is reused by the band explode and both verify joins anyway.
+    * Size: id + ~|shingles| longs + k longs per row. */
+  private def sigTable(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, k: Int): DataFrame =
+    df.withColumn("_h32",
+        array_distinct(transform(shingles(col(textCol), shingleN),
+          s => pmod(shingleHash(s), lit(1L << 32)))))
+      .withColumn("_sig", minhashSignatureFromHashes(col("_h32"), k))
+      .select(col(idCol), col("_h32"), col("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** LSH band keys: the signature split into `bands` contiguous rows-per-band groups,
     * each rendered as "bandIdx:v1,v2,..." -- the bucket join key. */
@@ -83,21 +107,20 @@ object DedupOps {
     * still meet in other bands or exact dedup). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                        maxBucketSize: Long = 1000): DataFrame = {
+                        maxBucketSize: Int = 500): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val withBands = df
-      .withColumn("_sig", minhashSignature(shingles(col(textCol), shingleN), k))
-      .withColumn("_band", explode(lshBandKeys(col("_sig"), bands, k / bands)))
-      .select(col(idCol), col("_band"))
-    val bucketed = withBands
-      .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("_band"))))
-      .filter(col("_bs") <= maxBucketSize)
-      .drop("_bs")
-    val left = bucketed.select(col("_band"), col(idCol).as("id1"))
-    val right = bucketed.select(col("_band"), col(idCol).as("id2"))
-    left.join(right, "_band")
+    // materialize the hash array ONCE, then ONE groupBy(bucket) shuffle; pairs are
+    // generated from each bucket's collected id array (bounded by maxBucketSize —
+    // the local product never exceeds cap^2)
+    val withBands = sigTable(df, idCol, textCol, shingleN, k)
+      .select(col(idCol), explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
+    withBands
+      .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucketSize))
+      .select(explode(col("_ids")).as("id1"), col("_ids"))
+      .select(col("id1"), explode(col("_ids")).as("id2"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
@@ -107,16 +130,36 @@ object DedupOps {
         size(array_union(a, b)))
 
   /** MinHash near-dup pairs: banded-LSH candidates verified by exact shingle Jaccard >=
-    * `threshold`. The verify join re-reads only candidate rows' shingle sets. */
+    * `threshold`.
+    *
+    * Verification cost controls (the dominant cost at scale — candidate counts grow
+    * with corpus self-similarity):
+    *  - Jaccard is computed on the HASHED shingle arrays (long set ops, ~5x cheaper
+    *    than string sets; md5-collision error is ~2^-32 per pair);
+    *  - a deterministic signature-agreement prefilter (matching sig positions / k)
+    *    discards candidates whose estimated similarity is far below `threshold`
+    *    before any set op runs. Both are replicated exactly in the SQL oracle. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, shingleN: Int = 3,
-                      k: Int = 32, bands: Int = 8): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("_sh"))
+                      k: Int = 32, bands: Int = 8, maxBucketSize: Int = 500,
+                      estCutoff: Double = 0.2): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val prep = sigTable(df, idCol, textCol, shingleN, k)
+    val pairs = prep
+      .select(col(idCol), explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucketSize))
+      .select(explode(col("_ids")).as("id1"), col("_ids"))
+      .select(col("id1"), explode(col("_ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .distinct()
+    val est = size(filter(zip_with(col("_s1"), col("_s2"), (a, b) => a === b),
+      x => x)).cast("double") / k
     pairs
-      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), "id2")
-      .withColumn("jaccard", jaccard(col("_sh1"), col("_sh2")))
+      .join(prep.select(col(idCol).as("id1"), col("_h32").as("_a1"), col("_sig").as("_s1")), "id1")
+      .join(prep.select(col(idCol).as("id2"), col("_h32").as("_a2"), col("_sig").as("_s2")), "id2")
+      .filter(est >= estCutoff)
+      .withColumn("jaccard", jaccard(col("_a1"), col("_a2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }

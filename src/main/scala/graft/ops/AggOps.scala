@@ -10,11 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object AggOps {
 
-  /** A1/A2 — grouped exact percentile (median by default). One shuffle on `keys`;
-    * partial aggregation applies map-side. */
+  /** A1/A2 — grouped percentile (median by default). One shuffle on `keys`; partial
+    * aggregation applies map-side.
+    *
+    * SCALE CONTRACT: `exact = true` buffers every group value on the executor heap —
+    * legal ONLY when the key set provably bounds group size (station-keyed: ≤ ~400k
+    * rows/group at 1-min cadence over 43 years; (station, month/hour) subkeys are
+    * smaller still). For unbounded keys (event types, whole-table climatologies at
+    * 100 TB) pass `exact = false`: `percentile_approx` with `accuracy` (error ≤
+    * 1/accuracy of the rank) keeps memory O(accuracy) per group. Oracle queries use
+    * exact on bounded keys; the approx path is the default recommendation at scale. */
   def groupedPercentile(df: DataFrame, keys: Seq[String], valueCol: String,
-                        p: Double, out: String = "pctl"): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(expr(s"percentile($valueCol, $p)").as(out))
+                        p: Double, out: String = "pctl",
+                        exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    val agg =
+      if (exact) expr(s"percentile($valueCol, $p)")
+      else expr(s"percentile_approx($valueCol, $p, $accuracy)")
+    df.groupBy(keys.map(col): _*).agg(agg.as(out))
+  }
 
   /** A3 — IQR with a floor (reference floors at 1.5 IQR-units for climatological
     * outliers, `/root/reference/scripts/3_qaqc_data/qaqc_climatological_outlier.py:129-138`). */
