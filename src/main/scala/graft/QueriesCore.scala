@@ -37,6 +37,40 @@ object QueriesCore {
         .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total_bal"))
     }),
 
+    // P4: point-in-polygon membership (ray-casting UDF after bbox prefilter) over a
+    // triangle whose edges avoid the integer y-grid, so boundary semantics never
+    // differ between ray casting and the oracle's half-plane tests (SURVEY §2.2 P4)
+    "p4_polygon" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").withColumn("x", col("s_acctbal") / 1000.0)
+      val tri = Seq((0.0, -0.5), (6.0, -0.5), (6.0, 24.5))
+      CleanOps.filterInPolygon(sup, "x", "s_nationkey", tri)
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total_bal"))
+    }),
+
+    // J2: broadcast sensor-metadata join (SURVEY §2.3 J2)
+    "j2_metadata_join" -> ((s, dir) => {
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      JoinOps.joinMetadata(t(s, dir, "supplier"), nations, Seq("s_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal"))
+    }),
+
+    // Flags 3/4/5: elevation infill with a broadcast DEM table (SURVEY §2 A-gates)
+    "c3_elev_infill" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("elev",
+          when(col("value") < 400, lit(null)).otherwise(col("value")))
+        .withColumn("elev_eraqc", lit(null).cast("int"))
+      // DEM rows only for even user ids: odd all-null stations exercise the 0.0/5 path
+      val dem = t(s, dir, "events").select(col("user_id")).distinct()
+        .filter(col("user_id") % 2 === 0)
+        .withColumn("dem_elev", col("user_id").cast("double") * 10)
+      CleanOps.elevInfill(e, Seq("user_id"), "ts", "elev", "elev_eraqc", dem)
+        .groupBy(col("elev_eraqc").cast("long").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("elev"), 2).cast("decimal(18,2)")).cast("double").as("total_elev"))
+    }),
+
     // P5: drop groups where the value is null for every row (SURVEY §2.2 P5)
     "p5_drop_all_null" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -211,6 +245,43 @@ object QueriesCore {
            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
          FROM supplier
          WHERE s_acctbal BETWEEN 1000.0 AND 4000.0 AND s_nationkey BETWEEN 5.0 AND 20.0""",
+    "p4_polygon" ->
+      """SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM (SELECT s_acctbal, s_acctbal/1000.0 AS x, s_nationkey AS y FROM supplier)
+         WHERE y > -0.5 AND x < 6.0 AND x >= 0.0
+           AND y < (25.0/6.0) * x - 0.5""",
+    "j2_metadata_join" ->
+      """SELECT n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "c3_elev_infill" ->
+      """WITH e AS (
+           SELECT user_id, ts,
+                  CASE WHEN value < 400 THEN NULL ELSE value END AS elev
+           FROM events),
+         st AS (SELECT user_id,
+                  bool_or(elev IS NOT NULL) AS any_nn,
+                  any_value(elev ORDER BY ts) AS fill
+                FROM e GROUP BY user_id),
+         dem AS (SELECT DISTINCT user_id, CAST(user_id AS DOUBLE) * 10 AS dem_elev
+                FROM events WHERE user_id % 2 = 0),
+         f AS (SELECT e.user_id,
+                  CASE WHEN e.elev IS NOT NULL THEN NULL
+                       WHEN st.any_nn THEN 4
+                       WHEN dem.dem_elev IS NOT NULL THEN 3
+                       ELSE 5 END AS flag,
+                  CASE WHEN e.elev IS NOT NULL THEN e.elev
+                       WHEN st.any_nn THEN st.fill
+                       WHEN dem.dem_elev IS NOT NULL THEN dem.dem_elev
+                       ELSE 0.0 END AS elev2
+               FROM e
+               JOIN st ON e.user_id = st.user_id
+               LEFT JOIN dem ON e.user_id = dem.user_id)
+         SELECT CAST(flag AS BIGINT) AS flag, COUNT(*) AS n,
+           CAST(SUM(CAST(round(elev2, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_elev
+         FROM f GROUP BY 1""",
     "p5_drop_all_null" ->
       """SELECT event_type, COUNT(*) AS n FROM events
          WHERE user_id IN (SELECT user_id FROM events WHERE value > 489 GROUP BY user_id)

@@ -48,6 +48,63 @@ object CleanOps {
     }
   }
 
+  /** P4 (wired) — polygon membership as a registered UDF over the broadcast vertex
+    * array, applied AFTER [[bboxFilter]] so the scan-level pruning still happens; call
+    * on the stations dim table (15k rows), never per-observation. */
+  def inPolygonUdf(poly: Seq[(Double, Double)]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(pointInPolygon(poly))
+
+  def filterInPolygon(df: DataFrame, xCol: String, yCol: String,
+                      poly: Seq[(Double, Double)]): DataFrame = {
+    val xs = poly.map(_._1); val ys = poly.map(_._2)
+    bboxFilter(df, xCol, yCol, xs.min, xs.max, ys.min, ys.max)
+      .filter(inPolygonUdf(poly)(col(xCol), col(yCol)))
+  }
+
+  /** Flags 1/2 — buoy checks (`/root/reference/scripts/3_qaqc_data/qaqc_buoy_check.py:60-170`):
+    * the reference hand-codes disestablishment cutoffs per station; here they are a
+    * broadcast lookup `(station, cutoff_ts)` and every observation past its station's
+    * cutoff is flagged 2 on all variables' flag columns. */
+  def flagDisestablished(df: DataFrame, stationCol: String, timeCol: String,
+                         flagColNames: Seq[String], cutoffs: DataFrame): DataFrame = {
+    val joined = df.join(broadcast(cutoffs), Seq(stationCol), "left")
+    val bad = col("cutoff_ts").isNotNull && col(timeCol) >= col("cutoff_ts")
+    flagColNames.foldLeft(joined) { (d, f) =>
+      d.withColumn(f,
+        when(bad && validObs(col(f)), lit(graft.core.Flags.BuoyMissingPosition).cast("int"))
+          .otherwise(col(f)))
+    }.drop("cutoff_ts")
+  }
+
+  /** Flags 3/4/5 — elevation infill (`qaqc_wholestation.py:395-470`), the external
+    * USGS DEM call replaced by a broadcast static table `(keys..., dem_elev)`:
+    *  - some rows null → fill with the station's first non-null elevation (flag 4);
+    *  - all rows null → DEM value (flag 3); DEM miss (ocean) → 0.0 (flag 5).
+    * Window aggregates over the station key — no driver loop, no HTTP. */
+  def elevInfill(df: DataFrame, keys: Seq[String], timeCol: String, elevCol: String,
+                 flagColName: String, dem: DataFrame): DataFrame = {
+    import graft.core.Flags
+    val w = Window.partitionBy(keys.map(col): _*)
+    val wAll = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val anyNonNull = max(col(elevCol).isNotNull).over(w)
+    // earliest non-null by time: deterministic, unlike an unordered first()
+    val stationFill = first(col(elevCol), ignoreNulls = true).over(wAll)
+    val joined = df.join(broadcast(dem), keys, "left")
+    joined
+      .withColumn(flagColName,
+        when(col(elevCol).isNotNull, col(flagColName))
+          .when(anyNonNull, lit(Flags.ElevInfillNeighbor).cast("int"))
+          .when(col("dem_elev").isNotNull, lit(Flags.ElevInfillDem).cast("int"))
+          .otherwise(lit(Flags.ElevInfillFailed).cast("int")))
+      .withColumn(elevCol,
+        when(col(elevCol).isNotNull, col(elevCol))
+          .when(anyNonNull, stationFill)
+          .when(col("dem_elev").isNotNull, col("dem_elev"))
+          .otherwise(lit(0.0)))
+      .drop("dem_elev")
+  }
+
   /** P5 — whole-partition gate: drop groups where a column is null for every row
     * (`qaqc_wholestation.py:199-228`). One shuffle on `keys` for the survivor set;
     * the semi-join back is left to AQE (the survivor set is nearly all groups in

@@ -28,6 +28,13 @@ object JoinOps {
     }
   }
 
+  /** J2/J6 — small-dimension metadata join (sensor heights per station,
+    * `MADIS_clean.py:456-460,791-824`; units table `MADIS_clean.py:634-647`): an
+    * explicit broadcast — these tables are genuinely tiny (≤15k rows) and the hint
+    * spares AQE a size estimation round. */
+  def joinMetadata(obs: DataFrame, meta: DataFrame, keys: Seq[String]): DataFrame =
+    obs.join(broadcast(meta), keys, "left")
+
   /** J3 — co-located grouping: dense group id over identical join-key tuples
     * (`/root/reference/scripts/3_qaqc_data/qaqc_concatenate_stations.py:87-152`). */
   def colocatedGroups(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =

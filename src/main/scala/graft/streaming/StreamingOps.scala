@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the core operators (SURVEY §7 extension — the
+  * reference is batch-only; these make the same semantics run on a live feed):
+  *
+  *  - hourly standardization as a watermarked windowed aggregation (append mode:
+  *    an hour finalizes once the watermark passes it);
+  *  - streak (RLE) detection as `flatMapGroupsWithState` — the streaming form of W2/W3,
+  *    emitting each closed run with its length and span.
+  *
+  * Both transforms are `readStream`-agnostic: they accept any DataFrame, so the same
+  * code path serves batch backfills and the live stream (the classic kappa shape).
+  */
+object StreamingOps {
+
+  /** Hourly windowed aggregation with late-data tolerance `watermarkDelay`.
+    * Instantaneous variables aggregate as min_by(time) "first", accumulating ones as
+    * sum-or-null — the W15/W16 conventions under a watermark. */
+  def hourlyAgg(df: DataFrame, timeCol: String, keys: Seq[String], valueCol: String,
+                watermarkDelay: String = "2 hours"): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy((keys.map(col) :+ window(col(timeCol), "1 hour").as("hour_win")): _*)
+      .agg(count(col(valueCol)).as("n"),
+        min_by(col(valueCol), when(col(valueCol).isNotNull, col(timeCol))).as("first_v"),
+        when(count(col(valueCol)) === 0, lit(null)).otherwise(sum(col(valueCol))).as("sum_v"))
+      .select((keys.map(col) :+ col("hour_win.start").as("hour_ts")) ++
+        Seq(col("n"), col("first_v"), col("sum_v")): _*)
+
+  final case class Obs(key: String, ts: Long, value: Double)
+  final case class StreakState(value: Double, count: Long, startTs: Long, lastTs: Long)
+  final case class ClosedStreak(key: String, value: Double, count: Long,
+                                startTs: Long, endTs: Long)
+
+  /** Streaming RLE: per key, consecutive equal values form a run; when the value
+    * changes (or the state times out), the closed run is emitted. State is one
+    * (value, count, bounds) tuple per key — O(keys) memory regardless of stream
+    * length, the same invariant the batch W2 keeps via its running-sum window. */
+  def streakDetector(ds: Dataset[Obs])(implicit spark: SparkSession): Dataset[ClosedStreak] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[StreakState, ClosedStreak](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[StreakState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedStreak]
+          var st = state.getOption.orNull
+          sorted.foreach { o =>
+            if (st == null) st = StreakState(o.value, 1, o.ts, o.ts)
+            else if (o.value == st.value)
+              st = st.copy(count = st.count + 1, lastTs = o.ts)
+            else {
+              closed += ClosedStreak(key, st.value, st.count, st.startTs, st.lastTs)
+              st = StreakState(o.value, 1, o.ts, o.ts)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import StreamingOps._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private def s: org.apache.spark.sql.SparkSession = spark
+
+  test("streaming hourly aggregation finalizes windows under the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = hourlyAgg(input.toDF().toDF("t", "k", "v"), "t", Seq("k"), "v")
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:45:00"), "a", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 so it emits
+      input.addData((Timestamp.valueOf("2024-01-01 06:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, hour_ts, n, first_v, sum_v FROM hourly_test").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getString(0) == "a" && r.getLong(2) == 2)
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming streak detector emits closed runs across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val out = streakDetector(input.toDS())
+    val q = out.writeStream.format("memory").queryName("streak_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Obs("a", 1, 5.0), Obs("a", 2, 5.0), Obs("a", 3, 5.0))
+      q.processAllAvailable()
+      // run continues across the batch boundary, closes when the value changes
+      input.addData(Obs("a", 4, 5.0), Obs("a", 5, 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, value, count FROM streak_test").as[(String, Double, Long)].collect()
+      assert(rows.toSeq == Seq(("a", 5.0, 4L)))
+    } finally q.stop()
+  }
+}
