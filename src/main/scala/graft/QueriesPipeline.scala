@@ -49,6 +49,16 @@ object QueriesPipeline {
           col("fl"), col("c"))
     }),
 
+    // A10 hourly variant: comma-joined hourly flag strings exploded and counted
+    "a10h_hourly_flag_counts" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .withColumn("flag",
+          when(col("value") > 400, "11").when(col("value") < 1, "19").cast("string"))
+        .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("hour_ts"))
+        .agg(graft.ops.SeriesOps.flagConcat(col("flag")).as("flags"))
+      QaqcPipeline.hourlyFlagCountReport(hourly, "flags")
+    }),
+
     // Flags 12/14/15: cross-variable logic checks on constructed wind/temp columns
     "l1_logic_checks" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -172,6 +182,17 @@ object QueriesPipeline {
                   user_id % 7 AS c
            FROM events)
          GROUP BY 1, 2""",
+    "a10h_hourly_flag_counts" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CASE WHEN COUNT(DISTINCT f) = 0 THEN 'nan'
+                  ELSE array_to_string(list_sort(list(DISTINCT f)), ',') END AS flags
+           FROM (SELECT user_id, ts,
+                        CASE WHEN value > 400 THEN '11' WHEN value < 1 THEN '19' END AS f
+                 FROM events)
+           GROUP BY 1, 2),
+         ex AS (SELECT unnest(string_split(flags, ',')) AS flag FROM hourly)
+         SELECT flag, COUNT(*) AS cnt FROM ex WHERE flag <> 'nan' GROUP BY flag""",
     "l1_logic_checks" ->
       """WITH e AS (
            SELECT event_type, value,

@@ -56,6 +56,28 @@ object StreakOps {
       .drop("_sid", "_rn", "_bad")
   }
 
+  /** W3 composed — straight repeats with thresholds resolved from the reference's
+    * criteria table by (variable, inferred resolution)
+    * (`STRAIGHT_REPEAT_CRITERIA` + `infere_res`, `qaqc_unusual_streaks.py:45-122,
+    * 324-407`): resolution per series via A13, criteria row looked up driver-side
+    * (the table is 24 rows), then [[straightRepeats]] per distinct resolution bucket.
+    * `variable` is the canonical variable name the criteria key on. */
+  def straightRepeatsWithCriteria(df: DataFrame, keys: Seq[String], timeCol: String,
+                                  valueCol: String, variable: String,
+                                  out: String = "straight_streak"): DataFrame = {
+    val crit = graft.core.Lookups.streakCriteria.filter(_.variable == variable)
+    require(crit.nonEmpty, s"no streak criteria for variable $variable")
+    val res = graft.ops.AggOps.inferResolution(df, keys, valueCol)
+    val withRes = df.join(res, keys)
+    // one pass per resolution bucket (≤3), unioned — each straightRepeats run sees
+    // only the series whose inferred resolution selects that criteria row
+    crit.map { c =>
+      straightRepeats(withRes.filter(col("resolution") === c.resolution),
+        keys, timeCol, valueCol, c.nValues, c.nDays,
+        minValue = c.minValue, out = out)
+    }.reduce(_.unionByName(_))
+  }
+
   /** W4 — same-hour repeat streaks, flag 27 (`hourly_repeats` + `find_date_clusters`,
     * `qaqc_unusual_streaks.py:474-570`): per (series, hour-of-day, exact value), order
     * observations by time; break clusters where the day gap (floor of the timestamp

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{AggOps, CleanOps, SeriesOps}
+import graft.dedup.DedupOps
+
+/** SURVEY §5 property layer: order-insensitive invariants checked over generated
+  * inputs — the properties the reference's regression-pinned pytest layer never had. */
+class PropertySpec extends SparkSpec {
+  // hand-rolled seeded property harness (scalatestplus isn't in the offline cache):
+  // each property runs over `Trials` deterministic generated cases
+  private val Trials = 5
+  private def forAllSeeded[A](gen: scala.util.Random => A)(check: A => Unit): Unit =
+    (0 until Trials).foreach { i => check(gen(new scala.util.Random(1000 + i))) }
+
+  import spark.implicits._
+
+  private def ts(i: Int): Timestamp = new Timestamp(1700000000000L + i * 60000L)
+
+  private def seriesGen(rng: scala.util.Random): List[Double] =
+    List.fill(5 + rng.nextInt(36))(rng.nextInt(6).toDouble)
+
+  test("property: RLE streak ids reconstruct the series run structure") {
+    forAllSeeded(seriesGen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", ts(i), v) }.toDF("k", "t", "v")
+      val runs = SeriesOps.withStreakId(df, Seq("k"), "t", "v")
+        .groupBy("streak_id").agg(count(lit(1)).as("n"), first(col("v")).as("v"))
+        .orderBy("streak_id")
+        .select("n", "v").as[(Long, Double)].collect().toList
+      // reconstructing from (length, value) pairs yields the original series
+      val rebuilt = runs.flatMap { case (n, v) => List.fill(n.toInt)(v) }
+      assert(rebuilt == vals)
+      // and adjacent runs never share a value
+      assert(runs.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) != p(1)))
+    }
+  }
+
+  test("property: deaccumulate inverts running sums of non-negative increments") {
+    forAllSeeded(r => List.fill(3 + r.nextInt(23))(r.nextDouble() * 20)) { incs =>
+      val accum = incs.scanLeft(0.0)(_ + _).tail
+      val df = accum.zipWithIndex.map { case (v, i) => ("k", ts(i), v) }.toDF("k", "t", "v")
+      val got = SeriesOps.deaccumulate(df, Seq("k"), "t", "v",
+          ringingThreshold = Some(Double.MaxValue))
+        .orderBy("t").select("deacc").as[Double].collect().toList
+      // first diff is 0 (reference fillna); the rest reproduce the increments
+      got.zip(0.0 +: incs.tail).foreach { case (a, b) => assert(approx(a, b, 1e-9)) }
+    }
+  }
+
+  test("property: exact dedup is idempotent and never increases rows") {
+    val pool = Vector("a b c", "x y", "a  B c", "q r s t")
+    forAllSeeded(r => List.fill(2 + r.nextInt(19))(pool(r.nextInt(pool.size)))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = DedupOps.exactDedup(df, "id", "text")
+      val twice = DedupOps.exactDedup(once, "id", "text")
+      assert(once.count() <= df.count())
+      assert(twice.count() == once.count())
+      // all surviving fingerprints are distinct
+      val fps = once.select(graft.text.TextOps.fingerprint(col("text"))).as[String].collect()
+      assert(fps.distinct.length == fps.length)
+    }
+  }
+
+  test("property: histogram bin counts always sum to the row count") {
+    forAllSeeded(seriesGen) { vals =>
+      val df = vals.map(v => ("k", v)).toDF("k", "v")
+      val hist = AggOps.histogram(df, Seq("k"), "v", origin = 0.0, width = 0.5)
+      assert(hist.agg(sum("count")).head().getLong(0) == vals.length)
+    }
+  }
+
+  test("property: interpolation preserves non-null values and fills only between them") {
+    forAllSeeded(r => List.fill(4 + r.nextInt(22))(
+      if (r.nextBoolean()) Some(r.nextDouble() * 100 - 50) else None)) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", ts(i), v) }.toDF("k", "t", "v")
+      val got = SeriesOps.interpolateLinear(df, Seq("k"), "t", "v", "vi")
+        .orderBy("t").select("vi").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toList
+      vals.zip(got).foreach { case (orig, interp) =>
+        orig.foreach(o => assert(interp.contains(o))) // originals untouched
+      }
+      val firstIdx = vals.indexWhere(_.isDefined)
+      if (firstIdx > 0) assert(got.take(firstIdx).forall(_.isEmpty)) // leading nulls stay
+      // interior values bounded by neighboring observed extremes
+      val obs = vals.flatten
+      if (obs.nonEmpty) got.flatten.foreach { v =>
+        assert(v >= obs.min - 1e-9 && v <= obs.max + 1e-9)
+      }
+    }
+  }
+
+  test("property: validObs keeps yellow flags, drops red, keeps null") {
+    val codes = Vector(10, 11, 19, 20, 23)
+    forAllSeeded(r => List.fill(30)(
+      if (r.nextBoolean()) Some(codes(r.nextInt(codes.size))) else None)) { flags =>
+      val df = flags.zipWithIndex.map { case (f, i) => (i, f) }.toDF("id", "f")
+      val kept = df.filter(CleanOps.validObs(col("f"))).select("id").as[Int].collect().toSet
+      flags.zipWithIndex.foreach { case (f, i) =>
+        val expectKeep = f.isEmpty || f.contains(19) || f.contains(20)
+        assert(kept.contains(i) == expectKeep)
+      }
+    }
+  }
+}
