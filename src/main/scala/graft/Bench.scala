@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: session bring-up, codegen and parquet-footer costs otherwise
+    // land on whichever query sorts first and distort its number
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    } catch { case _: Throwable => () }
     // (name, seconds, errorOrNull): failures are REPORTED, never silently folded
     // into the total as fast runs (round-1 bug: 9 crashed queries looked like 0.1s wins).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
