@@ -144,6 +144,39 @@ object QueriesSeries {
         .agg(sum(when(col("elev_eraqc") === 36, 1).otherwise(0)).as("n_flagged"))
     }),
 
+    // Flags 24/25 composed: frequent-value flag over an injected spike value
+    "a5f_frequent_flag" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v", when(col("event_id") % 3 === 0, 42.2).otherwise(col("value")))
+      AggOps.flagFrequentValues(e, Seq("event_type"), "ts", "v",
+          origin = 0.0, width = 1.0)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("frequent_value"), 1).otherwise(0)).as("n_flagged"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §7.3 composed: the full climatological-outlier chain (A6 winsorized climatology
+    // -> A7 standardized anomaly -> W12 interpolation -> W11 Butterworth -> W13
+    // Gaussian gap scan, flag 26). Rows-only: the IIR stage has no SQL oracle; each
+    // component is separately oracle- or test-verified.
+    "clim1_outlier_chain" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // sustained level shift late in the record: survives the one-month low-pass
+      // (a spike would not) and opens a distribution gap for the scan to find
+      val e = t(s, dir, "events")
+        .withColumn("value",
+          col("value") + when(col("event_type") === "click" &&
+            col("ts") >= "2024-01-25", 3000.0).otherwise(0.0))
+        .withColumn("hr", hour(col("ts")))
+      val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
+      val interp = SeriesOps.interpolateLinear(std, Seq("event_type"), "ts", "std_anom", "std_i")
+        .withColumn("freq_s", lit(3600.0))
+      val lp = graft.kernels.Butterworth.lowPass(interp, Seq("event_type"), "ts",
+        "std_i", "freq_s", "lp")
+      graft.kernels.GaussGapScan.flagged(lp, Seq("event_type", "hr"), "ts", "lp")
+        .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
+    }),
+
     // W11: Butterworth low-pass kernel (rows-only: IIR has no SQL oracle; numeric
     // parity vs scipy is pinned in KernelsSpec) (SURVEY §2.5 W11)
     "w11_butterworth" -> ((s, dir) => {
@@ -180,6 +213,27 @@ object QueriesSeries {
   )
 
   def oracles: Map[String, String] = Map(
+    "a5f_frequent_flag" ->
+      """WITH b AS (
+           SELECT event_type, ts,
+                  CASE WHEN month(ts) IN (12,1,2) THEN 'DJF'
+                       WHEN month(ts) IN (3,4,5) THEN 'MAM'
+                       WHEN month(ts) IN (6,7,8) THEN 'JJA' ELSE 'SON' END AS season,
+                  CAST(FLOOR((CASE WHEN event_id % 3 = 0 THEN 42.2 ELSE value END) / 1.0) AS BIGINT) AS bin
+           FROM events),
+         h AS (SELECT event_type, season, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+         sus AS (SELECT event_type, season, bin FROM (
+                   SELECT event_type, season, bin, cnt,
+                          SUM(cnt) OVER (PARTITION BY event_type, season ORDER BY bin
+                                         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS hood
+                   FROM h)
+                 WHERE cnt > hood * 0.5 AND cnt > 30)
+         SELECT b.event_type,
+           SUM(CASE WHEN sus.bin IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
+           COUNT(*) AS n
+         FROM b LEFT JOIN sus
+           ON b.event_type = sus.event_type AND b.season = sus.season AND b.bin = sus.bin
+         GROUP BY b.event_type""",
     "w3_straight_repeats" ->
       """WITH v AS (SELECT user_id, ts, floor(value/50) AS v FROM events),
          c AS (SELECT user_id, ts, v,

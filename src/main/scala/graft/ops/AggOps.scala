@@ -61,6 +61,28 @@ object AggOps {
       .filter(col("count") > col("neighborhood") * frac && col("count") > minCount)
   }
 
+  /** A5 composed — frequent-value flag (24/25): per (keys, season), histogram the
+    * values (A4), detect suspect bins (A5 thresholds: > `frac` of the ±3-bin mass and
+    * > `minCount` obs, `qaqc_frequent.py:503-563`), and flag every observation whose
+    * bin is suspect (`qaqc_frequent.py:289-462` seasonal application). Returns the
+    * rows with boolean `out`. Two shuffles: the histogram groupBy and the
+    * suspect-bin join-back (broadcast — suspect bins are rare by construction). */
+  def flagFrequentValues(df: DataFrame, keys: Seq[String], timeCol: String,
+                         valueCol: String, origin: Double, width: Double,
+                         frac: Double = 0.5, minCount: Long = 30,
+                         out: String = "frequent_value"): DataFrame = {
+    val withBin = df
+      .withColumn("_season", graft.ops.SeriesOps.season(col(timeCol)))
+      .withColumn("bin", binIndex(col(valueCol), origin, width))
+    val skeys = keys :+ "_season"
+    val hist = withBin.groupBy((skeys :+ "bin").map(col): _*).count()
+    val suspect = frequentBins(hist, skeys, frac, minCount)
+      .select((skeys :+ "bin").map(col) :+ lit(true).as("_suspect"): _*)
+    withBin.join(broadcast(suspect), skeys :+ "bin", "left")
+      .withColumn(out, coalesce(col("_suspect"), lit(false)))
+      .drop("_suspect", "_season", "bin")
+  }
+
   /** A6 — winsorized mean: clip at the group's p05/p95 then average — two-pass
     * percentile + clip, no UDAF (`qaqc_climatological_outlier.py:105-120`). */
   def winsorizedMean(df: DataFrame, keys: Seq[String], valueCol: String,
