@@ -163,17 +163,21 @@ object QueriesSeries {
       implicit val sp: SparkSession = s
       // sustained level shift late in the record: survives the one-month low-pass
       // (a spike would not) and opens a distribution gap for the scan to find
+      // hourly cadence first (the reference's obs granularity): the chain then runs
+      // over ~720 points per series instead of re-evaluating heavy windows on raw rows
       val e = t(s, dir, "events")
         .withColumn("value",
           col("value") + when(col("event_type") === "click" &&
-            col("ts") >= "2024-01-25", 3000.0).otherwise(0.0))
-        .withColumn("hr", hour(col("ts")))
-      val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
-      val interp = SeriesOps.interpolateLinear(std, Seq("event_type"), "ts", "std_anom", "std_i")
+            col("ts") >= "2024-01-26", 5000.0).otherwise(0.0))
+        .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("tsh"))
+        .agg(avg(col("value")).as("v"))
+        .withColumn("hr", hour(col("tsh")))
+      val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "v", "std_anom")
+      val interp = SeriesOps.interpolateLinear(std, Seq("event_type"), "tsh", "std_anom", "std_i")
         .withColumn("freq_s", lit(3600.0))
-      val lp = graft.kernels.Butterworth.lowPass(interp, Seq("event_type"), "ts",
+      val lp = graft.kernels.Butterworth.lowPass(interp, Seq("event_type"), "tsh",
         "std_i", "freq_s", "lp")
-      graft.kernels.GaussGapScan.flagged(lp, Seq("event_type", "hr"), "ts", "lp")
+      graft.kernels.GaussGapScan.flagged(lp, Seq("event_type", "hr"), "tsh", "lp")
         .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
     }),
 
