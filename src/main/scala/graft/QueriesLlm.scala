@@ -99,6 +99,18 @@ object QueriesLlm {
         k = 5, nPlanes = 10, dim = 64)
     }),
 
+    // IVF coarse quantization: assign each vector to its nearest of 8 deterministic
+    // basis-vector centroids (cosine argmax == component argmax, so the oracle is SQL)
+    "e3_ivf_assign" -> ((s, dir) => {
+      val dim = 64
+      val centroids = (0 until 8).map(i =>
+        Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+      t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("cid", AnnOps.ivfAssign(col("v"), centroids).cast("long"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    }),
+
     // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
     "mm1_byte_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -238,6 +250,18 @@ object QueriesLlm {
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
                 FROM s)
           SELECT qid, cid, ROUND(cos, 4) AS cos, rank FROM r WHERE rank <= 5""",
+    "e3_ivf_assign" ->
+      """WITH scored AS (
+           SELECT vec_id, i AS cid,
+                  CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 THEN 0.0
+                       ELSE embedding[i + 1] / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) END AS cos
+           FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+         best AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+           FROM scored)
+         SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n
+         FROM best WHERE rn = 1 GROUP BY 1""",
     "mm1_byte_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length
          FROM documents"""
