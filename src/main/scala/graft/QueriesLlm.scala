@@ -111,6 +111,22 @@ object QueriesLlm {
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     }),
 
+    // Embedding-cosine near-dup: banded random-hyperplane LSH + exact cosine verify.
+    // The raw embeddings are mutually random (max pairwise cos ~0.51), so the query
+    // plants a perturbed near-copy of the first 50 vectors (0.9*v + 0.1*shift(v),
+    // cos ~0.99 to its source) — the op must recover those pairs through the buckets.
+    "d5_embed_neardups" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            lit(0.9) * element_at(col("v"), j) +
+            lit(0.1) * element_at(col("v"), pmod(j, lit(64)) + 1)).as("v"))
+      DedupOps.embeddingNearDups(base.unionByName(planted), "vec_id", "v",
+        threshold = 0.8, nPlanes = 24, bands = 3, dim = 64)
+    }),
+
     // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
     "mm1_byte_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -135,6 +151,17 @@ object QueriesLlm {
   private val (mhA, mhB) = DedupOps.minhashCoeffs(32)
   private val aList = mhA.mkString("[", ", ", "]")
   private val bList = mhB.mkString("[", ", ", "]")
+
+  /** The d5 hyperplanes, inlined as literals so DuckDB replicates the exact LSH
+    * pipeline (same seeded constants as the Spark op). Dot products are written as
+    * ordered list_sum folds on both sides, so the sign bits agree bit-for-bit. */
+  private val d5PlanesSql: String =
+    graft.ann.AnnOps.hyperplanes(24, 64, 42L).zipWithIndex.map { case (p, i) =>
+      s"($i, ${p.mkString("[", ", ", "]")})"
+    }.mkString(",\n             ")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), j -> $a[j] * $b[j]))"
 
   def oracles: Map[String, String] = Map(
     "t1_text_stats" ->
@@ -262,6 +289,41 @@ object QueriesLlm {
            FROM scored)
          SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n
          FROM best WHERE rn = 1 GROUP BY 1""",
+    "d5_embed_neardups" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          planted AS (
+            SELECT vec_id + 100000 AS vec_id,
+              list_transform(generate_series(1, 64),
+                j -> 0.9 * v[j] + 0.1 * v[(j % 64) + 1]) AS v
+            FROM base WHERE vec_id < 50),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+          planes(pid, p) AS (VALUES
+             $d5PlanesSql),
+          bits AS (
+            SELECT c.vec_id, pl.pid,
+              CASE WHEN ${dotSql("c.v", "pl.p")} > 0 THEN '1' ELSE '0' END AS bit
+            FROM corpus c CROSS JOIN planes pl),
+          sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS sig
+                  FROM bits GROUP BY vec_id),
+          bands AS (
+            SELECT vec_id, b.b::VARCHAR || ':' || substring(sig, b.b * 8 + 1, 8) AS band
+            FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS b) b),
+          okb AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND 2000),
+          pairs AS (
+            SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+            FROM bands a JOIN okb o ON a.band = o.band
+            JOIN bands b2 ON a.band = b2.band AND a.vec_id < b2.vec_id),
+          verified AS (
+            SELECT p.id1, p.id2,
+              ROUND(CASE WHEN sqrt(${dotSql("c1.v", "c1.v")})
+                              * sqrt(${dotSql("c2.v", "c2.v")}) = 0 THEN 0.0
+                    ELSE ${dotSql("c1.v", "c2.v")}
+                         / (sqrt(${dotSql("c1.v", "c1.v")})
+                            * sqrt(${dotSql("c2.v", "c2.v")})) END, 6) AS cos
+            FROM pairs p
+            JOIN corpus c1 ON p.id1 = c1.vec_id
+            JOIN corpus c2 ON p.id2 = c2.vec_id)
+          SELECT id1, id2, cos FROM verified WHERE cos >= 0.8""",
     "mm1_byte_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length
          FROM documents"""

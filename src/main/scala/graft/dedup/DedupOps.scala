@@ -164,6 +164,49 @@ object DedupOps {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH candidates
+    * verified by exact cosine >= `threshold`.
+    *
+    * Same 100 TB shape as [[minhashNearDups]]: ONE shuffle on the band bucket key,
+    * pairs generated inside buckets only (capped by `maxBucketSize`), vectors joined
+    * back for the exact verify. `nPlanes/bands` trades recall vs candidate volume:
+    * 24 planes in 3 bands of 8 keeps random-pair collisions at ~3/256 while retaining
+    * ~98% recall at cos >= 0.99 (P[band match] = (1 - theta/pi)^8 per band).
+    * The hyperplanes are seeded Scala constants, so an external oracle can replicate
+    * the full pipeline by inlining them as literals (cf. reference near-dup semantics,
+    * `qaqc_concatenate_stations.py:87-152` groups identical coords; this extends the
+    * idea to approximate vector identity for training-data curation). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.8, nPlanes: Int = 24, bands: Int = 3,
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucketSize: Int = 2000): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
+    val rpb = nPlanes / bands
+    val planes = graft.ann.AnnOps.hyperplanes(nPlanes, dim, seed)
+    // persist pins the signature AND the vector: the sig feeds the band explode, the
+    // vector feeds both verify joins — without the cache, projection collapse would
+    // re-evaluate all nPlanes dot products per band lambda (see sigTable note above)
+    val vecs = df.select(col(idCol), col(vecCol))
+      .withColumn("_sig", graft.ann.AnnOps.rhSignature(col(vecCol), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = (0 until bands).map(b =>
+      concat(lit(s"$b:"), substring(col("_sig"), b * rpb + 1, rpb)))
+    val pairs = vecs
+      .select(col(idCol), explode(array(bandKeys: _*)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucketSize))
+      .select(explode(col("_ids")).as("id1"), col("_ids"))
+      .select(col("id1"), explode(col("_ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .distinct()
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("_v1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("_v2")), "id2")
+      .withColumn("cos", round(graft.ann.AnnOps.cosine(col("_v1"), col("_v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** 32-bit SimHash of the token multiset: per token, md5-derived 32-bit hash votes
     * +/-1 on each bit position; positive vote-sums set bits. O(tokens x 32) codegen'd
     * expression, no UDF. */
