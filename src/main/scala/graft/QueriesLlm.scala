@@ -127,6 +127,19 @@ object QueriesLlm {
         threshold = 0.8, nPlanes = 24, bands = 3, dim = 64)
     }),
 
+    // IVF search: probe the 2 nearest posting lists per query, brute-force within
+    "e4_ivf_topk" -> ((s, dir) => {
+      val centroids = (0 until 8).map(i =>
+        Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.ivfTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, nProbe = 2, k = 5)
+    }),
+
     // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
     "mm1_byte_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -134,6 +147,22 @@ object QueriesLlm {
         .withColumn("payload", encode(col("text"), "UTF-8"))
       graft.multimodal.MultimodalOps.withByteFeatures(docs, "doc_id", "payload")
         .select(col("doc_id"), col("length"))
+    }),
+
+    // Multimodal resize stage: stride-4 decimation through the typed kernel; the
+    // length contract (ceil(n/4)) and provenance metadata are the oracle-checkable part
+    "mm2_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), lit("image").as("kind"),
+          encode(col("text"), "UTF-8").as("payload"),
+          typedLit(Map.empty[String, String]).as("meta"))
+        .as[graft.multimodal.MultimodalOps.MediaRow]
+      graft.multimodal.MultimodalOps.resizeStub(rows, 4).toDF()
+        .select(col("id").as("doc_id"),
+          length(col("payload")).cast("long").as("resized_len"),
+          element_at(col("meta"), "orig_bytes").cast("long").as("orig_len"))
     })
   )
 
@@ -324,9 +353,41 @@ object QueriesLlm {
             JOIN corpus c1 ON p.id1 = c1.vec_id
             JOIN corpus c2 ON p.id2 = c2.vec_id)
           SELECT id1, id2, cos FROM verified WHERE cos >= 0.8""",
+    "e4_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          cscore AS (
+            SELECT vec_id, i AS cell,
+              CASE WHEN nv = 0 THEN 0.0 ELSE v[i + 1] / nv END AS cos
+            FROM norm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+          assign AS (SELECT vec_id AS cid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore) WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+          cands AS (SELECT p.qid, a.cid FROM probes p JOIN assign a ON p.cell = a.cell),
+          scored AS (
+            SELECT c.qid, c.cid,
+              CASE WHEN q.nv = 0 OR t.nv = 0 THEN 0.0
+                   ELSE list_dot_product(q.v, t.v) / (q.nv * t.nv) END AS cos
+            FROM cands c
+            JOIN norm q ON c.qid = q.vec_id
+            JOIN norm t ON c.cid = t.vec_id),
+          r AS (SELECT qid, cid, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+                FROM scored)
+          SELECT qid, cid, ROUND(cos, 4) AS cos, rank FROM r WHERE rank <= 5""",
     "mm1_byte_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length
-         FROM documents"""
+         FROM documents""",
+    "mm2_resize" ->
+      """SELECT doc_id,
+            CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_len,
+            CAST(octet_length(encode(text)) AS BIGINT) AS orig_len
+          FROM documents"""
     // e2_ann_lsh intentionally has no oracle: plane constants live in Scala; the
     // driver records a rows-only check and AnnOpsSpec property-tests recall >= 0.9.
   )

@@ -99,4 +99,33 @@ object AnnOps {
     }
     greatest(scored: _*).getField("cid")
   }
+
+  /** The `nProbe` centroid ids nearest to `vec` (cos desc, cid desc on ties —
+    * the same ordering [[ivfAssign]]'s `greatest` uses for the top-1). */
+  def ivfProbes(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("cos"), lit(i).as("cid"))
+    }
+    transform(slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      s => s.getField("cid"))
+  }
+
+  /** IVF search: corpus vectors live in their [[ivfAssign]] posting list (ONE pass,
+    * one shuffle on the centroid id); each query brute-forces only the `nProbe`
+    * nearest posting lists. The probe side is |Q| x nProbe rows — broadcast — so the
+    * candidate join is an equi-join on `cid`, never a cross product. Recall loss is
+    * confined to neighbors assigned outside the probed cells (property-tested). */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              centroids: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+    val assigned = corpus.withColumn("_cell", ivfAssign(col(corpusVec), centroids))
+    val probed = queries.withColumn("_cell",
+      explode(ivfProbes(col(queryVec), centroids, nProbe)))
+    val cands = assigned.join(broadcast(probed), "_cell")
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), round(col("cos"), 4).as("cos"), col("rank"))
+  }
 }

@@ -87,6 +87,25 @@ object MultimodalOps {
     }
   }
 
+  /** Resize stage: deterministic stride-decimation of the payload standing in for an
+    * image resize (??? -- in production the body becomes codec-decode -> bilinear
+    * resample -> re-encode; signature and plan shape are identical). Output payload is
+    * every `stride`-th byte, so downstream stages see a genuinely smaller binary and
+    * the metadata records the provenance -- the contract a real resize must keep. */
+  def resizeStub(ds: Dataset[MediaRow], stride: Int)
+                (implicit spark: SparkSession): Dataset[MediaRow] = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      val out = new Array[Byte]((n + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
+      r.copy(payload = out,
+        meta = r.meta + ("resize_stride" -> stride.toString, "orig_bytes" -> n.toString))
+    })
+  }
+
   /** DataFrame-level entry: attach byte features to any (id, binary) pair without the
     * typed API -- for SQL-facing pipelines. */
   def withByteFeatures(df: DataFrame, idCol: String, binCol: String)

@@ -102,4 +102,22 @@ class DedupAnnSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got(1L) == 0 && got(2L) == 1)
   }
+
+  test("IVF top-k finds in-cell neighbors and respects nProbe") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val corpus = Seq(
+      (1L, Array(1.0, 0.1)), (2L, Array(1.0, 0.2)),   // cell 0
+      (3L, Array(0.1, 1.0)), (4L, Array(0.3, 1.0)),   // cell 1
+      (5L, Array(-1.0, 0.1))                          // cell 2
+    ).toDF("cid", "cv")
+    val queries = Seq((10L, Array(0.9, 0.5))).toDF("qid", "qv")
+    // nProbe=2 probes cells 0 and 1; the cell-2 vector must be invisible
+    val got = AnnOps.ivfTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, nProbe = 2, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // ranking matches exact cosine order within the probed cells
+    val cos = got.map(_._3)
+    assert(cos.sameElements(cos.sorted.reverse))
+  }
 }

@@ -36,6 +36,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1)._3.head == 30.toByte)
   }
 
+  test("resize stub decimates payload and records provenance") {
+    val ds = Seq(media(1, "image", Array.tabulate(10)(_.toByte))).toDS()
+    val out = resizeStub(ds, 4).collect().head
+    assert(out.payload.toSeq == Seq[Byte](0, 4, 8)) // ceil(10/4)=3, every 4th byte
+    assert(out.meta("resize_stride") == "4" && out.meta("orig_bytes") == "10")
+    // stride 1 is identity on the payload
+    val id = resizeStub(ds, 1).collect().head
+    assert(id.payload.toSeq == Array.tabulate(10)(_.toByte).toSeq)
+  }
+
   test("DataFrame entry point attaches features by id") {
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
       .withColumn("payload", org.apache.spark.sql.functions.encode(
