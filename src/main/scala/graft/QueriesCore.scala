@@ -71,6 +71,19 @@ object QueriesCore {
           sum(round(col("elev"), 2).cast("decimal(18,2)")).cast("double").as("total_elev"))
     }),
 
+    // Flag 30: fixed-cadence (15 min) grid infill with traceable flag
+    // (`VALLEYWATER_clean.py:117-134`)
+    "c30_cadence_infill" -> ((s, dir) => {
+      val q = t(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_seconds(floor(unix_timestamp(col("ts")) / 900) * 900).as("t15"))
+        .distinct()
+      CleanOps.infillFixedCadence(q, Seq("user_id"), "t15", "v_eraqc", "15 minutes")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("v_eraqc") === 30, 1).otherwise(0)).as("n_infilled"),
+          count(lit(1)).as("n"))
+    }),
+
     // P5: drop groups where the value is null for every row (SURVEY §2.2 P5)
     "p5_drop_all_null" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -282,6 +295,19 @@ object QueriesCore {
          SELECT CAST(flag AS BIGINT) AS flag, COUNT(*) AS n,
            CAST(SUM(CAST(round(elev2, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_elev
          FROM f GROUP BY 1""",
+    "c30_cadence_infill" ->
+      """WITH q AS (
+           SELECT DISTINCT user_id, to_timestamp(floor(epoch(ts) / 900) * 900) AS t15
+           FROM events),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(min(t15), max(t15), INTERVAL 15 MINUTE)) AS t15
+           FROM q GROUP BY user_id)
+         SELECT g.user_id,
+                SUM(CASE WHEN o.t15 IS NULL THEN 1 ELSE 0 END) AS n_infilled,
+                COUNT(*) AS n
+         FROM grid g LEFT JOIN q o ON g.user_id = o.user_id AND g.t15 = o.t15
+         GROUP BY 1""",
     "p5_drop_all_null" ->
       """SELECT event_type, COUNT(*) AS n FROM events
          WHERE user_id IN (SELECT user_id FROM events WHERE value > 489 GROUP BY user_id)

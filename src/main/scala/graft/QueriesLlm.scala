@@ -15,8 +15,15 @@ import graft.text.TextOps
   * are deterministic Scala constants inlined into the generated SQL below. */
 object QueriesLlm {
 
+  /** The LLM-quadrant tables arrive as single-row-group parquet at test scale, which
+    * Spark scans as ONE task — and these queries do their heavy per-row compute
+    * (md5 shingles, signatures, token stats) scan-side, so that serializes them on a
+    * single core. Spread rows across the cluster first; the shuffle is trivially small
+    * next to the expression work it parallelizes. (At production scale the file count
+    * already provides scan parallelism and the repartition collapses to a cheap
+    * round-robin of already-distributed rows.) */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    SparkEntry.loadTable(s, dir, name)
+    SparkEntry.loadTable(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
   private def r4(c: Column): Column = round(c, 4)
 

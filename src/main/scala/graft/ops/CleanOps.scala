@@ -155,4 +155,26 @@ object CleanOps {
       when(validObs(existing) && (col(valueCol) < lo || col(valueCol) > hi),
         lit(flag).cast("int")).otherwise(existing))
   }
+
+  /** Flag 30 — fixed-cadence grid infill (`VALLEYWATER_clean.py:117-134`): resample
+    * each key's record onto a regular `cadence` grid from its first to last timestamp;
+    * timestamps absent from the record appear as new rows with null observations and
+    * `flagColName = 30`, so downstream stages can trace the infill. Grid generation is
+    * one agg (min/max per key) + `explode(sequence(...))` — a generator, no driver
+    * loop; the join is co-partitioned on the same keys. Span is bounded per key (years
+    * x cadence), never by table size. */
+  def infillFixedCadence(df: DataFrame, keys: Seq[String], timeCol: String,
+                         flagColName: String, cadence: String = "15 minutes",
+                         flag: Int = graft.core.Flags.ValleywaterInfill): DataFrame = {
+    val grid = df.groupBy(keys.map(col): _*)
+      .agg(min(col(timeCol)).as("_t0"), max(col(timeCol)).as("_t1"))
+      .select((keys.map(col) :+
+        explode(sequence(col("_t0"), col("_t1"), expr(s"INTERVAL $cadence"))).as(timeCol)): _*)
+    val existing = if (df.columns.contains(flagColName)) col(flagColName)
+      else lit(null).cast("int")
+    grid.join(df.withColumn("_obs", lit(true)), keys :+ timeCol, "left")
+      .withColumn(flagColName,
+        when(col("_obs").isNull, lit(flag).cast("int")).otherwise(existing))
+      .drop("_obs")
+  }
 }
