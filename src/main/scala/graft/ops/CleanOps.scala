@@ -48,17 +48,20 @@ object CleanOps {
     }
   }
 
-  /** P4 (wired) — polygon membership as a registered UDF over the broadcast vertex
-    * array, applied AFTER [[bboxFilter]] so the scan-level pruning still happens; call
-    * on the stations dim table (15k rows), never per-observation. */
+  /** P4 (UDF form, kept for API parity — the wired path below uses the native
+    * codegen'd expression instead). */
   def inPolygonUdf(poly: Seq[(Double, Double)]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(pointInPolygon(poly))
 
+  /** P4 (wired) — polygon membership via the native Catalyst expression
+    * (`graft.expr.PointInPolygon`, whole-stage codegen'd), applied AFTER
+    * [[bboxFilter]] so the scan-level pruning still happens; call on the stations dim
+    * table (15k rows), never per-observation. */
   def filterInPolygon(df: DataFrame, xCol: String, yCol: String,
                       poly: Seq[(Double, Double)]): DataFrame = {
     val xs = poly.map(_._1); val ys = poly.map(_._2)
     bboxFilter(df, xCol, yCol, xs.min, xs.max, ys.min, ys.max)
-      .filter(inPolygonUdf(poly)(col(xCol), col(yCol)))
+      .filter(graft.expr.PointInPolygon.expr(col(xCol), col(yCol), poly))
   }
 
   /** Flags 1/2 — buoy checks (`/root/reference/scripts/3_qaqc_data/qaqc_buoy_check.py:60-170`):
