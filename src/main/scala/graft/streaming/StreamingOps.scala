@@ -35,6 +35,37 @@ object StreamingOps {
   final case class ClosedStreak(key: String, value: Double, count: Long,
                                 startTs: Long, endTs: Long)
 
+  final case class DeaccState(lastValue: Double)
+  final case class DeaccOut(key: String, ts: Long, accum: Double, incr: Double)
+
+  /** Streaming de-accumulation — the W9 operator on a live accumulated-gauge feed
+    * (`qaqc_deaccumulate.py:116-234` batch semantics): per key, emit the increment
+    * vs the previous reading; a drop (reservoir reset / counter wrap) emits 0 instead
+    * of a negative increment. State is ONE double per key — O(keys), stream-length
+    * independent. Rows inside a batch are processed in event order. */
+  def deaccumulate(ds: Dataset[Obs])(implicit spark: SparkSession): Dataset[DeaccOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DeaccState, DeaccOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[DeaccState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DeaccOut]
+          var last = state.getOption.map(_.lastValue)
+          sorted.foreach { o =>
+            val incr = last match {
+              case Some(prev) if o.value >= prev => o.value - prev
+              case Some(_) => 0.0 // reset: gauge dropped, no negative precip
+              case None => 0.0    // first reading has no increment
+            }
+            out += DeaccOut(key, o.ts, o.value, incr)
+            last = Some(o.value)
+          }
+          last.foreach(v => state.update(DeaccState(v)))
+          out.iterator
+      }
+  }
+
   /** Streaming RLE: per key, consecutive equal values form a run; when the value
     * changes (or the state times out), the closed run is emitted. State is one
     * (value, count, bounds) tuple per key — O(keys) memory regardless of stream

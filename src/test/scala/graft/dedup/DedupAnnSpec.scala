@@ -103,6 +103,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(1L) == 0 && got(2L) == 1)
   }
 
+  test("embedding near-dup recall >= 0.9 on planted perturbed copies") {
+    val rng = new scala.util.Random(11)
+    val dim = 32
+    val base = (0L until 60L).map(i => (i, Array.fill(dim)(rng.nextGaussian())))
+    // planted near-copies: tiny Gaussian jitter, cos ~0.995
+    val planted = base.take(30).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + rng.nextGaussian() * 0.05))
+    }
+    val df = (base ++ planted).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    val pairs = DedupOps.embeddingNearDups(df, "id", "v",
+        threshold = 0.9, nPlanes = 24, bands = 3, dim = dim)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.collect { case (a, b, _) if b == a + 1000L => a }.toSet
+    assert(found.size >= 27, s"recall ${found.size}/30") // >= 0.9
+    // no false positives: random 32-dim pairs never reach cos 0.9
+    assert(pairs.forall { case (a, b, _) => b == a + 1000L })
+  }
+
   test("IVF top-k finds in-cell neighbors and respects nProbe") {
     val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
     val corpus = Seq(

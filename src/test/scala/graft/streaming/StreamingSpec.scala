@@ -32,6 +32,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming de-accumulation carries gauge state across batches and zeroes resets") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val out = StreamingOps.deaccumulate(input.toDS())
+    val q = out.writeStream.format("memory").queryName("deacc_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Obs("g", 1, 10.0), Obs("g", 2, 12.5))
+      q.processAllAvailable()
+      // continues from state 12.5; the drop to 1.0 is a reservoir reset -> incr 0
+      input.addData(Obs("g", 3, 15.0), Obs("g", 4, 1.0), Obs("g", 5, 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ts, incr FROM deacc_test ORDER BY ts")
+        .as[(Long, Double)].collect()
+      assert(rows.toSeq == Seq((1L, 0.0), (2L, 2.5), (3L, 2.5), (4L, 0.0), (5L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming streak detector emits closed runs across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Obs]
