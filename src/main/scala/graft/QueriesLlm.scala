@@ -52,6 +52,21 @@ object QueriesLlm {
         .groupBy(col("det")).agg(count(lit(1)).as("n"))
     }),
 
+    // Winnowing fingerprints (rolling k-gram hash + window-min selection)
+    "t3_winnowing" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fp", TextOps.winnowingFingerprints(col("text"), k = 5, w = 4))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          element_at(col("fp"), 1).as("min_fp"),
+          element_at(col("fp"), -1).as("max_fp"))
+    }),
+
+    // Composite quality score (C4/Gopher-style cheap filters folded into one number)
+    "t4_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
     // Exact dedup on a 10-token prefix (24 collision groups in sf0.01)
     "d1_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -199,6 +214,9 @@ object QueriesLlm {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), j -> $a[j] * $b[j]))"
 
+  private val stopwordsSql: String =
+    TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
   def oracles: Map[String, String] = Map(
     "t1_text_stats" ->
       s"""SELECT doc_id,
@@ -231,6 +249,43 @@ object QueriesLlm {
             FROM hits)
           SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS det, COUNT(*) AS n
           FROM best WHERE rn = 1 GROUP BY 1""",
+    "t3_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          grams AS (SELECT doc_id,
+              CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 4),
+                          i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END AS g
+            FROM toks),
+          h AS (SELECT doc_id,
+              list_transform(g, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS h
+            FROM grams),
+          sel AS (SELECT doc_id,
+              CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                   ELSE list_transform(generate_series(1, len(h) - 3),
+                          i -> list_min(list_slice(h, i, i + 3))) END AS s
+            FROM h),
+          fp AS (SELECT doc_id, list_sort(list_distinct(s)) AS fp FROM sel)
+          SELECT doc_id, len(fp) AS n_fp, fp[1] AS min_fp, fp[-1] AS max_fp FROM fp""",
+    "t4_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+          m AS (SELECT doc_id, text,
+              CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                        / len(tk) END AS mtl,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE)
+                        / length(text) END AS pr,
+              CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(tk, x -> x IN ($stopwordsSql))) AS DOUBLE)
+                        / len(tk) END AS sw
+            FROM t)
+          SELECT doc_id,
+            ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+                  + (1.0 - least(pr * 5.0, 1.0)) * 0.2
+                  + least(sw * 4.0, 1.0) * 0.2
+                  + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+                  6) AS quality
+          FROM m""",
     "d1_dedup_exact" ->
       s"""WITH p AS (
             SELECT doc_id,

@@ -95,4 +95,30 @@ object TextOps {
     * `conv(substr(md5(normalized),1,15),16,10)`. */
   def fingerprint60(text: Column): Column =
     conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+  /** Rolling k-gram hashes of the token stream (60-bit, md5-derived so the values are
+    * engine-portable; a production system would swap in a true Rabin-Karp rolling
+    * hash — the downstream winnowing contract is identical). Short texts (< k tokens)
+    * hash as one gram. */
+  def kgramHashes(text: Column, k: Int = 5): Column = {
+    val toks = tokens(lower(text))
+    val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    transform(grams, g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): the minimum hash of every
+    * `w`-window of k-gram hashes, deduplicated and sorted. Any substring match of
+    * >= w+k-1 tokens between two documents is guaranteed to share a fingerprint, at
+    * ~1/w the storage of full k-gram sets — the classic near-dup sketch between exact
+    * hashing and MinHash. Pure HOF expression, no UDF, no shuffle. */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val h = kgramHashes(text, k)
+    val sel = when(size(h) <= w, array(array_min(h)))
+      .otherwise(transform(sequence(lit(1), size(h) - w + 1),
+        i => array_min(slice(h, i, lit(w)))))
+    array_sort(array_distinct(sel))
+  }
 }
