@@ -102,14 +102,14 @@ object SparkEntry {
         .agg(dsum(col("value")).as("total"))
     }),
 
-    // W15: hourly resample "first" convention (SURVEY §2.5 W15)
+    // W15: hourly resample "first" convention via the library op — values below 100
+    // are nulled so the first-NON-null-per-column semantic (pandas resample.first)
+    // is actually exercised, not just the first-row shortcut
     "w15_hourly_first" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"), date_trunc("HOUR", col("ts")))
-        .orderBy(col("ts"), col("event_id"))
-      e.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("user_id"),
-          unix_timestamp(date_trunc("HOUR", col("ts"))).as("hour_s"), col("value"))
+        .withColumn("v", when(col("value") >= 100, col("value")))
+      SeriesOps.hourlyFirst(e, Seq("user_id"), "ts", Seq("v"), col("event_id"))
+        .select(col("user_id"), unix_timestamp(col("hour_ts")).as("hour_s"), col("v"))
     }),
 
     // A3: grouped IQR with floor (SURVEY §2.4 A3)
@@ -191,11 +191,19 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
     "w15_hourly_first" ->
-      """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, value FROM (
-           SELECT user_id, ts, value, event_id,
-                  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN value >= 100 THEN value END AS v
+           FROM events),
+         r AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour_ts, v,
+                  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), (v IS NULL)
                                      ORDER BY ts, event_id) AS rn
-           FROM events) WHERE rn = 1""",
+           FROM e)
+         SELECT g.user_id, CAST(epoch(g.hour_ts) AS BIGINT) AS hour_s, f.v
+         FROM (SELECT DISTINCT user_id, hour_ts FROM r) g
+         LEFT JOIN (SELECT user_id, hour_ts, v FROM r WHERE v IS NOT NULL AND rn = 1) f
+           ON g.user_id = f.user_id AND g.hour_ts = f.hour_ts""",
     "a3_iqr" ->
       """SELECT event_type,
          ROUND(GREATEST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 1.5), 4) AS iqr
