@@ -1,0 +1,147 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Flags
+import graft.pipeline.{DeriveDag, QaqcPipeline}
+
+/** Golden flag fixtures (SURVEY §5d): for every flag-writing operator, a minimal
+  * engineered station triggers the check and the EXACT integer code (era_qaqc taxonomy,
+  * `/root/reference/data/era_qaqc_flag_meanings.csv:1-39`) must land on the engineered
+  * row — and nowhere else. Guards against code/check mix-ups that row-count tests miss. */
+class GoldenFlagsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def flagsOf(df: org.apache.spark.sql.DataFrame, flagCol: String): Set[Int] =
+    df.select(flagCol).filter(col(flagCol).isNotNull)
+      .distinct().as[Int].collect().toSet
+
+  test("flag 2: observations past a buoy's disestablishment cutoff") {
+    val obs = Seq(("b1", ts("2024-01-01 00:00:00"), 1.0),
+                  ("b1", ts("2024-06-01 00:00:00"), 2.0),
+                  ("b2", ts("2024-06-01 00:00:00"), 3.0))
+      .toDF("station", "time", "tas")
+      .withColumn("tas_eraqc", lit(null).cast("int"))
+    val cutoffs = Seq(("b1", ts("2024-03-01 00:00:00"))).toDF("station", "cutoff_ts")
+    val out = CleanOps.flagDisestablished(obs, "station", "time", Seq("tas_eraqc"), cutoffs)
+    assert(flagsOf(out, "tas_eraqc") == Set(Flags.BuoyMissingPosition))
+    assert(out.filter(col("tas_eraqc").isNotNull).select("station", "time")
+      .as[(String, Timestamp)].collect().toSeq == Seq(("b1", ts("2024-06-01 00:00:00"))))
+  }
+
+  test("flags 3/4/5: elevation infill source tagging") {
+    val obs = Seq(
+      ("dem", ts("2024-01-01 00:00:00"), None: Option[Double]),     // null elev, DEM row
+      ("nbr", ts("2024-01-01 00:00:00"), Some(120.0)),              // donor for its own gap
+      ("nbr", ts("2024-01-02 00:00:00"), None),                     // neighbor-filled
+      ("bad", ts("2024-01-01 00:00:00"), None))                     // nothing available
+      .toDF("station", "time", "elevation")
+      .withColumn("elevation_eraqc", lit(null).cast("int"))
+    val dem = Seq(("dem", 55.0)).toDF("station", "dem_elev")
+    val out = CleanOps.elevInfill(obs, Seq("station"), "time", "elevation",
+      "elevation_eraqc", dem)
+    val byStation = out.filter(col("elevation_eraqc").isNotNull)
+      .select("station", "elevation_eraqc").as[(String, Int)].collect().toMap
+    assert(byStation == Map("dem" -> Flags.ElevInfillDem,
+      "nbr" -> Flags.ElevInfillNeighbor, "bad" -> Flags.ElevInfillFailed))
+  }
+
+  test("flags 10/11: negative precip and world-record bounds respect prior flags") {
+    val obs = Seq((1L, -5.0), (2L, 999.0), (3L, 10.0)).toDF("id", "pr")
+      .withColumn("pr_eraqc", lit(null).cast("int"))
+    val out = LogicOps.flagNegative(
+      CleanOps.flagOutOfBounds(obs, "pr", "pr_eraqc", -100.0, 500.0), "pr", "pr_eraqc")
+    val m = out.filter(col("pr_eraqc").isNotNull)
+      .select("id", "pr_eraqc").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> Flags.NegativePrecip, 2L -> Flags.WorldRecord))
+  }
+
+  test("flag 12: supersaturation (dewpoint above air temperature)") {
+    val obs = Seq((1L, 280.0, 285.0), (2L, 280.0, 275.0)).toDF("id", "tas", "tdps")
+      .withColumn("tdps_eraqc", lit(null).cast("int"))
+      .withColumn("tas_eraqc", lit(null).cast("int"))
+    val out = LogicOps.flagSupersaturation(obs, "tdps", "tas", "tdps_eraqc", col("tas_eraqc"))
+    val m = out.filter(col("tdps_eraqc").isNotNull)
+      .select("id", "tdps_eraqc").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> Flags.Supersaturation))
+  }
+
+  test("flags 14/15: calm-wind direction logic") {
+    // 14: calm wind but nonzero direction; 15: wind blowing but direction 0
+    // (the op then normalizes dir 0 -> 360), `qaqc_logic_checks.py` calm-wind block
+    val obs = Seq((1L, 0.0, 270.0), (2L, 5.0, 0.0), (3L, 0.0, 0.0))
+      .toDF("id", "sfcWind", "sfcWind_dir")
+      .withColumn("sfcWind_dir_eraqc", lit(null).cast("int"))
+      .withColumn("sfcWind_eraqc", lit(null).cast("int"))
+    val out = LogicOps.flagCalmWindDir(obs, "sfcWind", "sfcWind_dir",
+      "sfcWind_dir_eraqc", col("sfcWind_eraqc"))
+    val m = out.filter(col("sfcWind_dir_eraqc").isNotNull)
+      .select("id", "sfcWind_dir_eraqc").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> Flags.CalmWindBadDir, 2L -> Flags.CalmWindZeroDir))
+  }
+
+  test("flag 16: shorter accumulation window exceeding the longer one") {
+    val obs = Seq((1L, 30.0, 10.0), (2L, 5.0, 10.0)).toDF("id", "pr_1h", "pr_24h")
+      .withColumn("f", lit(null).cast("int"))
+      .withColumn("f1", lit(null).cast("int"))
+      .withColumn("f24", lit(null).cast("int"))
+    val out = LogicOps.flagAccumWindow(obs, "pr_1h", "pr_24h", "f",
+      col("f1"), col("f24"), Flags.PrecipAccumWindowA)
+    val m = out.filter(col("f").isNotNull).select("id", "f").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> Flags.PrecipAccumWindowA))
+  }
+
+  test("flags 23/28 end-to-end: the QAQC pipeline stamps spike and streak codes") {
+    // 80 minutely points (> the 50/month spike minimum): a pseudo-noisy baseline (the
+    // monthly 6x-IQR critical value must be positive or every diff is a "candidate"
+    // and none confirms), a lone +3000 spike at t=20, then a 6-point straight repeat
+    val rows = (0 until 80).map { i =>
+      val v = if (i == 20) 3100.0
+        else if (i >= 30 && i < 36) 77.0
+        else 100.0 + 20.0 * math.sin(i.toDouble)
+      ("s1", ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }
+    val obs = rows.toDF("station", "time", "v")
+      .withColumn("v_eraqc", lit(null).cast("int"))
+    val out = QaqcPipeline.run(obs, QaqcPipeline.singleVariable(
+      "station", "time", "v", lo = 0.0, hi = 5000.0,
+      streakNValues = 5, streakNDays = 9999, streakMinSeqLen = 5))
+    val flags = flagsOf(out, "v_eraqc")
+    assert(flags.contains(Flags.Spike), s"spike missing: $flags")
+    assert(flags.contains(Flags.StraightStreak), s"streak missing: $flags")
+  }
+
+  test("flag 30: cadence infill marks only grid-inserted rows") {
+    val obs = Seq(("g1", ts("2024-01-01 00:00:00"), 1.0),
+                  ("g1", ts("2024-01-01 00:45:00"), 2.0)) // 00:15 and 00:30 missing
+      .toDF("station", "t15", "v")
+    val out = CleanOps.infillFixedCadence(obs, Seq("station"), "t15", "v_eraqc")
+    assert(out.count() == 4)
+    assert(flagsOf(out, "v_eraqc") == Set(Flags.ValleywaterInfill))
+    assert(out.filter(col("v_eraqc").isNotNull).count() == 2)
+    assert(out.filter(col("v_eraqc").isNotNull && col("v").isNotNull).count() == 0)
+  }
+
+  test("flag 36: elevation span inconsistency flags rows off the distinct-value median") {
+    val obs = (Seq.fill(5)(100.0) ++ Seq.fill(5)(120.0) ++ Seq(400.0)).zipWithIndex
+      .map { case (e, i) => ("s1", i.toLong, e) }
+      .toDF("station", "id", "elev")
+      .withColumn("elev_eraqc", lit(null).cast("int"))
+    val out = AggOps.flagSpanInconsistent(obs, Seq("station"), "elev", "elev_eraqc")
+    val flaggedVals = out.filter(col("elev_eraqc") === Flags.ElevInconsistent)
+      .select("elev").as[Double].collect().toSet
+    assert(flaggedVals == Set(400.0))
+  }
+
+  test("flag 38: derived variable inherits a synergistic flag from flagged inputs") {
+    val obs = Seq((1L, 290.0, 50.0, Some(Flags.WorldRecord)), (2L, 290.0, 50.0, None))
+      .toDF("id", "tas", "hurs", "tas_eraqc")
+    val out = DeriveDag.deriveMissing(obs)
+    val m = out.select("id", "tdps_derived_eraqc").as[(Long, Option[Int])].collect().toMap
+    assert(m == Map(1L -> Some(Flags.DerivedSynergistic), 2L -> None))
+    assert(out.filter(col("tdps_derived").isNotNull).count() == 2)
+  }
+}
