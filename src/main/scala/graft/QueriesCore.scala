@@ -232,7 +232,7 @@ object QueriesCore {
     // W19: monthly grouper over multi-year lineitem (SURVEY §2.5 W19)
     "w19_monthly" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .groupBy(date_trunc("MONTH", col("l_shipdate")).cast("date").as("month_start"))
+        .groupBy(date_trunc("MONTH", col("l_shipdate")).cast("date").cast("string").as("month_start"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     }),
 
@@ -432,7 +432,7 @@ object QueriesCore {
            ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
          GROUP BY 1, 2""",
     "w19_monthly" ->
-      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+      """SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS month_start,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY 1""",

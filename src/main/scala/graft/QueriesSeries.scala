@@ -42,7 +42,7 @@ object QueriesSeries {
         .withColumn("g", lit(0))
         .withColumn("vh", (hour(col("ts")) % 6).cast("double"))
       StreakOps.wholeDayRepeatDates(e, Seq("g"), "ts", "vh", threshold = 7)
-        .select(col("_date").as("day"))
+        .select(col("_date").cast("string").as("day"))
     }),
 
     // W6: spike detection with injected spikes (SURVEY §2.5 W6)
@@ -98,7 +98,7 @@ object QueriesSeries {
     // J9: pairwise-diff outlier on daily totals (SURVEY §2.3 J9)
     "j9_pairwise_outlier" -> ((s, dir) => {
       val daily = t(s, dir, "events")
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
         .agg(dsum(col("value")).as("total"))
       JoinOps.pairwiseDiffOutlier(daily, Seq("user_id"), "total", threshold = 300.0)
         .filter(col("outlier"))
@@ -117,7 +117,8 @@ object QueriesSeries {
     "a9_daily_p95" -> ((s, dir) => {
       GapOps.dailyPrecipOutlierDates(t(s, dir, "events"), Seq("user_id"), "ts", "value",
           factor = 1.02, recordCap = 1e9)
-        .select(col("user_id"), col("_date").as("day"), round(col("_total"), 2).as("total"))
+        .select(col("user_id"), col("_date").cast("string").as("day"),
+          round(col("_total"), 2).as("total"))
     }),
 
     // A13: value-resolution inference (SURVEY §2.4 A13)
@@ -288,7 +289,7 @@ object QueriesSeries {
                FROM m),
          rc AS (SELECT d, mt, SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER (PARTITION BY run) AS mc
                FROM r)
-         SELECT d AS day FROM rc WHERE mt AND mc > 7""",
+         SELECT CAST(d AS VARCHAR) AS day FROM rc WHERE mt AND mc > 7""",
     "w6_spikes" ->
       """WITH base AS (SELECT user_id, ts,
                  value + CASE WHEN event_id % 199 = 0 THEN 2000.0 ELSE 0.0 END AS v
@@ -410,7 +411,7 @@ object QueriesSeries {
                  lag(total) OVER (PARTITION BY user_id ORDER BY total) AS pv,
                  lead(total) OVER (PARTITION BY user_id ORDER BY total) AS nx
                FROM daily)
-         SELECT user_id, day, round(total, 2) AS total
+         SELECT user_id, CAST(day AS VARCHAR) AS day, round(total, 2) AS total
          FROM o
          WHERE n > 1 AND (pv IS NULL OR total - pv > 300.0)
            AND (nx IS NULL OR nx - total > 300.0)""",
@@ -439,7 +440,7 @@ object QueriesSeries {
            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          p AS (SELECT user_id, month(day) AS m, quantile_cont(total, 0.95) AS p95
                FROM daily WHERE total > 0 GROUP BY 1, 2)
-         SELECT d.user_id, d.day, round(d.total, 2) AS total
+         SELECT d.user_id, CAST(d.day AS VARCHAR) AS day, round(d.total, 2) AS total
          FROM daily d LEFT JOIN p ON d.user_id = p.user_id AND month(d.day) = p.m
          WHERE d.total > LEAST(1e9, p.p95 * 1.02)""",
     "a13_resolution" ->

@@ -12,7 +12,8 @@ import graft.ops.{AggOps, CleanOps, JoinOps, SeriesOps}
   * Numeric-parity conventions (Spark ↔ DuckDB):
   *  - sums of 2-dp doubles go through DECIMAL(18,2) so both engines sum exactly;
   *  - interpolated percentiles / stddevs are rounded to 4 dp;
-  *  - timestamps are emitted as epoch seconds (BIGINT) or DATE, never raw TIMESTAMP;
+  *  - timestamps are emitted as epoch seconds (BIGINT) and dates as ISO strings,
+  *    never raw TIMESTAMP/DATE (representation-dependent hashing across engines);
   *  - every integer output is BIGINT in both engines;
   *  - every aggregate is aliased identically in both (driver sorts columns by name).
   */
@@ -98,7 +99,7 @@ object SparkEntry {
     // A8: daily resample-sum (SURVEY §2.4 A8)
     "a8_daily_sum" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
         .agg(dsum(col("value")).as("total"))
     }),
 
@@ -127,7 +128,7 @@ object SparkEntry {
     // A1/A2: grouped exact median (SURVEY §2.4 A1)
     "a1_daily_median" -> ((s, dir) => {
       AggOps.groupedPercentile(
-          t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          t(s, dir, "events").withColumn("day", to_date(col("ts")).cast("string")),
           Seq("event_type", "day"), "value", 0.5, out = "med")
         .select(col("event_type"), col("day"), r4(col("med")).as("med"))
     }),
@@ -187,7 +188,7 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_flagged FROM events
          WHERE value < 1.0 OR value > 480.0 GROUP BY event_type""",
     "a8_daily_sum" ->
-      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      """SELECT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
     "w15_hourly_first" ->
@@ -212,7 +213,7 @@ object SparkEntry {
       """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2""",
     "a1_daily_median" ->
-      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      """SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
          ROUND(quantile_cont(value, 0.5), 4) AS med
          FROM events GROUP BY 1, 2""",
     "w20_season_key" ->
