@@ -37,10 +37,21 @@ object DedupOps {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** 60-bit shingle hash: `conv(substr(md5(shingle),1,15),16,10)` -- uniform, positive,
-    * identical in DuckDB. */
-  def shingleHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+  /** Shingle-hash strategy. [[Md5Portable]] routes through md5 so every step has an
+    * exact cross-engine oracle (the verification default). [[XxHash64Fast]] is the
+    * production path: Spark-native, codegen'd, no hex round-trip — same 60-bit
+    * positive range, same downstream pipeline, just not replicable in other engines.
+    * DedupStrategySpec pins that both find the same near-dup pairs. */
+  sealed trait HashStrategy
+  case object Md5Portable extends HashStrategy
+  case object XxHash64Fast extends HashStrategy
+
+  /** 60-bit shingle hash under `strategy` -- uniform, positive. */
+  def shingleHash(shingle: Column, strategy: HashStrategy = Md5Portable): Column =
+    strategy match {
+      case Md5Portable => conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+      case XxHash64Fast => pmod(xxhash64(shingle), lit(1L << 60))
+    }
 
   /** Mersenne prime 2^61-1 for the universal-hash family (a_i*h + b_i) mod p. */
   val MinhashPrime: Long = (1L << 61) - 1
@@ -59,9 +70,10 @@ object DedupOps {
     * (a_i*h32(s) + b_i) mod p, with h32 = 60-bit md5 hash mod 2^32 (keeps a_i*h32
     * within 63 bits -- no overflow, no 128-bit intermediates). One nested transform --
     * O(k*|shingles|) per row, fully codegen'd, no UDF, no shuffle. */
-  def minhashSignature(shingleArr: Column, k: Int = 32, seed: Long = 42L): Column =
+  def minhashSignature(shingleArr: Column, k: Int = 32, seed: Long = 42L,
+                       strategy: HashStrategy = Md5Portable): Column =
     minhashSignatureFromHashes(
-      transform(shingleArr, s => pmod(shingleHash(s), lit(1L << 32))), k, seed)
+      transform(shingleArr, s => pmod(shingleHash(s, strategy), lit(1L << 32))), k, seed)
 
   /** Signature from PRE-hashed 32-bit shingle values. Callers that also need the
     * hashes (LSH pipelines) should materialize them in their own column first — an
@@ -86,10 +98,11 @@ object DedupOps {
     * and the table is reused by the band explode and both verify joins anyway.
     * Size: id + ~|shingles| longs + k longs per row. */
   private def sigTable(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int, k: Int): DataFrame =
+                       shingleN: Int, k: Int,
+                       strategy: HashStrategy = Md5Portable): DataFrame =
     df.withColumn("_h32",
         array_distinct(transform(shingles(col(textCol), shingleN),
-          s => pmod(shingleHash(s), lit(1L << 32)))))
+          s => pmod(shingleHash(s, strategy), lit(1L << 32)))))
       .withColumn("_sig", minhashSignatureFromHashes(col("_h32"), k))
       .select(col(idCol), col("_h32"), col("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -107,12 +120,13 @@ object DedupOps {
     * still meet in other bands or exact dedup). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                        maxBucketSize: Int = 500): DataFrame = {
+                        maxBucketSize: Int = 500,
+                        strategy: HashStrategy = Md5Portable): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // materialize the hash array ONCE, then ONE groupBy(bucket) shuffle; pairs are
     // generated from each bucket's collected id array (bounded by maxBucketSize —
     // the local product never exceeds cap^2)
-    val withBands = sigTable(df, idCol, textCol, shingleN, k)
+    val withBands = sigTable(df, idCol, textCol, shingleN, k, strategy)
       .select(col(idCol), explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
     withBands
       .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
@@ -142,9 +156,10 @@ object DedupOps {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, shingleN: Int = 3,
                       k: Int = 32, bands: Int = 8, maxBucketSize: Int = 500,
-                      estCutoff: Double = 0.2): DataFrame = {
+                      estCutoff: Double = 0.2,
+                      strategy: HashStrategy = Md5Portable): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val prep = sigTable(df, idCol, textCol, shingleN, k)
+    val prep = sigTable(df, idCol, textCol, shingleN, k, strategy)
     val pairs = prep
       .select(col(idCol), explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
       .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))

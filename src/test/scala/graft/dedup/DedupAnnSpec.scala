@@ -103,6 +103,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(1L) == 0 && got(2L) == 1)
   }
 
+  test("md5 and xxhash64 strategies find the same near-dup pairs") {
+    val rng = new scala.util.Random(3)
+    val base = (0L until 20L).map(i => (i, doc(rng, 60)))
+    // strong near-copies (one token changed of 60, shingle Jaccard ~0.9): at that
+    // similarity banded LSH finds the pair with P > 0.999 under ANY uniform hash, so
+    // the two strategies must agree on the full verified-pair set. (Borderline-J pairs
+    // are legitimately hash-dependent — equivalence holds by design, not bit-for-bit.)
+    val copies = base.take(10).map { case (i, d) =>
+      (i + 100L, d.split(" ").zipWithIndex.map { case (w, j) =>
+        if (j == 30) "REPLACED" else w
+      }.mkString(" "))
+    }
+    val df = (base ++ copies).toDF("doc_id", "text")
+    def pairs(st: DedupOps.HashStrategy) =
+      DedupOps.minhashNearDups(df, "doc_id", "text", threshold = 0.8, strategy = st)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val planted = (0L until 10L).map(i => (i, i + 100L)).toSet
+    val md5Pairs = pairs(DedupOps.Md5Portable)
+    val xxPairs = pairs(DedupOps.XxHash64Fast)
+    assert(planted.subsetOf(md5Pairs), s"md5 missed ${planted -- md5Pairs}")
+    assert(planted.subsetOf(xxPairs), s"xx missed ${planted -- xxPairs}")
+    assert(md5Pairs == xxPairs, s"md5=$md5Pairs xx=$xxPairs")
+  }
+
   test("embedding near-dup recall >= 0.9 on planted perturbed copies") {
     val rng = new scala.util.Random(11)
     val dim = 32
