@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * qaqc_process [56:60], wind dir [60:63] + qc [63], wind speed [65:69]/10 + qc [69],
   * tas [87:92]/10 + qc [92], tdps [93:98]/10 + qc [98], psl [99:104]/10 + qc [104].
   * Optional sections via regexp: AA1-4 liquid precip (duration hh, depth /10 mm, qc),
-  * CH1 relative humidity (duration min, temp /10 C, hurs /10 %).
+  * CH1 relative humidity (duration min, temp /10 C, hurs /10 %), GM1 global
+  * irradiance (duration min, rsds W/m2, flag, qc — `ASOSAWOS_clean.py:415-436`),
+  * MA1 pressure (altimeter /10 hPa + qc, station /10 hPa + qc,
+  * `ASOSAWOS_clean.py:438-457`; 9999.9 hPa sentinel → null).
   *
   * Sentinel handling mirrors the reference: all-9 fields → null.
   */
@@ -30,6 +33,8 @@ object IsdParser {
     val s = col(lineCol)
     val precip = regexp_extract(s, "(?<=AA1|AA2|AA3|AA4)([0-9a-zA-Z]{8})", 1)
     val hursSec = regexp_extract(s, "(?<=CH1)([0-9a-zA-Z]{15})", 1)
+    val rsdsSec = regexp_extract(s, "(?<=GM1)([0-9a-zA-Z]{11})", 1)
+    val psSec = regexp_extract(s, "(?<=MA1)([0-9a-zA-Z]{12})", 1)
     lines.select(
       to_timestamp(slice(s, 15, 27), "yyyyMMddHHmm").as("time"),
       (num(slice(s, 28, 34), "+99999") / 1000).as("lat"),
@@ -53,6 +58,18 @@ object IsdParser {
       when(precip =!= "", substring(precip, 7, 1)).as("pr_depth_qc"),
       when(hursSec =!= "", substring(hursSec, 1, 2).cast("int")).as("hurs_duration"),
       when(hursSec =!= "", substring(hursSec, 3, 5).cast("double") / 10).as("hurs_temp"),
-      when(hursSec =!= "", substring(hursSec, 10, 4).cast("double") / 10).as("hurs"))
+      when(hursSec =!= "", substring(hursSec, 10, 4).cast("double") / 10).as("hurs"),
+      // GM1: [0:4] integration minutes, [4:8] W/m2, [8:10] flag, [10:12] qc
+      when(rsdsSec =!= "", substring(rsdsSec, 1, 4).cast("int")).as("rsds_duration"),
+      when(rsdsSec =!= "", substring(rsdsSec, 5, 4).cast("double")).as("rsds"),
+      when(rsdsSec =!= "", substring(rsdsSec, 9, 2)).as("rsds_flag"),
+      when(rsdsSec =!= "", substring(rsdsSec, 11, 1)).as("rsds_qc"),
+      // MA1: [0:5]/10 altimeter hPa, [5] qc, [6:11]/10 station pressure hPa, [11] qc
+      when(psSec =!= "" && substring(psSec, 1, 5) =!= "99999",
+        substring(psSec, 1, 5).cast("double") / 10).as("ps_altimeter"),
+      when(psSec =!= "", substring(psSec, 6, 1)).as("ps_altimeter_qc"),
+      when(psSec =!= "" && substring(psSec, 7, 5) =!= "99999",
+        substring(psSec, 7, 5).cast("double") / 10).as("ps"),
+      when(psSec =!= "", substring(psSec, 12, 1)).as("ps_qc"))
   }
 }

@@ -54,6 +54,29 @@ class IsdParserSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("pr")))
   }
 
+  test("GM1 solar and MA1 pressure sections extracted when present") {
+    // GM1 "00600450051": 0060 min, 0450 W/m2, flag "05", qc "1";
+    // MA1 "101395101251": altimeter 10139/10 qc "5", station 10125/10 qc "1"
+    val df = Seq(isdLine(extra = "ADDGM100600450051MA1101395101251"), isdLine())
+      .toDF("value")
+    val rows = IsdParser.parse(df).collect()
+    val r = rows(0)
+    assert(r.getAs[Int]("rsds_duration") == 60)
+    assert(approx(r.getAs[Double]("rsds"), 450.0))
+    assert(approx(r.getAs[Double]("ps_altimeter"), 1013.9))
+    assert(approx(r.getAs[Double]("ps"), 1012.5))
+    assert(r.getAs[String]("ps_qc") == "1")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("rsds")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("ps")))
+  }
+
+  test("MA1 pressure sentinel 99999 becomes null") {
+    val df = Seq(isdLine(extra = "MA1999999101251")).toDF("value")
+    val r = IsdParser.parse(df).head()
+    assert(r.isNullAt(r.fieldIndex("ps_altimeter")))
+    assert(approx(r.getAs[Double]("ps"), 1012.5))
+  }
+
   test("parse is a pure projection (row count preserved, scan-speed shape)") {
     val df = (1 to 100).map(_ => isdLine()).toDF("value")
     assert(IsdParser.parse(df).count() == 100)
