@@ -79,6 +79,23 @@ object CleanOps {
     }.drop("cutoff_ts")
   }
 
+  /** Flag 1 — known-issue hour-of-day window (`qaqc_buoy_check.py:133-145`: e.g. wind
+    * obstructed by ferry dockings 06:00–20:00 at one pier station). The reference
+    * hard-codes station/hours/variables; here they are a broadcast lookup
+    * `(station, hour_lo, hour_hi)` and rows of affected stations inside the local-hour
+    * window get flag 1 on the supplied variables' flag columns. */
+  def flagKnownIssueHours(df: DataFrame, stationCol: String, timeCol: String,
+                          flagColNames: Seq[String], issues: DataFrame): DataFrame = {
+    val joined = df.join(broadcast(issues), Seq(stationCol), "left")
+    val bad = col("hour_lo").isNotNull &&
+      hour(col(timeCol)).between(col("hour_lo"), col("hour_hi"))
+    flagColNames.foldLeft(joined) { (d, f) =>
+      d.withColumn(f,
+        when(bad && validObs(col(f)), lit(graft.core.Flags.BuoyDrift).cast("int"))
+          .otherwise(col(f)))
+    }.drop("hour_lo", "hour_hi")
+  }
+
   /** Flags 3/4/5 — elevation infill (`qaqc_wholestation.py:395-470`), the external
     * USGS DEM call replaced by a broadcast static table `(keys..., dem_elev)`:
     *  - some rows null → fill with the station's first non-null elevation (flag 4);

@@ -32,6 +32,19 @@ class GoldenFlagsSpec extends SparkSpec {
       .as[(String, Timestamp)].collect().toSeq == Seq(("b1", ts("2024-06-01 00:00:00"))))
   }
 
+  test("flag 1: known-issue hour window flags only affected station and hours") {
+    val obs = Seq(("p1", ts("2024-01-01 10:00:00"), 4.0),  // in window -> 1
+                  ("p1", ts("2024-01-01 23:00:00"), 4.0),  // outside hours
+                  ("p2", ts("2024-01-01 10:00:00"), 4.0))  // unaffected station
+      .toDF("station", "time", "sfcWind")
+      .withColumn("sfcWind_eraqc", lit(null).cast("int"))
+    val issues = Seq(("p1", 6, 20)).toDF("station", "hour_lo", "hour_hi")
+    val out = CleanOps.flagKnownIssueHours(obs, "station", "time",
+      Seq("sfcWind_eraqc"), issues)
+    assert(flagsOf(out, "sfcWind_eraqc") == Set(Flags.BuoyDrift))
+    assert(out.filter(col("sfcWind_eraqc").isNotNull).count() == 1)
+  }
+
   test("flags 3/4/5: elevation infill source tagging") {
     val obs = Seq(
       ("dem", ts("2024-01-01 00:00:00"), None: Option[Double]),     // null elev, DEM row
