@@ -162,6 +162,19 @@ object QueriesLlm {
         centroids, nProbe = 2, k = 5)
     }),
 
+    // Int8 scalar quantization round-trip: cosine(original, dequantized) and max
+    // per-component reconstruction error — the embedding storage path at scale
+    "e5_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("q", AnnOps.quantizeInt8(col("v")))
+        .withColumn("dq", AnnOps.dequantizeInt8(col("q")))
+      emb.select(col("vec_id"),
+        round(AnnOps.cosine(col("v"), col("dq")), 6).as("qcos"),
+        round(aggregate(zip_with(col("v"), col("dq"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err"))
+    }),
+
     // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
     "mm1_byte_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -442,6 +455,26 @@ object QueriesLlm {
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
                 FROM scored)
           SELECT qid, cid, ROUND(cos, 4) AS cos, rank FROM r WHERE rank <= 5""",
+    "e5_quantize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+          c AS (SELECT vec_id, v, mn, mx,
+              list_transform(v, x -> CASE WHEN mx = mn THEN 0
+                ELSE CAST(round((x - mn) / (mx - mn) * 255) - 128 AS INT) END) AS codes
+            FROM q),
+          d AS (SELECT vec_id, v,
+              list_transform(codes, cd -> CASE WHEN mx = mn THEN mn
+                ELSE CAST(cd + 128 AS DOUBLE) / 255 * (mx - mn) + mn END) AS dq
+            FROM c)
+          SELECT vec_id,
+            ROUND(CASE WHEN sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("dq", "dq")}) = 0
+                  THEN 0.0
+                  ELSE ${dotSql("v", "dq")}
+                       / (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("dq", "dq")})) END,
+                  6) AS qcos,
+            ROUND(list_max(list_transform(generate_series(1, 64),
+                  j -> abs(v[j] - dq[j]))), 6) AS max_err
+          FROM d""",
     "mm1_byte_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length
          FROM documents""",

@@ -100,6 +100,29 @@ object AnnOps {
     greatest(scored: _*).getField("cid")
   }
 
+  /** Per-vector int8 scalar quantization — the storage path for billion-vector
+    * corpora (4x smaller than float32, 8x than float64; IVF+SQ is the standard
+    * pairing). Codes are `round((v - mn) / (mx - mn) * 255) - 128` with the
+    * per-vector (mn, mx) kept alongside for dequantization; a constant vector
+    * (mx == mn) encodes as all-zero codes. Pure HOF expressions — quantize at scan
+    * speed, no UDF. Returns struct(codes: array<int>, mn, mx). */
+  def quantizeInt8(vec: Column): Column = {
+    val mn = array_min(vec)
+    val mx = array_max(vec)
+    val codes = transform(vec, v =>
+      when(mx === mn, lit(0))
+        .otherwise((round((v - mn) / (mx - mn) * 255) - 128).cast("int")))
+    struct(codes.as("codes"), mn.as("mn"), mx.as("mx"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `(code + 128) / 255 * (mx - mn) + mn`. Max absolute
+    * reconstruction error is (mx - mn) / 510 per component (property-tested). */
+  def dequantizeInt8(q: Column): Column = {
+    val mn = q.getField("mn"); val mx = q.getField("mx")
+    transform(q.getField("codes"), c =>
+      when(mx === mn, mn).otherwise((c + 128).cast("double") / 255 * (mx - mn) + mn))
+  }
+
   /** The `nProbe` centroid ids nearest to `vec` (cos desc, cid desc on ties —
     * the same ordering [[ivfAssign]]'s `greatest` uses for the top-1). */
   def ivfProbes(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {

@@ -146,6 +146,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => b == a + 1000L })
   }
 
+  test("int8 quantization: bounded reconstruction error, near-1 cosine, constant-safe") {
+    val rng = new scala.util.Random(5)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rng.nextGaussian()))) :+
+      (99L, Array.fill(16)(2.5)) // constant vector edge case
+    val df = vecs.toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+      .withColumn("q", AnnOps.quantizeInt8(col("v")))
+      .withColumn("dq", AnnOps.dequantizeInt8(col("q")))
+    val rows = df.select(col("id"), col("v"), col("dq"),
+        col("q.mn").as("mn"), col("q.mx").as("mx"))
+      .as[(Long, Seq[Double], Seq[Double], Double, Double)].collect()
+    rows.foreach { case (id, v, dq, mn, mx) =>
+      val bound = if (mx == mn) 1e-12 else (mx - mn) / 510.0 + 1e-9
+      v.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= bound, s"id=$id err ${math.abs(a - b)} > $bound")
+      }
+    }
+    val cos = df.select(AnnOps.cosine(col("v"), col("dq"))).as[Double].collect()
+    assert(cos.forall(_ >= 0.999))
+  }
+
   test("IVF top-k finds in-cell neighbors and respects nProbe") {
     val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
     val corpus = Seq(
