@@ -87,6 +87,12 @@ object QueriesLlm {
         DedupOps.simhash32(col("text")).as("simhash"))
     }),
 
+    // SimHash near-dup pairs: 4x8-bit multi-index banding + exact Hamming verify
+    // (recall = 1 for Hamming <= 3 by pigeonhole)
+    "d6_simhash_neardups" -> ((s, dir) => {
+      DedupOps.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
     // n-gram Jaccard of consecutive doc pairs
     "d4_ngram_jaccard" -> ((s, dir) => {
       val sh = t(s, dir, "documents")
@@ -361,6 +367,33 @@ object QueriesLlm {
           SELECT doc_id,
             SUM(CASE WHEN cnt > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
           FROM bits GROUP BY doc_id""",
+    "d6_simhash_neardups" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+          th AS (SELECT doc_id,
+                   ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4294967296 AS h
+                 FROM toks),
+          bits AS (SELECT doc_id, i,
+                   SUM(CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END) AS cnt
+                 FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+                 GROUP BY 1, 2),
+          sh AS (SELECT doc_id,
+                   SUM(CASE WHEN cnt > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS sh
+                 FROM bits GROUP BY doc_id),
+          bands AS (SELECT doc_id,
+                      b.b::VARCHAR || ':' || (((sh >> (8 * b.b)) & 255))::VARCHAR AS band
+                    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+          okb AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND 2000),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+                    FROM bands a JOIN okb o ON a.band = o.band
+                    JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
+          SELECT p.id1, p.id2,
+            CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
+          FROM pairs p
+          JOIN sh s1 ON p.id1 = s1.doc_id
+          JOIN sh s2 ON p.id2 = s2.doc_id
+          WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""",
     "d4_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks)
