@@ -67,6 +67,13 @@ object QueriesLlm {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    // Deterministic train/val/test split by id hash (order/partitioning independent)
+    "t5_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", TextOps.splitAssign(col("doc_id"), 0.05, 0.05))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    }),
+
     // Exact dedup on a 10-token prefix (24 collision groups in sf0.01)
     "d1_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -305,6 +312,17 @@ object QueriesLlm {
                   + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
                   6) AS quality
           FROM m""",
+    "t5_split_assign" ->
+      s"""WITH u AS (
+           SELECT doc_id,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+               / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT CASE WHEN u < CAST(${1.0 - 0.05 - 0.05} AS DOUBLE) THEN 'train'
+                     WHEN u < CAST(${1.0 - 0.05} AS DOUBLE) THEN 'val'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n
+         FROM u GROUP BY 1""",
     "d1_dedup_exact" ->
       s"""WITH p AS (
             SELECT doc_id,

@@ -108,6 +108,20 @@ object TextOps {
     transform(grams, g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
   }
 
+  /** Deterministic split assignment for training-data curation: hash the id (md5,
+    * engine-portable) to a uniform value in [0, 1) and carve [train | val | test] by
+    * cumulative fractions. Reproducible across runs/engines/shards — membership
+    * depends only on the id, never on row order or partitioning, so re-running over
+    * grown data keeps every existing assignment stable (the property that matters at
+    * 100 TB where a global shuffle-split is impossible). */
+  def splitAssign(id: Column, valFrac: Double = 0.05, testFrac: Double = 0.05): Column = {
+    val u = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit((1L << 60).toDouble)
+    when(u < 1.0 - valFrac - testFrac, "train")
+      .when(u < 1.0 - testFrac, "val")
+      .otherwise("test")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD 2003): the minimum hash of every
     * `w`-window of k-gram hashes, deduplicated and sorted. Any substring match of
