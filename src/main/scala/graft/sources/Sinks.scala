@@ -11,14 +11,20 @@ object Sinks {
 
   /** S7 — partitioned columnar writer: overwrite-by-partition (dynamic), partitioned
     * by `network`, sorted within files by (station, time) so min/max stats prune
-    * station predicates. The per-partition `repartition` bounds file counts the way
-    * the reference's single-chunk rechunk did. */
+    * station predicates.
+    *
+    * The shuffle key is (partition cols, hash(first sort col) mod filesPerPartition):
+    * hashing by the partition column ALONE would send each network to a single task
+    * (one writer per network at 100 TB); the salt spreads a network over up to
+    * `filesPerPartition` writers while keeping any one station's rows in one file,
+    * so station min/max pruning stays tight. */
   def writeObs(df: DataFrame, path: String, partitionCols: Seq[String] = Seq("network"),
                sortCols: Seq[String] = Seq("station", "time"),
                filesPerPartition: Int = 8): Unit = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.repartition(filesPerPartition, partitionCols.map(col): _*)
+    val salt = pmod(hash(col(sortCols.head)), lit(filesPerPartition))
+    df.repartition(partitionCols.map(col) :+ salt: _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
