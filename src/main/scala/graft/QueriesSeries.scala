@@ -310,7 +310,9 @@ object QueriesSeries {
                  lead(d, 3) OVER w AS dp3, lead(d, 4) OVER w AS dp4,
                  lag(crit) OVER w AS cm1, lead(crit, 1) OVER w AS cp1, lead(crit, 2) OVER w AS cp2,
                  lead(crit, 3) OVER w AS cp3, lead(crit, 4) OVER w AS cp4,
-                 (ABS(d) > crit) AS pot
+                 (ABS(d) > crit
+                  AND row_number() OVER w <> 2
+                  AND row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) >= 5) AS pot
                FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          sp AS (SELECT user_id, ts,
                  COALESCE(pot AND sign(d) <> sign(dp2) AND abs(dm1) < 0.5*cm1 AND abs(dp1) < 0.5*cp1

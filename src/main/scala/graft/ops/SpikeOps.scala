@@ -59,7 +59,13 @@ object SpikeOps {
     val d = col("_d"); val c = col("_crit")
     def dAt(k: Int): Column = if (k < 0) lag(d, -k).over(wf) else if (k == 0) d else lead(d, k).over(wf)
     def cAt(k: Int): Column = if (k < 0) lag(c, -k).over(wf) else if (k == 0) c else lead(c, k).over(wf)
-    val potential = abs(d) > c
+    // positional guard (`potential_spike_check`, qaqc_unusual_large_jumps.py:171-173):
+    // the reference skips candidates at series position 1 (0-based) and in the last 4
+    // positions. (At position 0 it reads diff[-1] — python wraparound to the LAST
+    // element; we do not replicate that accident: a null lag fails the condition.)
+    val rnA = row_number().over(wf)
+    val rnD = row_number().over(Window.partitionBy(kc: _*).orderBy(col(timeCol).desc))
+    val potential = abs(d) > c && rnA =!= 2 && rnD >= 5
 
     val spike3 = potential &&
       signum(dAt(0)) =!= signum(dAt(2)) &&
