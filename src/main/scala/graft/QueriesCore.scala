@@ -126,6 +126,21 @@ object QueriesCore {
           col("event_id"), col("value"))
     }),
 
+    // As-of join: each event picks the latest 4-hourly calibration snapshot at or
+    // before its timestamp; events before the first snapshot stay unmatched
+    "j11_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val snaps = e
+        .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("snap_ts"))
+        .agg(min_by(col("value"),
+          when(col("value").isNotNull, struct(col("ts"), col("event_id")))).as("cal"))
+        .filter(hour(col("snap_ts")) % 4 === 0)
+      JoinOps.asOfJoin(e, snaps, Seq("user_id"), "ts", "snap_ts", Seq("cal"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), count(col("cal")).as("n_matched"),
+          dsum(col("cal")).as("total_cal"))
+    }),
+
     // A2 (analog): climatological median per (event_type, hour-of-day) (SURVEY §2.4 A2)
     "a2_clim_median" -> ((s, dir) => {
       AggOps.groupedPercentile(
@@ -295,6 +310,19 @@ object QueriesCore {
          SELECT CAST(flag AS BIGINT) AS flag, COUNT(*) AS n,
            CAST(SUM(CAST(round(elev2, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_elev
          FROM f GROUP BY 1""",
+    "j11_asof_join" ->
+      """WITH snaps AS (
+           SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+                  any_value(value ORDER BY ts, event_id) AS cal
+           FROM events GROUP BY 1, 2),
+         s4 AS (SELECT * FROM snaps WHERE hour(snap_ts) % 4 = 0),
+         m AS (
+           SELECT e.user_id, s.cal
+           FROM events e ASOF LEFT JOIN s4 s
+             ON e.user_id = s.user_id AND e.ts >= s.snap_ts)
+         SELECT user_id, COUNT(*) AS n, COUNT(cal) AS n_matched,
+                CAST(SUM(CAST(cal AS DECIMAL(18,2))) AS DOUBLE) AS total_cal
+         FROM m GROUP BY 1""",
     "c30_cadence_infill" ->
       """WITH q AS (
            SELECT DISTINCT user_id, to_timestamp(floor(epoch(ts) / 900) * 900) AS t15

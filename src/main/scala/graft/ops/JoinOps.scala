@@ -51,6 +51,36 @@ object JoinOps {
     unioned.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** As-of join: each left row picks the LATEST right row with
+    * `rightTime <= leftTime` per key (sensor-calibration/metadata-history joins — the
+    * general form of the reference's hand-rolled latest-wins overlap logic,
+    * `qaqc_concatenate_stations.py:206-239`).
+    *
+    * Union-window formulation: tag both sides, union, one window pass carrying the
+    * last right payload forward in time order, keep left rows. ONE shuffle on the
+    * key, no range cross-product, no per-key collect — survives arbitrary key
+    * cardinality and right-side history length. Right rows sort before left rows at
+    * equal timestamps, so an exactly-simultaneous right row IS visible to the left
+    * row (ASOF `<=` semantics). `rightCols` are the payload columns to carry. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side")) ++
+        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .drop("_t", "_side")
+      .withColumnsRenamed(rightCols.map(c => s"_r_$c" -> c).toMap)
+  }
+
   /** J9 — pairwise-difference outlier without the O(n²) self-join: the reference flags
     * row i when |xᵢ − xⱼ| > thr for EVERY other j (`check_differences`,
     * `/root/reference/scripts/3_qaqc_data/qaqc_unusual_gaps.py:449-481`). Over the
