@@ -141,6 +141,21 @@ object QueriesCore {
           dsum(col("cal")).as("total_cal"))
     }),
 
+    // Range join: events inside 2-hour maintenance windows opening every 4 hours,
+    // bucketized equi-join (no nested-loop), exact residual filter
+    "j12_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val wins = e
+        .select(col("user_id"), date_trunc("HOUR", col("ts")).as("wstart"))
+        .distinct()
+        .filter(hour(col("wstart")) % 4 === 0)
+        .withColumn("wend", col("wstart") + expr("INTERVAL 2 HOURS"))
+      JoinOps.rangeJoin(e, wins, Seq("user_id"), "ts", "wstart", "wend",
+          bucketWidth = 7200L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    }),
+
     // A2 (analog): climatological median per (event_type, hour-of-day) (SURVEY §2.4 A2)
     "a2_clim_median" -> ((s, dir) => {
       AggOps.groupedPercentile(
@@ -323,6 +338,16 @@ object QueriesCore {
          SELECT user_id, COUNT(*) AS n, COUNT(cal) AS n_matched,
                 CAST(SUM(CAST(cal AS DECIMAL(18,2))) AS DOUBLE) AS total_cal
          FROM m GROUP BY 1""",
+    "j12_range_join" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS wstart
+           FROM events WHERE hour(date_trunc('hour', ts)) % 4 = 0),
+         w2 AS (SELECT user_id, wstart, wstart + INTERVAL 2 HOUR AS wend FROM w)
+         SELECT e.user_id, COUNT(*) AS n,
+                CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events e JOIN w2
+           ON e.user_id = w2.user_id AND e.ts >= w2.wstart AND e.ts < w2.wend
+         GROUP BY 1""",
     "c30_cadence_infill" ->
       """WITH q AS (
            SELECT DISTINCT user_id, to_timestamp(floor(epoch(ts) / 900) * 900) AS t15

@@ -81,6 +81,27 @@ object JoinOps {
       .withColumnsRenamed(rightCols.map(c => s"_r_$c" -> c).toMap)
   }
 
+  /** Range join: left points matched to right intervals `[start, end)` per key.
+    * A naive non-equi join plans as BroadcastNestedLoop (quadratic — unusable at
+    * scale); bucketizing both sides onto a `bucketWidth`-second grid turns it into an
+    * equi-join on (key, bucket) + a residual filter. Each interval explodes into
+    * `len/bucketWidth + 1` bucket rows — pick bucketWidth near the typical interval
+    * length so the blow-up is ~2×. Overlapping intervals yield one output row per
+    * covering interval (standard interval-join semantics). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive seconds")
+    val rb = right.withColumn("_bkt", explode(sequence(
+      floor(col(startCol).cast("long") / bucketWidth).cast("long"),
+      floor(col(endCol).cast("long") / bucketWidth).cast("long"))))
+    val lb = left.withColumn("_bkt",
+      floor(col(pointCol).cast("long") / bucketWidth).cast("long"))
+    lb.join(rb, keys :+ "_bkt")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bkt")
+  }
+
   /** J9 — pairwise-difference outlier without the O(n²) self-join: the reference flags
     * row i when |xᵢ − xⱼ| > thr for EVERY other j (`check_differences`,
     * `/root/reference/scripts/3_qaqc_data/qaqc_unusual_gaps.py:449-481`). Over the
