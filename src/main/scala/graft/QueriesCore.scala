@@ -357,7 +357,7 @@ object QueriesCore {
                   unnest(generate_series(min(t15), max(t15), INTERVAL 15 MINUTE)) AS t15
            FROM q GROUP BY user_id)
          SELECT g.user_id,
-                SUM(CASE WHEN o.t15 IS NULL THEN 1 ELSE 0 END) AS n_infilled,
+                CAST(SUM(CASE WHEN o.t15 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_infilled,
                 COUNT(*) AS n
          FROM grid g LEFT JOIN q o ON g.user_id = o.user_id AND g.t15 = o.t15
          GROUP BY 1""",

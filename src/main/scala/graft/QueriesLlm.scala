@@ -383,7 +383,7 @@ object QueriesLlm {
                  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
                  GROUP BY 1, 2)
           SELECT doc_id,
-            SUM(CASE WHEN cnt > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+            CAST(SUM(CASE WHEN cnt > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id""",
     "d6_simhash_neardups" ->
       s"""WITH toks AS (

@@ -209,10 +209,10 @@ object QueriesPipeline {
                   CASE WHEN w <> 0 AND wd = 0 THEN 360.0 ELSE wd END AS wd2
            FROM e)
          SELECT event_type,
-           SUM(CASE WHEN tdpsf = 12 THEN 1 ELSE 0 END) AS n_supersat,
-           SUM(CASE WHEN wdf = 14 THEN 1 ELSE 0 END) AS n_calm_bad,
-           SUM(CASE WHEN wdf = 15 THEN 1 ELSE 0 END) AS n_recoded,
-           SUM(CASE WHEN wd2 = 360.0 THEN 1 ELSE 0 END) AS n_dir360
+           CAST(SUM(CASE WHEN tdpsf = 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_supersat,
+           CAST(SUM(CASE WHEN wdf = 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_calm_bad,
+           CAST(SUM(CASE WHEN wdf = 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_recoded,
+           CAST(SUM(CASE WHEN wd2 = 360.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dir360
          FROM f GROUP BY event_type""",
     "d8_derive_dag" ->
       """SELECT event_id,

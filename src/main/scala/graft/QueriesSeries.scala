@@ -184,7 +184,7 @@ object QueriesSeries {
           "std_i", "freq_s", "lp")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.kernels.GaussGapScan.flagged(lp, Seq("event_type", "hr"), "tsh", "lp")
-        .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n_flagged"))
     }),
 
     // W11: Butterworth low-pass kernel (rows-only: IIR has no SQL oracle; numeric
@@ -211,7 +211,7 @@ object QueriesSeries {
       val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.kernels.GaussGapScan.flagged(std, Seq("event_type", "hr"), "ts", "std_anom")
-        .groupBy(col("_k")).agg(count(lit(1)).as("n_flagged"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n_flagged"))
     }),
 
     // W14: monthly-median IQR-bound flag over multi-year lineitem (SURVEY §2.5 W14)
@@ -243,7 +243,7 @@ object QueriesSeries {
                    FROM h)
                  WHERE cnt > hood * 0.5 AND cnt > 30)
          SELECT b.event_type,
-           SUM(CASE WHEN sus.bin IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
+           CAST(SUM(CASE WHEN sus.bin IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
            COUNT(*) AS n
          FROM b LEFT JOIN sus
            ON b.event_type = sus.event_type AND b.season = sus.season AND b.bin = sus.bin
@@ -335,7 +335,7 @@ object QueriesSeries {
          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s FROM fl WHERE spike""",
     "w7_constant_ahead" ->
       """SELECT user_id,
-           SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS n_const
+           CAST(SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_const
          FROM (
            SELECT user_id,
                   MAX(ABS(dd)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -355,7 +355,7 @@ object QueriesSeries {
                FROM sc JOIN med ON sc.user_id = med.user_id
                WINDOW w3 AS (PARTITION BY sc.user_id ORDER BY ts ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
          SELECT user_id,
-           SUM(CASE WHEN c3 = 3 AND ss > 2 AND abs(d) > thr THEN 1 ELSE 0 END) AS n_ringing
+           CAST(SUM(CASE WHEN c3 = 3 AND ss > 2 AND abs(d) > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_ringing
          FROM r GROUP BY user_id""",
     "w9_deaccumulate" ->
       """WITH a AS (SELECT user_id, ts,
@@ -379,7 +379,7 @@ object QueriesSeries {
                               WHEN d IS NULL THEN 0.0
                               WHEN d < -50.0 THEN 0.0
                               ELSE d END AS DECIMAL(18,2))) AS DOUBLE) AS total_deacc,
-           SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS n_flagged
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          FROM fl GROUP BY user_id""",
     "w12_interpolate" ->
       """WITH v0 AS (SELECT user_id, ts, epoch(ts) AS et,
@@ -479,9 +479,9 @@ object QueriesSeries {
                       THEN arg_min(elev, cnt) END AS minority
                FROM pv GROUP BY 1)
          SELECT e.user_id,
-           SUM(CASE WHEN (st.nd > 2 AND st.span > 50 AND (e.elev < st.dmed - 50 OR e.elev > st.dmed + 50))
+           CAST(SUM(CASE WHEN (st.nd > 2 AND st.span > 50 AND (e.elev < st.dmed - 50 OR e.elev > st.dmed + 50))
                       OR (st.nd = 2 AND st.span > 50 AND e.elev = st.minority)
-                    THEN 1 ELSE 0 END) AS n_flagged
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          FROM e JOIN st ON e.user_id = st.user_id
          GROUP BY e.user_id""",
     "w14_month_gap" ->

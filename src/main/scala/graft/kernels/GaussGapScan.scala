@@ -103,21 +103,29 @@ object GaussGapScan {
 
   /** Distributed application: per key group, collect (time, value), run the scan, and
     * return flagged (keys..., time) rows. Group cardinality is bounded by (station,
-    * month, hour) — ≤ ~1300 values for 43 years of hourly data. */
+    * month, hour) — ≤ ~1300 values for 43 years of hourly data.
+    *
+    * Output columns are the original key names (string-typed; null components
+    * round-trip as null) plus `t_s` (epoch seconds). Grouping is by the key *tuple*,
+    * so ("a", null) and ("a", "") never collide. */
   def flagged(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
               binSize: Double = 0.25)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val kc = keys.map(col)
+    val nullTag = "\u0000null"
+    val kc = keys.map(c => coalesce(col(c).cast("string"), lit(nullTag)))
     df.filter(col(valueCol).isNotNull)
-      .select(concat_ws("", kc: _*).as("_k"),
+      .select(array(kc: _*).as("_ks"),
         col(timeCol).cast("long").as("_t"), col(valueCol).cast("double").as("_v"))
-      .as[(String, Long, Double)]
+      .as[(Seq[String], Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
         val rows = it.toArray.sortBy(_._2)
         val idx = flagOutliers(rows.map(_._3), binSize)
         idx.iterator.map(i => (k, rows(i)._2))
       }
-      .toDF("_k", "t_s")
+      .toDF("_ks", "t_s")
+      .select(keys.zipWithIndex.map { case (n, i) =>
+        when(col("_ks")(i) === nullTag, lit(null)).otherwise(col("_ks")(i)).as(n)
+      } :+ col("t_s"): _*)
   }
 }

@@ -23,8 +23,10 @@ object StreakOps {
     *  - spurious-streak suppression: rows of the streak must be adjacent in the
     *    PRE-minValue-filter valid series (`is_consecutive` — a min_value hole inside a
     *    run disqualifies it), enforced via a row_number taken before the filter.
-    * Returns the input rows with a boolean `out` column (true = member of a flagged
-    * streak). */
+    * Returns the NON-NULL (and, when `minValue` is set, above-`minValue`) input rows
+    * with a boolean `out` column (true = member of a flagged streak); dropped rows are
+    * not returned — callers that need full-row preservation join the flag back onto
+    * the input on (keys, time), as QaqcPipeline does. */
   def straightRepeats(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String,
                       nValues: Long, nDays: Long, minValue: Option[Double] = None,
                       minSeqLen: Long = 10, out: String = "straight_streak"): DataFrame = {

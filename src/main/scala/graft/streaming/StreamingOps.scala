@@ -36,14 +36,19 @@ object StreamingOps {
                                 startTs: Long, endTs: Long)
 
   final case class DeaccState(lastValue: Double)
-  final case class DeaccOut(key: String, ts: Long, accum: Double, incr: Double)
+  final case class DeaccOut(key: String, ts: Long, accum: Double, incr: Option[Double],
+                            flagged: Boolean)
 
   /** Streaming de-accumulation — the W9 operator on a live accumulated-gauge feed
     * (`qaqc_deaccumulate.py:116-234` batch semantics): per key, emit the increment
-    * vs the previous reading; a drop (reservoir reset / counter wrap) emits 0 instead
-    * of a negative increment. State is ONE double per key — O(keys), stream-length
-    * independent. Rows inside a batch are processed in event order. */
-  def deaccumulate(ds: Dataset[Obs])(implicit spark: SparkSession): Dataset[DeaccOut] = {
+    * vs the previous reading. As in the batch operator, only a drop below
+    * `-resetThreshold` is a reservoir reset (emits increment 0); a smaller negative
+    * diff is suspect — it emits a null increment with `flagged = true` (batch flag 35
+    * semantics) instead of silently laundering it to 0. State is ONE double per key —
+    * O(keys), stream-length independent. Rows inside a batch are processed in event
+    * order. */
+  def deaccumulate(ds: Dataset[Obs], resetThreshold: Double = 50.0)
+                  (implicit spark: SparkSession): Dataset[DeaccOut] = {
     import spark.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[DeaccState, DeaccOut](
@@ -53,12 +58,14 @@ object StreamingOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[DeaccOut]
           var last = state.getOption.map(_.lastValue)
           sorted.foreach { o =>
-            val incr = last match {
-              case Some(prev) if o.value >= prev => o.value - prev
-              case Some(_) => 0.0 // reset: gauge dropped, no negative precip
-              case None => 0.0    // first reading has no increment
+            val (incr, flag) = last match {
+              case Some(prev) if o.value >= prev => (Some(o.value - prev), false)
+              case Some(prev) if o.value - prev < -resetThreshold =>
+                (Some(0.0), false) // reset: gauge emptied, no negative precip
+              case Some(_) => (None, true) // small negative diff: suspect, not a reset
+              case None => (Some(0.0), false) // first reading has no increment
             }
-            out += DeaccOut(key, o.ts, o.value, incr)
+            out += DeaccOut(key, o.ts, o.value, incr, flag)
             last = Some(o.value)
           }
           last.foreach(v => state.update(DeaccState(v)))

@@ -32,21 +32,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming de-accumulation carries gauge state across batches and zeroes resets") {
+  test("streaming de-accumulation carries gauge state, zeroes resets, flags small drops") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Obs]
-    val out = StreamingOps.deaccumulate(input.toDS())
+    val out = StreamingOps.deaccumulate(input.toDS(), resetThreshold = 10.0)
     val q = out.writeStream.format("memory").queryName("deacc_test")
       .outputMode("append").start()
     try {
       input.addData(Obs("g", 1, 10.0), Obs("g", 2, 12.5))
       q.processAllAvailable()
-      // continues from state 12.5; the drop to 1.0 is a reservoir reset -> incr 0
-      input.addData(Obs("g", 3, 15.0), Obs("g", 4, 1.0), Obs("g", 5, 2.0))
+      // continues from state 12.5; the drop 15.0 -> 1.0 (< -resetThreshold) is a
+      // reservoir reset -> incr 0; the small drop 2.0 -> 1.5 is suspect -> null + flag
+      input.addData(Obs("g", 3, 15.0), Obs("g", 4, 1.0), Obs("g", 5, 2.0), Obs("g", 6, 1.5))
       q.processAllAvailable()
-      val rows = spark.sql("SELECT ts, incr FROM deacc_test ORDER BY ts")
-        .as[(Long, Double)].collect()
-      assert(rows.toSeq == Seq((1L, 0.0), (2L, 2.5), (3L, 2.5), (4L, 0.0), (5L, 1.0)))
+      val rows = spark.sql("SELECT ts, incr, flagged FROM deacc_test ORDER BY ts")
+        .as[(Long, Option[Double], Boolean)].collect()
+      assert(rows.toSeq == Seq(
+        (1L, Some(0.0), false), (2L, Some(2.5), false), (3L, Some(2.5), false),
+        (4L, Some(0.0), false), (5L, Some(1.0), false), (6L, None, true)))
     } finally q.stop()
   }
 

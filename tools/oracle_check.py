@@ -45,6 +45,17 @@ def main(outdir, sfdir):
             n_fail += 1; continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}"); n_fail += 1; continue
+        # Driver-hash risk: the driver hashes typed values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB SUM(int) -> HUGEINT -> pandas float64) hash-
+        # mismatches even when every value compares equal. Same-kind width diffs are OK.
+        kind_bad = [c for c in s.columns if s[c].dtype.kind != o[c].dtype.kind
+                    and {s[c].dtype.kind, o[c].dtype.kind} <= {"i", "u", "f"}
+                    and "f" in {s[c].dtype.kind, o[c].dtype.kind}]
+        if kind_bad:
+            for c in kind_bad:
+                print(f"FAIL {name}: DTYPE-HASH-RISK col {c}: spark={s[c].dtype} oracle={o[c].dtype}"
+                      " (wrap oracle agg in CAST(... AS BIGINT) or cast spark side to double)")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
             print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
