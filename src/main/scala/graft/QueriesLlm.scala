@@ -237,6 +237,12 @@ object QueriesLlm {
       s"($i, ${p.mkString("[", ", ", "]")})"
     }.mkString(",\n             ")
 
+  /** The e2 LSH planes (nPlanes=10), same seeded constants as the Spark op. */
+  private val e2PlanesSql: String =
+    graft.ann.AnnOps.hyperplanes(10, 64, 42L).zipWithIndex.map { case (p, i) =>
+      s"($i, ${p.mkString("[", ", ", "]")})"
+    }.mkString(",\n             ")
+
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), j -> $a[j] * $b[j]))"
 
@@ -533,8 +539,46 @@ object QueriesLlm {
       """SELECT doc_id,
             CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_len,
             CAST(octet_length(encode(text)) AS BIGINT) AS orig_len
-          FROM documents"""
-    // e2_ann_lsh intentionally has no oracle: plane constants live in Scala; the
-    // driver records a rows-only check and AnnOpsSpec property-tests recall >= 0.9.
+          FROM documents""",
+    // e2: the full LSH pipeline replicated — plane constants inlined, signatures as
+    // ordered bit string_aggs, multi-probe = the signature plus each Hamming-1 flip.
+    // Dot products fold in the Spark order, so sign bits and cosines agree bit-exactly.
+    // (AnnOpsSpec additionally property-tests recall >= 0.9 vs brute force.)
+    "e2_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10),
+          planes(pid, p) AS (VALUES
+             $e2PlanesSql),
+          cbits AS (SELECT c.cid, pl.pid,
+              CASE WHEN ${dotSql("c.cv", "pl.p")} > 0 THEN '1' ELSE '0' END AS bit
+            FROM c CROSS JOIN planes pl),
+          csig AS (SELECT cid, string_agg(bit, '' ORDER BY pid) AS bkt
+                   FROM cbits GROUP BY cid),
+          qbits AS (SELECT q.qid, pl.pid,
+              CASE WHEN ${dotSql("q.qv", "pl.p")} > 0 THEN '1' ELSE '0' END AS bit
+            FROM q CROSS JOIN planes pl),
+          qsig AS (SELECT qid, string_agg(bit, '' ORDER BY pid) AS sig
+                   FROM qbits GROUP BY qid),
+          qprobe AS (
+            SELECT qid, sig AS bkt FROM qsig
+            UNION ALL
+            SELECT qid,
+              substring(sig, 1, i) ||
+              (CASE WHEN substring(sig, i + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+              substring(sig, i + 2) AS bkt
+            FROM qsig CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i)),
+          cands AS (SELECT p.qid, s.cid FROM qprobe p JOIN csig s ON p.bkt = s.bkt),
+          scored AS (SELECT cd.qid, cd.cid,
+              CASE WHEN sqrt(${dotSql("c.cv", "c.cv")})
+                        * sqrt(${dotSql("q.qv", "q.qv")}) = 0 THEN 0.0
+                   ELSE ${dotSql("c.cv", "q.qv")}
+                        / (sqrt(${dotSql("c.cv", "c.cv")})
+                           * sqrt(${dotSql("q.qv", "q.qv")})) END AS cos
+            FROM cands cd JOIN c ON cd.cid = c.cid JOIN q ON cd.qid = q.qid),
+          r AS (SELECT qid, cid, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+                FROM scored)
+          SELECT qid, cid, ROUND(cos, 6) AS cos, rank FROM r WHERE rank <= 5"""
   )
 }

@@ -187,13 +187,17 @@ object QueriesSeries {
         .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n_flagged"))
     }),
 
-    // W11: Butterworth low-pass kernel (rows-only: IIR has no SQL oracle; numeric
-    // parity vs scipy is pinned in KernelsSpec) (SURVEY §2.5 W11)
+    // W11: Butterworth low-pass kernel, oracle-exact: the first-order IIR is a
+    // deterministic sequential fold, so a DuckDB recursive CTE replays it bit-for-bit
+    // when the coefficients are inlined as round-trip doubles and the hourly mean is
+    // an order-independent decimal sum (SURVEY §2.5 W11)
     "w11_butterworth" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val e = t(s, dir, "events")
         .withColumn("tsh", date_trunc("HOUR", col("ts")))
-        .groupBy(col("user_id"), col("tsh")).agg(avg(col("value")).as("v"))
+        .groupBy(col("user_id"), col("tsh"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(col("value")).cast("double")).as("v"))
         .withColumn("freq_s", lit(3600.0))
       graft.kernels.Butterworth.lowPass(e, Seq("user_id"), "tsh", "v", "freq_s", "lp")
         .groupBy(col("user_id"))
@@ -226,7 +230,34 @@ object QueriesSeries {
     })
   )
 
+  /** w11's IIR coefficients, computed by the same Scala code the kernel runs and
+    * inlined as shortest-round-trip doubles (Double.toString), so DuckDB parses back
+    * the identical bit patterns. */
+  private val w11c = graft.kernels.Butterworth.coeffs(
+    graft.kernels.Butterworth.OneMonthCutoffHz, 1.0 / 3600.0)
+
   def oracles: Map[String, String] = Map(
+    // The first-order IIR y[n] = b0*x[n] + b1*x[n-1] - a1*y[n-1] replayed as a
+    // recursive CTE: one row per (series, position), advancing one position per
+    // recursion step. Float ops fold in the same order as the Scala kernel, so the
+    // compare is bit-exact.
+    "w11_butterworth" ->
+      s"""WITH RECURSIVE
+         h AS (SELECT user_id, date_trunc('hour', ts) AS tsh,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(value) AS DOUBLE) AS v
+               FROM events GROUP BY 1, 2),
+         s AS (SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id ORDER BY tsh) AS rn
+               FROM h),
+         f AS (
+           SELECT user_id, rn, v, ${w11c.b0} * v AS y FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.v,
+                  ${w11c.b0} * s.v + ${w11c.b1} * f.v - ${w11c.a1} * f.y AS y
+           FROM s JOIN f ON s.user_id = f.user_id AND s.rn = f.rn + 1)
+         SELECT user_id, COUNT(y) AS n, ROUND(MAX(ABS(y)), 4) AS max_lp
+         FROM f GROUP BY user_id""",
     "a5f_frequent_flag" ->
       """WITH b AS (
            SELECT event_type, ts,
