@@ -211,6 +211,34 @@ object QueriesLlm {
         .select(col("id").as("doc_id"),
           length(col("payload")).cast("long").as("resized_len"),
           element_at(col("meta"), "orig_bytes").cast("long").as("orig_len"))
+    }),
+
+    // d7: duplicate-cluster resolution — LSH near-dup pairs -> connected components
+    // -> one canonical doc (the minimum id) per cluster
+    "d7_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.4, shingleN = 3, k = 32, bands = 8)
+        .select(col("id1"), col("id2"))
+      DedupOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("keep"))
+    }),
+
+    // t6: Gopher-style repetition stats per document (shuffle-free HOF fold)
+    "t6_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.repetitionStats(col("text"), 2).as("r"))
+        .select(col("doc_id"), col("r.n_grams").as("n_grams"),
+          col("r.dup_grams").as("dup_grams"), col("r.top_gram").as("top_gram"))
+    }),
+
+    // samp1: deterministic hash-based stratified sampling by language
+    "samp1_stratified" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("keep", TextOps.stratifiedSampleFlag(col("doc_id"), col("lang"),
+          Map("en" -> 0.8, "es" -> 0.5, "fr" -> 0.25), defaultRate = 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_kept"))
     })
   )
 
@@ -248,6 +276,49 @@ object QueriesLlm {
 
   private val stopwordsSql: String =
     TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared CTE chain: documents -> shingles -> minhash signatures -> banded LSH
+    * candidate pairs -> jaccard-verified pairs. Used by d2 (the pair listing) and d7
+    * (connected-components clustering of the same pairs). */
+  private val minhashVerifiedCte: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks),
+          h AS (SELECT doc_id,
+                  list_distinct(list_transform(sh,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 4294967296)) AS h32
+                FROM sh),
+          sig AS (SELECT doc_id, h32,
+                  list_transform(generate_series(0, 31), i ->
+                    list_min(list_transform(h32,
+                      x -> ($aList[i + 1] * x + $bList[i + 1]) % 2305843009213693951))) AS sig
+                FROM h),
+          bands AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(0, 7), b ->
+                    CAST(b AS VARCHAR) || ':' ||
+                    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ','))) AS band
+                FROM sig),
+          okbands AS (
+            SELECT band FROM bands GROUP BY band
+            HAVING COUNT(*) BETWEEN 2 AND 500),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a
+            JOIN okbands ob ON a.band = ob.band
+            JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          prefiltered AS (
+            SELECT p.id1, p.id2, s1.h32 AS a1, s2.h32 AS a2
+            FROM pairs p
+            JOIN sig s1 ON p.id1 = s1.doc_id
+            JOIN sig s2 ON p.id2 = s2.doc_id
+            WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+                  / 32 >= 0.2),
+          verified AS (
+            SELECT id1, id2,
+              CASE WHEN len(list_distinct(list_concat(a1, a2))) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(a1, a2)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a1, a2))) END AS j
+            FROM prefiltered)"""
 
   def oracles: Map[String, String] = Map(
     "t1_text_stats" ->
@@ -338,45 +409,48 @@ object QueriesLlm {
           GROUP BY md5(array_to_string(
             list_filter(regexp_split_to_array(trim(lower(text10)), '\\s+'), x -> len(x) > 0), ' '))""",
     "d2_minhash_neardups" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-          sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks),
-          h AS (SELECT doc_id,
-                  list_distinct(list_transform(sh,
-                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 4294967296)) AS h32
-                FROM sh),
-          sig AS (SELECT doc_id, h32,
-                  list_transform(generate_series(0, 31), i ->
-                    list_min(list_transform(h32,
-                      x -> ($aList[i + 1] * x + $bList[i + 1]) % 2305843009213693951))) AS sig
-                FROM h),
-          bands AS (SELECT doc_id,
-                  unnest(list_transform(generate_series(0, 7), b ->
-                    CAST(b AS VARCHAR) || ':' ||
-                    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ','))) AS band
-                FROM sig),
-          okbands AS (
-            SELECT band FROM bands GROUP BY band
-            HAVING COUNT(*) BETWEEN 2 AND 500),
-          pairs AS (
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a
-            JOIN okbands ob ON a.band = ob.band
-            JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-          prefiltered AS (
-            SELECT p.id1, p.id2, s1.h32 AS a1, s2.h32 AS a2
-            FROM pairs p
-            JOIN sig s1 ON p.id1 = s1.doc_id
-            JOIN sig s2 ON p.id2 = s2.doc_id
-            WHERE CAST(list_sum(list_transform(generate_series(1, 32),
-                    i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-                  / 32 >= 0.2),
-          verified AS (
-            SELECT id1, id2,
-              CASE WHEN len(list_distinct(list_concat(a1, a2))) = 0 THEN 0.0
-                   ELSE CAST(len(list_intersect(a1, a2)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a1, a2))) END AS j
-            FROM prefiltered)
+      s"""WITH $minhashVerifiedCte
           SELECT id1, id2, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.4""",
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+          nd AS (SELECT id1, id2 FROM verified WHERE j >= 0.4),
+          e2 AS (SELECT id1 AS s, id2 AS d FROM nd
+                 UNION SELECT id2, id1 FROM nd),
+          walk(id, r) AS (
+            SELECT s, d FROM e2
+            UNION
+            SELECT w.id, e.d FROM walk w JOIN e2 e ON w.r = e.s)
+          SELECT id AS doc_id,
+            LEAST(id, MIN(r)) AS cluster,
+            (id = LEAST(id, MIN(r))) AS keep
+          FROM walk GROUP BY id""",
+    "t6_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          g AS (SELECT doc_id,
+                  CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                       ELSE list_transform(generate_series(1, len(tk) - 1),
+                              i -> array_to_string(list_slice(tk, i, i + 1), ' ')) END AS grams
+                FROM toks),
+          c AS (SELECT doc_id, gram, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1, 2),
+          agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+                    CAST(MAX(c) AS BIGINT) AS top_gram
+                  FROM c GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+            COALESCE(a.dup_grams, 0) AS dup_grams, COALESCE(a.top_gram, 0) AS top_gram
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+    "samp1_stratified" ->
+      """WITH k AS (
+            SELECT lang,
+              (('0x' || substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0)
+              < CASE lang WHEN 'en' THEN 0.8 WHEN 'es' THEN 0.5
+                          WHEN 'fr' THEN 0.25 ELSE 0.1 END AS keep
+            FROM documents)
+          SELECT lang, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM k GROUP BY lang""",
     "d3_simhash" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -222,6 +222,56 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Connected components over an undirected near-dup edge list — the clustering step
+    * after candidate-pair generation: each document gets its component's MINIMUM id as
+    * `cluster`, so `id == cluster` selects one canonical document per duplicate
+    * cluster (the step that turns pairwise near-dups into an actual dedup decision).
+    *
+    * Algorithm: iterative min-label propagation. Per round, every node takes the min
+    * of its own label and its neighbors' labels (one equi-join + one groupBy — two
+    * key-balanced shuffles), repeated to a fixpoint. Rounds = component diameter;
+    * near-dup clusters are shallow (most are pairs/triangles), so this converges in
+    * 2-4 rounds in practice. The convergence check is a `limit(1).count` existence
+    * aggregate, not a data collect. `maxIter` bounds pathological chains; components
+    * wider than that still get consistent (if unconverged) labels, and a production
+    * run on adversarial graphs would switch to large-star/small-star for O(log n)
+    * rounds. Each round's label table is `localCheckpoint`ed (eager): persist alone
+    * caches the DATA but not the PLAN — the union+join both reference the previous
+    * round, so the uncheckpointed logical plan doubles per round and planning itself
+    * goes exponential by ~10 rounds. Checkpointing truncates lineage to O(1) per
+    * round (a cluster job would use reliable `checkpoint` to survive executor loss).
+    *
+    * Returns (id, cluster) for every node that appears in `edges`; singleton documents
+    * (no near-dup pair) are their own cluster by definition and need no row. */
+  def connectedComponents(edges: DataFrame, id1: String = "id1", id2: String = "id2",
+                          maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(edges.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "_old"), "id")
+        .filter(col("lbl") =!= col("_old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   /** 32-bit SimHash of the token multiset: per token, md5-derived 32-bit hash votes
     * +/-1 on each bit position; positive vote-sums set bits. O(tokens x 32) codegen'd
     * expression, no UDF. */

@@ -217,4 +217,18 @@ object SeriesOps {
         .when(nextT === prevT, prevV)
         .otherwise(prevV + (nextV - prevV) * frac))
   }
+
+  /** Sessionization: consecutive events of a key share a session while each gap to
+    * the previous event is <= `gapSeconds`; a larger gap (or the first event) opens a
+    * new session. Adds `out` = 1-based session index per key. The streaming twin is
+    * StreamingOps.sessionize (same semantics on a live feed with per-key state).
+    * One shuffle on the series key; the lag + running sum are partition-local. */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String, gapSeconds: Long,
+                 out: String = "session_id"): DataFrame = {
+    val w = seriesWindow(keys, timeCol)
+    val tl = col(timeCol).cast("long")
+    val gap = tl - lag(tl, 1).over(w)
+    val opens = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    df.withColumn(out, sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
 }

@@ -73,6 +73,38 @@ object StreamingOps {
       }
   }
 
+  final case class SessionState(startTs: Long, lastTs: Long, n: Long)
+  final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
+
+  /** Streaming sessionization — the streaming twin of SeriesOps.sessionize: events
+    * for a key extend its open session while they arrive within `gapSeconds` of the
+    * last seen event; a larger jump closes the session (emitted) and opens a new one.
+    * State is one (start, last, n) triple per key — O(keys) memory. The final open
+    * session stays in state until a later event closes it (append-mode semantics). */
+  def sessionize(ds: Dataset[Obs], gapSeconds: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { o =>
+            if (st == null) st = SessionState(o.ts, o.ts, 1)
+            else if (o.ts - st.lastTs <= gapSeconds)
+              st = st.copy(lastTs = o.ts, n = st.n + 1)
+            else {
+              closed += SessionOut(key, st.startTs, st.lastTs, st.n)
+              st = SessionState(o.ts, o.ts, 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
   /** Streaming RLE: per key, consecutive equal values form a run; when the value
     * changes (or the state times out), the closed run is emitted. State is one
     * (value, count, bounds) tuple per key — O(keys) memory regardless of stream

@@ -122,6 +122,71 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Per-document n-gram repetition stats — the Gopher-style repetition quality
+    * filters (fraction of text inside duplicated n-grams, dominance of the single top
+    * n-gram). Returns struct(n_grams, dup_grams, top_gram):
+    *  - n_grams: total word n-grams in the document;
+    *  - dup_grams: n-grams belonging to a gram that occurs more than once;
+    *  - top_gram: occurrences of the most frequent gram.
+    * Callers derive the ratios (`dup_grams / n_grams` etc.) at whatever precision
+    * they need.
+    *
+    * Computed by sorting the row's own n-gram array and run-length folding it —
+    * scan-speed, NO shuffle. (The naive formulation explodes n-grams and re-groups by
+    * (doc, gram): a full-table shuffle of ~|tokens| rows per document, which at
+    * 100 TB is the single biggest avoidable shuffle in a quality-scoring pass.) */
+  def repetitionStats(text: Column, n: Int = 2): Column = {
+    val toks = tokens(lower(text))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val sorted = array_sort(grams)
+    // fold state: (prev gram, current run length, grams in closed duplicated runs,
+    // longest closed run, total). A run closes when the sorted value changes.
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"),
+      lit(0L).as("top"), lit(0L).as("cnt"))
+    aggregate(sorted, init,
+      (acc, x) => {
+        val same = acc.getField("prev") === x
+        val run = acc.getField("run")
+        struct(
+          x.as("prev"),
+          when(same, run + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("dup"))
+            .otherwise(acc.getField("dup") + when(run > 1, run).otherwise(0L)).as("dup"),
+          when(same, acc.getField("top"))
+            .otherwise(greatest(acc.getField("top"), run)).as("top"),
+          (acc.getField("cnt") + 1).as("cnt"))
+      },
+      acc => struct(
+        acc.getField("cnt").as("n_grams"),
+        (acc.getField("dup") +
+          when(acc.getField("run") > 1, acc.getField("run")).otherwise(0L)).as("dup_grams"),
+        greatest(acc.getField("top"), acc.getField("run")).as("top_gram")))
+  }
+
+  /** Deterministic uniform-in-[0,1) hash of an id with a salt — the sampling
+    * primitive. Routed through md5 so external engines replicate it exactly. */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit((1L << 60).toDouble)
+
+  /** Deterministic stratified sampling: keep a row iff its salted id-hash falls below
+    * the stratum's rate. Rates are a small driver-side map compiled into a when-chain
+    * (no join, no broadcast); unknown strata fall back to `defaultRate`. Membership
+    * depends only on (salt, id, stratum) — never on row order, partitioning, or
+    * corpus size — so a sample stays stable as the corpus grows and across engines,
+    * the property that matters when re-sampling 100 TB incrementally. */
+  def stratifiedSampleFlag(id: Column, stratum: Column, rates: Map[String, Double],
+                           defaultRate: Double = 0.0,
+                           salt: String = "samp:"): Column = {
+    val u = hashUniform(id, salt)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, r)) => when(stratum === k, lit(r)).otherwise(acc)
+    }
+    u < rate
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD 2003): the minimum hash of every
     * `w`-window of k-gram hashes, deduplicated and sorted. Any substring match of

@@ -183,4 +183,22 @@ class DedupAnnSpec extends SparkSpec {
     val cos = got.map(_._3)
     assert(cos.sameElements(cos.sorted.reverse))
   }
+
+  test("connected components: min-label clusters over a near-dup edge list") {
+    import spark.implicits._
+    // components: {1,2,3} (triangle), {10,11,12,13} (chain), {20,21} (pair)
+    val edges = Seq((2L, 1L), (2L, 3L), (1L, 3L), (11L, 10L), (12L, 11L),
+      (13L, 12L), (21L, 20L)).toDF("id1", "id2")
+    val got = DedupOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converge on a long chain within maxIter") {
+    import spark.implicits._
+    // a 12-node path: worst-case diameter for label propagation
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = DedupOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got.size == 12 && got.values.forall(_ == 1L))
+  }
 }

@@ -119,4 +119,18 @@ class SeriesOpsSpec extends SparkSpec {
     // rows 0: window covers hours 0-2 (all 0) -> true; row 1: covers 1-3 (has 5) -> false
     assert(got == Seq(true, false, false, false))
   }
+
+  test("sessionize: gaps above the threshold open new per-key sessions") {
+    val df = Seq(
+      ("a", ts(0, 0), 1.0), ("a", ts(0, 10), 1.0), ("a", ts(0, 25), 1.0),
+      ("a", ts(2, 0), 1.0), ("a", ts(2, 20), 1.0),
+      ("b", ts(0, 0), 1.0), ("b", ts(9, 0), 1.0))
+      .toDF("k", "t", "v")
+    val got = SeriesOps.sessionize(df, Seq("k"), "t", gapSeconds = 30 * 60)
+      .select(col("k"), col("t"), col("session_id"))
+      .as[(String, Timestamp, Long)].collect()
+      .map { case (k, t, s) => (k, t.getTime / 1000 / 60 % (24 * 60) / 60.0, s) }.sorted
+    assert(got.map { case (k, _, s) => (k, s) }.toSeq ==
+      Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L), ("b", 1L), ("b", 2L)))
+  }
 }

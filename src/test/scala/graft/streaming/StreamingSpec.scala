@@ -69,4 +69,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("a", 5.0, 4L)))
     } finally q.stop()
   }
+
+  test("streaming sessionize closes a session only when a later event exceeds the gap") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val out = StreamingOps.sessionize(input.toDS(), gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Obs("a", 100, 1.0), Obs("a", 130, 1.0), Obs("b", 100, 1.0))
+      q.processAllAvailable()
+      // a: 130 -> 500 exceeds the 60s gap: session [100,130] closes, new one opens;
+      // b's lone session stays open (never emitted)
+      input.addData(Obs("a", 500, 1.0), Obs("a", 520, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, startTs, endTs, n FROM sess_test")
+        .as[(String, Long, Long, Long)].collect()
+      assert(rows.toSeq == Seq(("a", 100L, 130L, 2L)))
+      // the open session closes when a sufficiently-late event arrives
+      input.addData(Obs("a", 1000, 1.0))
+      q.processAllAvailable()
+      val rows2 = spark.sql("SELECT key, startTs, endTs, n FROM sess_test ORDER BY startTs")
+        .as[(String, Long, Long, Long)].collect()
+      assert(rows2.toSeq == Seq(("a", 100L, 130L, 2L), ("a", 500L, 520L, 2L)))
+    } finally q.stop()
+  }
 }

@@ -34,4 +34,38 @@ class TextOpsSpec extends SparkSpec {
     assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(m(1L) > m(2L))
   }
+
+  test("repetition stats count duplicated and dominant n-grams") {
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> n=5, all duplicated (5), top=3
+    // "one two three four": 3 distinct bigrams, none duplicated
+    val df = Seq((1L, "a b a b a b"), (2L, "one two three four"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.repetitionStats(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.n_grams"), col("r.dup_grams"), col("r.top_gram"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got(1L) == ((5L, 5L, 3L)))
+    assert(got(2L) == ((3L, 0L, 1L)))
+    assert(got(3L) == ((0L, 0L, 0L)))  // fewer tokens than n -> no grams
+  }
+
+  test("stratified sampling is deterministic, stratum-dependent, and rate-faithful") {
+    val rates = Map("en" -> 0.8, "fr" -> 0.2)
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+      .withColumn("keep", TextOps.stratifiedSampleFlag(col("id"), col("lang"), rates,
+        defaultRate = 0.0))
+    val kept = df.filter(col("keep")).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // binomial(1000, p): allow +/- 5 sigma
+    assert(math.abs(kept("en") - 800.0) < 5 * math.sqrt(1000 * 0.8 * 0.2))
+    assert(math.abs(kept("fr") - 200.0) < 5 * math.sqrt(1000 * 0.2 * 0.8))
+    // determinism: same ids -> identical decisions on a re-evaluation
+    val again = df.drop("keep")
+      .withColumn("keep", TextOps.stratifiedSampleFlag(col("id"), col("lang"), rates,
+        defaultRate = 0.0))
+      .filter(col("keep")).groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
 }
