@@ -298,27 +298,32 @@ object DedupOps {
     * verify. Pigeonhole guarantees RECALL = 1 for `maxHamming` <= 3: four bands can
     * absorb at most 3 differing bits while leaving one band identical, so every
     * qualifying pair shares at least one bucket. Same bounded-bucket shape as
-    * [[minhashNearDups]] — one groupBy shuffle, never all-pairs. */
+    * [[minhashNearDups]] — one groupBy shuffle, never all-pairs.
+    *
+    * Unlike the minhash path, the verify payload is a single long, so the signature
+    * rides INSIDE the bucket structs and the Hamming filter runs before any dedup:
+    * candidate volume with 8-bit keys is ~n²/256 per band (millions of pairs at
+    * scale), and a `distinct` + two join-backs on that firehose were the dominant
+    * cost of the whole op. Filtering at generation reduces the distinct to the true
+    * near-dup set (tiny) and removes both joins; duplicate survivors across bands
+    * cost one redundant xor+popcount each. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     require(maxHamming <= 3, "4x8-bit banding guarantees recall only for maxHamming <= 3")
     val sh = df.select(col(idCol), simhash32(col(textCol)).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until 4).map(b =>
       concat(lit(s"$b:"), shiftright(col("_sh"), 8 * b).bitwiseAND(lit(255L)).cast("string")))
-    val pairs = sh
-      .select(col(idCol), explode(array(bandKeys: _*)).as("_band"))
-      .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucketSize))
-      .select(explode(col("_ids")).as("id1"), col("_ids"))
-      .select(col("id1"), explode(col("_ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .distinct()
-    pairs
-      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_h1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_h2")), "id2")
-      .withColumn("hamming", hammingDistance(col("_h1"), col("_h2")))
+    sh.select(struct(col(idCol).as("id"), col("_sh").as("sh")).as("_rec"),
+        explode(array(bandKeys: _*)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("hamming", hammingDistance(col("a.sh"), col("b.sh")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 }
