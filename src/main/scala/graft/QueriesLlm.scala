@@ -232,6 +232,53 @@ object QueriesLlm {
           col("r.dup_grams").as("dup_grams"), col("r.top_gram").as("top_gram"))
     }),
 
+    // t7: rule-based PII redaction; the synthetic corpus has no PII, so the query
+    // plants deterministic doc_id-derived emails/urls/ids/ips on both engine sides
+    "t7_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("dirty", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or http://ex.com/page/"), col("doc_id").cast("string"),
+          lit(" ref "), (col("doc_id") * 7919 + 1000000).cast("string"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".17")))
+        .select(col("doc_id"), graft.text.TextOps.redact(col("dirty")).as("red"))
+    }),
+
+    // d9: benchmark decontamination — drop corpus docs whose normalized 10-token
+    // prefix collides with the held-out set (source src0)
+    "d9_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text10",
+          concat_ws(" ", slice(TextOps.tokens(lower(col("text"))), 1, 10)))
+      DedupOps.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "text10")
+        .select(col("doc_id"))
+    }),
+
+    // e6: one spherical k-means step; centroid init = the 8 smallest-id embeddings
+    // (a k-row driver collect — centroid seeding, not a data collect)
+    "e6_kmeans_step" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(8)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      AnnOps.kmeansStep(emb, "embedding", cents)
+        .select(col("cid"), col("n"),
+          round(element_at(col("centroid"), 1), 4).as("c1"),
+          round(element_at(col("centroid"), 2), 4).as("c2"))
+    }),
+
+    // pipe2: the curation funnel end-to-end (quality -> lang -> dedup -> sample)
+    "pipe2_curation" -> ((s, dir) => {
+      val cfg = graft.pipeline.CurationPipeline.Config(
+        minQuality = 0.7, markers = TestMarkers,
+        rates = Map("alpha" -> 0.9, "beta" -> 0.5, "gamma" -> 0.25), defaultRate = 0.1)
+      graft.pipeline.CurationPipeline.funnel(
+        graft.pipeline.CurationPipeline.annotate(
+          t(s, dir, "documents"), "doc_id", "text", cfg))
+    }),
+
     // samp1: deterministic hash-based stratified sampling by language
     "samp1_stratified" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -273,6 +320,13 @@ object QueriesLlm {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), j -> $a[j] * $b[j]))"
+
+  /** Nested regexp_replace chain replicating [[TextOps.redact]]'s rule order
+    * (DuckDB needs the explicit 'g' flag; Spark replaces globally by default). */
+  private def redactSql(inner: String): String =
+    graft.text.TextOps.DefaultRedactions.foldLeft(inner) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
 
   private val stopwordsSql: String =
     TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
@@ -440,6 +494,115 @@ object QueriesLlm {
           SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
             COALESCE(a.dup_grams, 0) AS dup_grams, COALESCE(a.top_gram, 0) AS top_gram
           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+    "t7_redact" ->
+      s"""WITH dirty AS (
+            SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or http://ex.com/page/' || CAST(doc_id AS VARCHAR)
+                || ' ref ' || CAST(doc_id * 7919 + 1000000 AS VARCHAR)
+                || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' AS d
+            FROM documents)
+          SELECT doc_id, ${redactSql("d")} AS red FROM dirty""",
+    "d9_decontaminate" ->
+      s"""WITH p AS (
+            SELECT doc_id, source,
+              md5(array_to_string(list_filter(
+                regexp_split_to_array(trim(lower(t10)), '\\s+'), x -> len(x) > 0), ' ')) AS fp
+            FROM (SELECT doc_id, source,
+                    array_to_string(list_slice($toksSql, 1, 10), ' ') AS t10
+                  FROM documents))
+          SELECT doc_id FROM p c
+          WHERE source != 'src0'
+            AND NOT EXISTS (SELECT 1 FROM p r WHERE r.source = 'src0' AND r.fp = c.fp)""",
+    "e6_kmeans_step" ->
+      """WITH c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings ORDER BY vec_id LIMIT 8),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT vec_id, cid,
+              CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), j -> v[j] * v[j])))
+                        * sqrt(list_sum(list_transform(generate_series(1, 64), j -> cv[j] * cv[j]))) = 0
+                   THEN 0.0
+                   ELSE list_sum(list_transform(generate_series(1, 64), j -> v[j] * cv[j]))
+                        / (sqrt(list_sum(list_transform(generate_series(1, 64), j -> v[j] * v[j])))
+                           * sqrt(list_sum(list_transform(generate_series(1, 64), j -> cv[j] * cv[j]))))
+              END AS cos
+            FROM v CROSS JOIN c),
+          best AS (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+            FROM scored),
+          m AS (SELECT b.cid, v.v FROM best b JOIN v USING (vec_id) WHERE rn = 1)
+          SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n,
+            ROUND(CAST(SUM(CAST(v[1] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 4) AS c1,
+            ROUND(CAST(SUM(CAST(v[2] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 4) AS c2
+          FROM m GROUP BY cid""",
+    "pipe2_curation" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+          m AS (SELECT doc_id, text, tk,
+              CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                        / len(tk) END AS mtl,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE)
+                        / length(text) END AS pr,
+              CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(tk, x -> x IN ($stopwordsSql))) AS DOUBLE)
+                        / len(tk) END AS sw
+            FROM t),
+          q AS (SELECT doc_id, tk,
+              ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+                    + (1.0 - least(pr * 5.0, 1.0)) * 0.2
+                    + least(sw * 4.0, 1.0) * 0.2
+                    + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+                    6) AS quality,
+              md5(array_to_string(tk, ' ')) AS fp
+            FROM m),
+          hits AS (
+            SELECT doc_id, lang, hits FROM (
+              SELECT doc_id, 'alpha' AS lang,
+                len(list_filter(tk, x -> x IN ('spark', 'sql', 'batch', 'stream'))) AS hits
+              FROM q
+              UNION ALL
+              SELECT doc_id, 'beta',
+                len(list_filter(tk, x -> x IN ('data', 'table', 'row', 'column')))
+              FROM q
+              UNION ALL
+              SELECT doc_id, 'gamma',
+                len(list_filter(tk, x -> x IN ('sort', 'hash', 'scan', 'merge')))
+              FROM q)),
+          det AS (
+            SELECT doc_id,
+              CASE WHEN hits > 0 THEN lang ELSE 'und' END AS det
+            FROM (SELECT doc_id, lang, hits,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+                  FROM hits)
+            WHERE rn = 1),
+          j AS (
+            SELECT q.doc_id, q.fp, det.det,
+              q.quality >= 0.7 AS kq,
+              (q.quality >= 0.7 AND det.det != 'und') AS kl
+            FROM q JOIN det USING (doc_id)),
+          d AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY fp
+                ORDER BY (CASE WHEN kl THEN 0 ELSE 1 END), doc_id) AS rn
+            FROM j),
+          k AS (
+            SELECT kq, kl, (kl AND rn = 1) AS kd,
+              (kl AND rn = 1 AND
+                (('0x' || substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   / 1152921504606846976.0)
+                < CASE det WHEN 'alpha' THEN 0.9 WHEN 'beta' THEN 0.5
+                           WHEN 'gamma' THEN 0.25 ELSE 0.1 END) AS ks
+            FROM d)
+          SELECT COUNT(*) AS n_total,
+            CAST(SUM(CASE WHEN kq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+            CAST(SUM(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+            CAST(SUM(CASE WHEN kd THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+            CAST(SUM(CASE WHEN ks THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+          FROM k""",
     "samp1_stratified" ->
       """WITH k AS (
             SELECT lang,

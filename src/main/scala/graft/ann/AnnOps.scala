@@ -100,6 +100,31 @@ object AnnOps {
     greatest(scored: _*).getField("cid")
   }
 
+  /** One (spherical) k-means update step over an embedding corpus: assign every
+    * vector to its nearest centroid ([[ivfAssign]] — max cosine, ties to the higher
+    * cid), then recompute each centroid as the per-dimension mean of its members.
+    * Returns (cid, n, centroid: array<double>); callers iterate, renormalize, or
+    * feed the result back into [[ivfTopK]] as the next round's cells.
+    *
+    * Scale shape: centroids are k small literals compiled into the assignment
+    * expression (no join, no broadcast table), and the per-dimension sums are `dim`
+    * independent SUM aggregates — map-side partial aggregation applies, so the single
+    * shuffle carries k*dim decimals per partition, not the vectors. Sums go through
+    * DECIMAL(27,10) so the result is addition-order independent (bit-identical across
+    * partitionings and engines). Unused dimensions prune: a caller projecting 2 of 64
+    * mean components pays for 2 aggregates, not 64. */
+  def kmeansStep(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val dim = centroids.head.size
+    val sums = (0 until dim).map(j =>
+      sum(element_at(col(vecCol), j + 1).cast("decimal(27,10)")).as(s"_s$j"))
+    df.withColumn("_cell", ivfAssign(col(vecCol), centroids))
+      .groupBy(col("_cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("_cell").cast("long").as("cid"), col("n"),
+        array((0 until dim).map(j =>
+          col(s"_s$j").cast("double") / col("n")): _*).as("centroid"))
+  }
+
   /** Per-vector int8 scalar quantization — the storage path for billion-vector
     * corpora (4x smaller than float32, 8x than float64; IVF+SQ is the standard
     * pairing). Codes are `round((v - mn) / (mx - mn) * 255) - 128` with the

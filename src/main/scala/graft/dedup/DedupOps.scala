@@ -222,6 +222,19 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Benchmark decontamination: drop every corpus document whose normalized-text
+    * fingerprint appears in `reference` (held-out eval sets, test splits). The
+    * reference side is tiny next to the corpus, so the anti-join broadcasts (AQE; no
+    * forced hint — a genuinely large reference degrades gracefully to a shuffled
+    * anti-join). Fingerprints route through md5, so the decision is engine-portable
+    * and a removed doc can be re-derived by any auditor. */
+  def decontaminate(corpus: DataFrame, reference: DataFrame, textCol: String): DataFrame = {
+    val fp = graft.text.TextOps.fingerprint _
+    corpus.join(
+      reference.select(fp(col(textCol)).as("_ref_fp")).distinct(),
+      fp(corpus(textCol)) === col("_ref_fp"), "left_anti")
+  }
+
   /** Connected components over an undirected near-dup edge list — the clustering step
     * after candidate-pair generation: each document gets its component's MINIMUM id as
     * `cluster`, so `id == cluster` selects one canonical document per duplicate

@@ -75,7 +75,8 @@ object TextOps {
         size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
         lit(langCode).as("lang"))
     }
-    val best = greatest(scores: _*)
+    // greatest() requires >= 2 args; a single-language marker map is its own best
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
@@ -186,6 +187,23 @@ object TextOps {
     }
     u < rate
   }
+
+  /** Default PII-redaction rules, applied in order: emails first (so their digit
+    * runs don't half-match later rules), then URLs, IPv4 literals, and long digit
+    * runs (ids, phone-ish numbers). Patterns stay inside the Java-regex / RE2 common
+    * subset so external engines (and the SQL oracle) replicate them verbatim. */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("https?://[^\\s]+", "<URL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{6,}\\b", "<NUM>"))
+
+  /** Rule-based PII redaction — the text-scrubbing pass every training corpus runs
+    * before anything else sees the data. A fold of codegen'd `regexp_replace`s (one
+    * pass per rule, scan-local, no UDF); rule ORDER is semantic, see
+    * [[DefaultRedactions]]. */
+  def redact(text: Column, rules: Seq[(String, String)] = DefaultRedactions): Column =
+    rules.foldLeft(text) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD 2003): the minimum hash of every

@@ -201,4 +201,29 @@ class DedupAnnSpec extends SparkSpec {
     val got = DedupOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(got.size == 12 && got.values.forall(_ == 1L))
   }
+
+  test("decontaminate drops normalized matches against the reference set") {
+    import spark.implicits._
+    val corpus = Seq((1L, "The  QUICK fox"), (2L, "unique doc one"), (3L, "held out item"))
+      .toDF("id", "text")
+    val ref = Seq((90L, "the quick fox"), (91L, "held   OUT item")).toDF("id", "text")
+    val kept = DedupOps.decontaminate(corpus, ref, "text")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L)) // 1 and 3 match after normalization
+  }
+
+  test("kmeans step assigns to max-cosine centroid and averages members exactly") {
+    import spark.implicits._
+    // two orthogonal directions; members are scaled copies (same cosine)
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(4.0f, 0.0f)),
+      (4L, Seq(0.0f, 3.0f)), (5L, Seq(0.0f, 5.0f)))
+      .toDF("vec_id", "v")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = graft.ann.AnnOps.kmeansStep(rows, "v", cents)
+      .select(col("cid"), col("n"), element_at(col("centroid"), 1).as("c1"),
+        element_at(col("centroid"), 2).as("c2"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 3L, 7.0 / 3, 0.0), (1L, 2L, 0.0, 4.0)))
+  }
 }

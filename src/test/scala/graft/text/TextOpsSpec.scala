@@ -68,4 +68,20 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("keep")).groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(again == kept)
   }
+
+  test("redact scrubs emails, urls, ips, and long digit runs in rule order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "see https://ex.com/a?b=12345678 and http://y.io"),
+      (3L, "host 192.168.001.254 port"),
+      (4L, "id 1234567 ok 12345 short"),
+      (5L, "clean text stays untouched")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.redact(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "see <URL> and <URL>")
+    assert(got(3L) == "host <IP> port")
+    assert(got(4L) == "id <NUM> ok 12345 short") // < 6 digits survives
+    assert(got(5L) == "clean text stays untouched")
+  }
 }
