@@ -183,8 +183,8 @@ object DedupOps {
     * verified by exact cosine >= `threshold`.
     *
     * Same 100 TB shape as [[minhashNearDups]]: ONE shuffle on the band bucket key,
-    * pairs generated inside buckets only (capped by `maxBucketSize`), vectors joined
-    * back for the exact verify. `nPlanes/bands` trades recall vs candidate volume:
+    * pairs generated inside buckets only (capped by `maxBucketSize`), with the exact
+    * cosine verify applied at pair generation (see body note). `nPlanes/bands` trades recall vs candidate volume:
     * 24 planes in 3 bands of 8 keeps random-pair collisions at ~3/256 while retaining
     * ~98% recall at cos >= 0.99 (P[band match] = (1 - theta/pi)^8 per band).
     * The hyperplanes are seeded Scala constants, so an external oracle can replicate
@@ -206,20 +206,23 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until bands).map(b =>
       concat(lit(s"$b:"), substring(col("_sig"), b * rpb + 1, rpb)))
-    val pairs = vecs
-      .select(col(idCol), explode(array(bandKeys: _*)).as("_band"))
-      .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucketSize))
-      .select(explode(col("_ids")).as("id1"), col("_ids"))
-      .select(col("id1"), explode(col("_ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .distinct()
-    pairs
-      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("_v1")), "id1")
-      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("_v2")), "id2")
-      .withColumn("cos", round(graft.ann.AnnOps.cosine(col("_v1"), col("_v2")), 6))
+    // the vector rides inside the bucket structs and the cosine verify runs at pair
+    // generation (same rationale as simhashNearDups: the distinct then dedupes the
+    // small true-near-dup set, not the candidate firehose, and both verify join-backs
+    // disappear); a pair surviving in multiple bands costs one redundant 64-dim
+    // cosine per extra band
+    vecs
+      .select(struct(col(idCol).as("id"), col(vecCol).as("v")).as("_rec"),
+        explode(array(bandKeys: _*)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", round(graft.ann.AnnOps.cosine(col("a.v"), col("b.v")), 6))
       .filter(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), col("cos"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+      .distinct()
   }
 
   /** Benchmark decontamination: drop every corpus document whose normalized-text
