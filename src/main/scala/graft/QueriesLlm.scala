@@ -279,6 +279,14 @@ object QueriesLlm {
           t(s, dir, "documents"), "doc_id", "text", cfg))
     }),
 
+    // t8: concat-and-chunk sequence packing into 512-token context windows per lang
+    "t8_chunk_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+      graft.text.PackingOps.chunkPackAssign(docs, Seq("lang"), "doc_id", "n_tok", 512L)
+        .select(col("doc_id"), col("pack_id"), col("pack_offset"), col("n_packs"))
+    }),
+
     // samp1: deterministic hash-based stratified sampling by language
     "samp1_stratified" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -603,6 +611,18 @@ object QueriesLlm {
             CAST(SUM(CASE WHEN kd THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
             CAST(SUM(CASE WHEN ks THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
           FROM k""",
+    "t8_chunk_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),
+          c AS (SELECT doc_id, n_tok,
+                  COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                FROM t)
+          SELECT doc_id,
+            CAST(cb // 512 AS BIGINT) AS pack_id,
+            CAST(cb % 512 AS BIGINT) AS pack_offset,
+            CAST(CASE WHEN n_tok <= 0 THEN 1
+                      ELSE ((cb + n_tok - 1) // 512) - (cb // 512) + 1 END AS BIGINT) AS n_packs
+          FROM c""",
     "samp1_stratified" ->
       """WITH k AS (
             SELECT lang,

@@ -73,6 +73,19 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of DedupOps.exactDedup: emit only
+    * the FIRST document seen per normalized-text fingerprint, tracking state for a
+    * bounded horizon (`dropDuplicatesWithinWatermark`, so state expires instead of
+    * growing with the corpus; a duplicate arriving after the horizon re-emits, the
+    * standard at-least-once trade-off of windowed streaming dedup — batch exact dedup
+    * downstream reconciles). `timeCol` must be an event-time timestamp column. */
+  def dedupExact(df: DataFrame, textCol: String, timeCol: String,
+                 watermarkDelay: String = "1 hour"): DataFrame =
+    df.withColumn("_fp", graft.text.TextOps.fingerprint(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

@@ -94,4 +94,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows2.toSeq == Seq(("a", 100L, 130L, 2L), ("a", 500L, 520L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming exact dedup emits only the first doc per fingerprint") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.dedupExact(
+      input.toDF().toDF("t", "id", "text"), "text", "t")
+    val q = out.writeStream.format("memory").queryName("sdedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "The quick  FOX"),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "the quick fox"),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "something else"))
+      q.processAllAvailable()
+      // a later duplicate inside the watermark horizon is also dropped
+      input.addData((Timestamp.valueOf("2024-01-01 00:10:00"), 4L, "THE QUICK fox"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sdedup_test").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
 }

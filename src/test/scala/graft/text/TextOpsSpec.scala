@@ -84,4 +84,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == "id <NUM> ok 12345 short") // < 6 digits survives
     assert(got(5L) == "clean text stays untouched")
   }
+
+  test("chunk packing assigns windows, offsets, and straddle spans deterministically") {
+    // budget 10; lang a docs (by id): 4, 8, 10, 3 tokens
+    // cum-before: 0, 4, 12, 22 -> packs 0,0,1,2; offsets 0,4,2,2
+    // doc 2 (8 toks at offset 4) straddles into pack 1 -> n_packs 2
+    val docs = Seq(
+      (1L, "a", 4L), (2L, "a", 8L), (3L, "a", 10L), (4L, "a", 3L),
+      (5L, "b", 0L), (6L, "b", 25L))
+      .toDF("doc_id", "lang", "n_tok")
+    val got = PackingOps.chunkPackAssign(docs, Seq("lang"), "doc_id", "n_tok", 10L)
+      .select(col("doc_id"), col("pack_id"), col("pack_offset"), col("n_packs"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 1L), (2L, 0L, 4L, 2L), (3L, 1L, 2L, 2L), (4L, 2L, 2L, 1L),
+      (5L, 0L, 0L, 1L), (6L, 0L, 0L, 3L))) // empty doc spans 1; 25 toks span 3 windows
+  }
 }
