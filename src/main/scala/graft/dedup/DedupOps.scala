@@ -152,7 +152,14 @@ object DedupOps {
     *    than string sets; md5-collision error is ~2^-32 per pair);
     *  - a deterministic signature-agreement prefilter (matching sig positions / k)
     *    discards candidates whose estimated similarity is far below `threshold`
-    *    before any set op runs. Both are replicated exactly in the SQL oracle. */
+    *    before any set op runs. Both are replicated exactly in the SQL oracle.
+    *
+    * Stage placement: the signature (k longs) rides inside the bucket structs so the
+    * est-prefilter runs AT PAIR GENERATION — the distinct then dedupes only
+    * est-qualified pairs, not the candidate firehose. The h32 shingle arrays (the
+    * wide payload, ~|tokens| longs/doc) do NOT ride the buckets: they join in from
+    * the persisted signature table after the distinct, so each surviving pair pays
+    * exactly one set-op verify and the shuffled bucket rows stay k-long-sized. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, shingleN: Int = 3,
                       k: Int = 32, bands: Int = 8, maxBucketSize: Int = 500,
@@ -160,20 +167,22 @@ object DedupOps {
                       strategy: HashStrategy = Md5Portable): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val prep = sigTable(df, idCol, textCol, shingleN, k, strategy)
-    val pairs = prep
-      .select(col(idCol), explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
-      .groupBy(col("_band")).agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucketSize))
-      .select(explode(col("_ids")).as("id1"), col("_ids"))
-      .select(col("id1"), explode(col("_ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .distinct()
-    val est = size(filter(zip_with(col("_s1"), col("_s2"), (a, b) => a === b),
+    val est = size(filter(zip_with(col("a.sig"), col("b.sig"), (a, b) => a === b),
       x => x)).cast("double") / k
-    pairs
-      .join(prep.select(col(idCol).as("id1"), col("_h32").as("_a1"), col("_sig").as("_s1")), "id1")
-      .join(prep.select(col(idCol).as("id2"), col("_h32").as("_a2"), col("_sig").as("_s2")), "id2")
+    val pairs = prep
+      .select(struct(col(idCol).as("id"), col("_sig").as("sig")).as("_rec"),
+        explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .filter(est >= estCutoff)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    pairs
+      .join(prep.select(col(idCol).as("id1"), col("_h32").as("_a1")), "id1")
+      .join(prep.select(col(idCol).as("id2"), col("_h32").as("_a2")), "id2")
       .withColumn("jaccard", jaccard(col("_a1"), col("_a2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
