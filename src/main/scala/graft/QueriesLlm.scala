@@ -287,6 +287,29 @@ object QueriesLlm {
         .select(col("doc_id"), col("pack_id"), col("pack_offset"), col("n_packs"))
     }),
 
+    // samp2: corpus mixture sampling — down-sample three sources to a 50/30/20 mix
+    // (per-stratum counts are a k-row driver aggregate, like centroid seeding)
+    "samp2_mixture" -> ((s, dir) => {
+      val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      val docs = t(s, dir, "documents")
+      val counts: Map[String, Long] = docs.groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = TextOps.mixtureRates(counts, weights)
+      docs
+        .withColumn("keep", TextOps.stratifiedSampleFlag(col("doc_id"), col("source"),
+          rates, defaultRate = 0.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_kept"))
+    }),
+
+    // t9: per-language quality floor — drop the bottom quartile of quality per lang
+    "t9_quantile_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+      graft.ops.AggOps.quantileGate(docs, Seq("lang"), "quality", 0.25)
+        .select(col("doc_id"))
+    }),
+
     // samp1: deterministic hash-based stratified sampling by language
     "samp1_stratified" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -623,6 +646,38 @@ object QueriesLlm {
             CAST(CASE WHEN n_tok <= 0 THEN 1
                       ELSE ((cb + n_tok - 1) // 512) - (cb // 512) + 1 END AS BIGINT) AS n_packs
           FROM c""",
+    "samp2_mixture" ->
+      """WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+          n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+          sc AS (SELECT MIN(cnt / w.w) AS scale FROM n JOIN w USING (source)),
+          r AS (SELECT n.source, least(1.0, w.w * sc.scale / n.cnt) AS rate
+                FROM n JOIN w USING (source) CROSS JOIN sc),
+          k AS (SELECT d.source,
+                  (('0x' || substring(md5('samp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0) < COALESCE(r.rate, 0.0) AS keep
+                FROM documents d LEFT JOIN r USING (source))
+          SELECT source, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM k GROUP BY source""",
+    "t9_quantile_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS tk FROM documents),
+          m AS (SELECT doc_id, lang,
+              ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+                    + (1.0 - least(
+                        (CASE WHEN length(text) = 0 THEN 0.0
+                              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE)
+                                   / length(text) END) * 5.0, 1.0)) * 0.2
+                    + least((CASE WHEN len(tk) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(tk, x -> x IN ($stopwordsSql))) AS DOUBLE)
+                                  / len(tk) END) * 4.0, 1.0) * 0.2
+                    + (CASE WHEN (CASE WHEN len(tk) = 0 THEN 0.0
+                                  ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                                       / len(tk) END) BETWEEN 3.0 AND 10.0
+                            THEN 1.0 ELSE 0.5 END) * 0.3,
+                    6) AS quality
+            FROM t),
+          thr AS (SELECT lang, quantile_cont(quality, 0.25) AS t FROM m GROUP BY lang)
+          SELECT doc_id FROM m JOIN thr USING (lang) WHERE quality >= thr.t""",
     "samp1_stratified" ->
       """WITH k AS (
             SELECT lang,

@@ -39,6 +39,17 @@ object AggOps {
 
   /** A4 — fixed-width histogram: bin index per row (`floor((x − origin)/width)`).
     * Pure expression; the groupBy(bin) count is the caller's. */
+  /** Per-group quantile gate — keep rows at or above their group's `p`-quantile of
+    * `valueCol` (quality-floor pruning per language/domain in a curation pass). One
+    * grouped-percentile aggregate (group count bounds the exact-percentile heap; pass
+    * `exact = false` above for unbounded keys) + a join-back that AQE broadcasts
+    * (one row per group). */
+  def quantileGate(df: DataFrame, keys: Seq[String], valueCol: String,
+                   p: Double, exact: Boolean = true): DataFrame = {
+    val thr = groupedPercentile(df, keys, valueCol, p, exact = exact, out = "_thr")
+    df.join(thr, keys).filter(col(valueCol) >= col("_thr")).drop("_thr")
+  }
+
   def binIndex(value: Column, origin: Double, width: Double): Column =
     floor((value - lit(origin)) / lit(width)).cast("long")
 

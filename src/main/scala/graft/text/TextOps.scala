@@ -205,6 +205,24 @@ object TextOps {
   def redact(text: Column, rules: Seq[(String, String)] = DefaultRedactions): Column =
     rules.foldLeft(text) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
 
+  /** Per-stratum corpus mixture sampling — hit a target domain mixture (e.g. 40%
+    * web / 30% code / 30% books) by down-sampling every stratum to the largest total
+    * the corpus can supply at those proportions: scale = min over strata of
+    * (available_s / weight_s); keep-rate_s = weight_s * scale / available_s (the
+    * binding stratum keeps everything). `counts` are the per-stratum row counts — a
+    * k-row driver-side aggregate, like centroid seeding; membership then reuses the
+    * deterministic salted-hash primitive, so the mix is stable across runs/engines.
+    * Returns the per-stratum keep rates for [[stratifiedSampleFlag]]. */
+  def mixtureRates(counts: Map[String, Long], weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val known = weights.keySet.intersect(counts.keySet)
+    require(known.nonEmpty, "no stratum in common between counts and weights")
+    val scale = known.map(s => counts(s) / weights(s)).min
+    weights.map { case (s, w) =>
+      s -> counts.get(s).filter(_ > 0).map(n => math.min(1.0, w * scale / n)).getOrElse(0.0)
+    }
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD 2003): the minimum hash of every
     * `w`-window of k-gram hashes, deduplicated and sorted. Any substring match of

@@ -157,4 +157,16 @@ class GoldenFlagsSpec extends SparkSpec {
     assert(m == Map(1L -> Some(Flags.DerivedSynergistic), 2L -> None))
     assert(out.filter(col("tdps_derived").isNotNull).count() == 2)
   }
+
+  test("quantile gate keeps rows at or above the per-group quantile") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0), ("a", 5L, 5.0),
+      ("b", 6L, 10.0), ("b", 7L, 20.0))
+      .toDF("g", "id", "v")
+    // a: p50 = 3.0 -> keep 3,4,5; b: p50 = 15.0 -> keep 7
+    val kept = graft.ops.AggOps.quantileGate(df, Seq("g"), "v", 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L, 7L))
+  }
 }

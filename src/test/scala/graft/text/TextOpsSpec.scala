@@ -100,4 +100,19 @@ class TextOpsSpec extends SparkSpec {
       (1L, 0L, 0L, 1L), (2L, 0L, 4L, 2L), (3L, 1L, 2L, 2L), (4L, 2L, 2L, 1L),
       (5L, 0L, 0L, 1L), (6L, 0L, 0L, 3L))) // empty doc spans 1; 25 toks span 3 windows
   }
+
+  test("mixture rates hit the target proportions at the binding stratum") {
+    val rates = TextOps.mixtureRates(
+      counts = Map("web" -> 1000L, "code" -> 100L, "books" -> 50L),
+      weights = Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+    // books binds: scale = 50/0.2 = 250 -> web 0.5*250/1000, code 0.3*250/100, books 1.0
+    assert(approx(rates("web"), 0.125))
+    assert(approx(rates("code"), 0.75))
+    assert(approx(rates("books"), 1.0))
+    // expected kept counts realize the 50/30/20 mix
+    val kept = Seq(1000 * rates("web"), 100 * rates("code"), 50 * rates("books"))
+    assert(approx(kept(0) / kept.sum, 0.5) && approx(kept(2) / kept.sum, 0.2))
+    // a stratum missing from counts samples at 0
+    assert(TextOps.mixtureRates(Map("a" -> 10L), Map("a" -> 0.5, "b" -> 0.5))("b") == 0.0)
+  }
 }
