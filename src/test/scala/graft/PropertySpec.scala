@@ -102,4 +102,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: connected components match a driver-side union-find") {
+    forAllSeeded { rnd =>
+      val n = 2 + rnd.nextInt(29)
+      val m = 1 + rnd.nextInt(40)
+      (0 until m).map { _ =>
+        val a = rnd.nextLong(n); var b = rnd.nextLong(n)
+        while (b == a) b = rnd.nextLong(n)
+        (a, b)
+      }
+    } { edges =>
+      // reference: naive union-find with min-id roots (root == component minimum)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.dedup.DedupOps
+        .connectedComponents(edges.toDF("id1", "id2"), maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
 }
