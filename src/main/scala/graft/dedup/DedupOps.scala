@@ -256,8 +256,11 @@ object DedupOps {
     * of its own label and its neighbors' labels (one equi-join + one groupBy — two
     * key-balanced shuffles), repeated to a fixpoint. Rounds = component diameter;
     * near-dup clusters are shallow (most are pairs/triangles), so this converges in
-    * 2-4 rounds in practice. The convergence check is a `limit(1).count` existence
-    * aggregate, not a data collect. `maxIter` bounds pathological chains; components
+    * 2-4 rounds in practice. The FIRST round needs no join (labels are the ids
+    * themselves), so it folds into the init as a single groupBy over the edge list;
+    * each later round carries the previous label through its groupBy so convergence
+    * is a `limit(1).count` scan of the just-checkpointed table — no extra join, no
+    * data collect. `maxIter` bounds pathological chains; components
     * wider than that still get consistent (if unconverged) labels, and a production
     * run on adversarial graphs would switch to large-star/small-star for O(log n)
     * rounds. Each round's label table is `localCheckpoint`ed (eager): persist alone
@@ -275,21 +278,22 @@ object DedupOps {
       .union(edges.select(col(id2).as("src"), col(id1).as("dst")))
       .distinct()
       .persist(lvl)
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // round 1 fused into init: label = min(id, min(neighbors)), one groupBy, no join
+    var labels = e.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .localCheckpoint(true)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
       val msgs = e.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"), lit(null).cast("long").as("own"))
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
+        .unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "_old"), "id")
-        .filter(col("lbl") =!= col("_old")).limit(1).count()
+      val changed = next.filter(col("lbl") =!= col("own")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("own")
       converged = changed == 0
       iter += 1
     }
