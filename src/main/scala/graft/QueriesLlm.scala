@@ -287,6 +287,19 @@ object QueriesLlm {
         .select(col("doc_id"), col("pack_id"), col("pack_offset"), col("n_packs"))
     }),
 
+    // e7: product quantization — 8 subspaces x 16 centroids (8 bytes/vector);
+    // mse is exact (distance to the chosen centroid IS the reconstruction error)
+    "e7_pq_encode" -> ((s, dir) => {
+      val cbs = AnnOps.pqCodebooks(m = 8, k = 16, subDim = 8, seed = 7L)
+      t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("pq", AnnOps.pqEncode(col("v"), cbs))
+        .select(col("vec_id"),
+          element_at(col("pq.codes"), 1).as("c0"),
+          element_at(col("pq.codes"), 2).as("c1"),
+          round(col("pq.sse") / 64, 6).as("mse"))
+    }),
+
     // samp2: corpus mixture sampling — down-sample three sources to a 50/30/20 mix
     // (per-stratum counts are a k-row driver aggregate, like centroid seeding)
     "samp2_mixture" -> ((s, dir) => {
@@ -341,6 +354,14 @@ object QueriesLlm {
   private val d5PlanesSql: String =
     graft.ann.AnnOps.hyperplanes(24, 64, 42L).zipWithIndex.map { case (p, i) =>
       s"($i, ${p.mkString("[", ", ", "]")})"
+    }.mkString(",\n             ")
+
+  /** The e7 PQ codebooks (8x16x8, seed 7), inlined as literals. */
+  private val pqCbSql: String =
+    graft.ann.AnnOps.pqCodebooks(8, 16, 8, 7L).zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, ci) =>
+        s"($s, $ci, ${c.mkString("[", ", ", "]")})"
+      }
     }.mkString(",\n             ")
 
   /** The e2 LSH planes (nPlanes=10), same seeded constants as the Spark op. */
@@ -646,6 +667,25 @@ object QueriesLlm {
             CAST(CASE WHEN n_tok <= 0 THEN 1
                       ELSE ((cb + n_tok - 1) // 512) - (cb // 512) + 1 END AS BIGINT) AS n_packs
           FROM c""",
+    "e7_pq_encode" ->
+      s"""WITH cb(s, ci, c) AS (VALUES
+             $pqCbSql),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          d AS (SELECT vec_id, s, ci,
+                  list_sum(list_transform(generate_series(1, 8),
+                    j -> (v[s * 8 + j] - c[j]) * (v[s * 8 + j] - c[j]))) AS dist
+                FROM v CROSS JOIN cb),
+          best AS (SELECT vec_id, s, ci, dist,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, ci ASC) AS rn
+                   FROM d),
+          agg AS (SELECT vec_id,
+                    MAX(CASE WHEN s = 0 THEN ci END) AS c0,
+                    MAX(CASE WHEN s = 1 THEN ci END) AS c1,
+                    list_sum(list(dist ORDER BY s)) AS sse
+                  FROM best WHERE rn = 1 GROUP BY vec_id)
+          SELECT vec_id, CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1,
+            ROUND(sse / 64, 6) AS mse
+          FROM agg""",
     "samp2_mixture" ->
       """WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
           n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),

@@ -148,6 +148,49 @@ object AnnOps {
       when(mx === mn, mn).otherwise((c + 128).cast("double") / 255 * (mx - mn) + mn))
   }
 
+  /** Deterministic product-quantization codebooks: `m` subspaces × `k` centroids of
+    * `subDim` dims (seeded Gaussian — a production system k-means-trains them, e.g.
+    * by iterating [[kmeansStep]] per subspace; the codec contract is identical). */
+  def pqCodebooks(m: Int, k: Int, subDim: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(i => hyperplanes(k, subDim, seed + i))
+
+  /** Product quantization encode: split the vector into `m` contiguous subvectors,
+    * assign each to its nearest (L2) subspace centroid — ties to the lowest code.
+    * Returns struct(codes: array<int>, mse: double): the codes are the PQ storage
+    * payload (m bytes at k ≤ 256 — 32× smaller than float64×dim), and `mse` is the
+    * exact per-vector reconstruction MSE, free here because the squared distance to
+    * the chosen centroid IS the subspace's reconstruction error (no decode needed).
+    *
+    * Pure literal-centroid expressions (no join, no UDF, scan-speed) — same shape as
+    * [[ivfAssign]]; distances are fixed-order double sums so an external engine
+    * replicates bit-for-bit. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    val scored = (0 until m).map { s =>
+      val best = codebooks(s).zipWithIndex.map { case (c, ci) =>
+        val d = (0 until subDim).map { j =>
+          val x = element_at(vec, s * subDim + j + 1) - lit(c(j))
+          x * x
+        }.reduce(_ + _)
+        struct(d.as("dist"), lit(ci).as("code"))
+      }
+      least(best: _*)
+    }
+    struct(
+      array(scored.map(_.getField("code")): _*).as("codes"),
+      scored.map(_.getField("dist")).reduce(_ + _).as("sse"))
+  }
+
+  /** Inverse of [[pqEncode]]: concatenate each code's centroid. */
+  def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val cbArrays = codebooks.map(cb =>
+      array(cb.map(c => array(c.map(lit): _*)): _*))
+    flatten(array(cbArrays.zipWithIndex.map { case (cb, s) =>
+      element_at(cb, element_at(codes, s + 1) + 1)
+    }: _*))
+  }
+
   /** The `nProbe` centroid ids nearest to `vec` (cos desc, cid desc on ties —
     * the same ordering [[ivfAssign]]'s `greatest` uses for the top-1). */
   def ivfProbes(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {

@@ -226,4 +226,33 @@ class DedupAnnSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((0L, 3L, 7.0 / 3, 0.0), (1L, 2L, 0.0, 4.0)))
   }
+
+  test("PQ round-trip: decode matches the chosen centroids and sse is the true error") {
+    import spark.implicits._
+    val cbs = AnnOps.pqCodebooks(m = 4, k = 8, subDim = 4, seed = 11L)
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 50L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "v")
+    val got = rows
+      .withColumn("pq", AnnOps.pqEncode(col("v"), cbs))
+      .withColumn("dec", AnnOps.pqDecode(col("pq.codes"), cbs))
+      .select(col("id"), col("v"), col("pq.codes").as("codes"),
+        col("pq.sse").as("sse"), col("dec"))
+      .as[(Long, Seq[Double], Seq[Int], Double, Seq[Double])].collect()
+    got.foreach { case (_, v, codes, sse, dec) =>
+      assert(codes.length == 4 && dec.length == 16)
+      // decode really is the per-subspace chosen centroid
+      codes.zipWithIndex.foreach { case (c, s) =>
+        assert(dec.slice(s * 4, s * 4 + 4) == cbs(s)(c))
+      }
+      // sse equals the recomputed reconstruction error
+      val err = v.zip(dec).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(err - sse) < 1e-9)
+      // chosen code is the argmin over its codebook
+      codes.zipWithIndex.foreach { case (c, s) =>
+        val sub = v.slice(s * 4, s * 4 + 4)
+        val dists = cbs(s).map(cb => sub.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum)
+        assert(dists(c) == dists.min)
+      }
+    }
+  }
 }
