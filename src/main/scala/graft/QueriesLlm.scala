@@ -300,6 +300,20 @@ object QueriesLlm {
           round(col("pq.sse") / 64, 6).as("mse"))
     }),
 
+    // e8: IVF-ADC — PQ codes in cosine cells, per-query L2 lookup tables
+    "e8_ivfpq_topk" -> ((s, dir) => {
+      val dim = 64
+      val centroids = (0 until 8).map(i => Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+      val cbs = AnnOps.pqCodebooks(m = 8, k = 16, subDim = 8, seed = 7L)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.ivfPqTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, cbs, nProbe = 2, k = 5)
+    }),
+
     // samp2: corpus mixture sampling — down-sample three sources to a 50/30/20 mix
     // (per-stratum counts are a k-row driver aggregate, like centroid seeding)
     "samp2_mixture" -> ((s, dir) => {
@@ -686,6 +700,45 @@ object QueriesLlm {
           SELECT vec_id, CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1,
             ROUND(sse / 64, 6) AS mse
           FROM agg""",
+    "e8_ivfpq_topk" ->
+      s"""WITH cb(s, ci, c) AS (VALUES
+             $pqCbSql),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          cscore AS (
+            SELECT vec_id, i AS cell,
+              CASE WHEN nv = 0 THEN 0.0 ELSE v[i + 1] / nv END AS cos
+            FROM norm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+          assign AS (SELECT vec_id AS cid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore) WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+          dist AS (SELECT vec_id, s, ci,
+                  list_sum(list_transform(generate_series(1, 8),
+                    j -> (v[s * 8 + j] - c[j]) * (v[s * 8 + j] - c[j]))) AS d
+                FROM e CROSS JOIN cb),
+          code AS (SELECT vec_id, s, ci AS code FROM (
+              SELECT vec_id, s, ci,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rn
+              FROM dist) WHERE rn = 1),
+          lutd AS (SELECT q.vec_id AS qid, cb.s, cb.ci,
+                  list_sum(list_transform(generate_series(1, 8),
+                    j -> (q.v[cb.s * 8 + j] - cb.c[j]) * (q.v[cb.s * 8 + j] - cb.c[j]))) AS ld
+                FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+          cands AS (SELECT p.qid, a.cid FROM probes p JOIN assign a ON p.cell = a.cell),
+          adc AS (SELECT cd.qid, cd.cid, list_sum(list(l.ld ORDER BY l.s)) AS adc
+                FROM cands cd
+                JOIN code co ON co.vec_id = cd.cid
+                JOIN lutd l ON l.qid = cd.qid AND l.s = co.s AND l.ci = co.code
+                GROUP BY cd.qid, cd.cid),
+          r AS (SELECT qid, cid, adc,
+                  row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank
+                FROM adc)
+          SELECT qid, cid, ROUND(adc, 6) AS adc, rank FROM r WHERE rank <= 5""",
     "samp2_mixture" ->
       """WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
           n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),

@@ -182,6 +182,53 @@ object AnnOps {
       scored.map(_.getField("dist")).reduce(_ + _).as("sse"))
   }
 
+  /** IVF-ADC top-k search — the billion-vector serving path: corpus vectors are
+    * stored as (cell, PQ codes) only; each query probes its `nProbe` nearest cells
+    * and scores candidates by ASYMMETRIC DISTANCE COMPUTATION: a per-query lookup
+    * table lut[s][ci] = ||q_s − codebook_s[ci]||² (m×k doubles, built as literal
+    * expressions on the broadcast query side), so a candidate's approximate L2² is
+    * m array lookups + adds — no vector math touches the corpus at query time.
+    *
+    * Scale shape: ONE corpus pass (assign + encode, scan-speed), one equi-join on
+    * the cell id against |Q|×nProbe broadcast probe rows — never a cross product;
+    * the shuffled corpus payload is m bytes of codes per vector, not the vector.
+    * Cells are spherical (cosine) like [[ivfAssign]]; ADC is L2 on the raw vectors —
+    * the standard pairing for near-unit-norm embeddings (L2² ≈ 2−2cos there).
+    * Exactness trade-off is bounded by the PQ reconstruction error (see
+    * [[pqEncode]]'s mse); recall is property-tested against brute force. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                nProbe: Int, k: Int): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    val assigned = corpus
+      .withColumn("_cell", ivfAssign(col(corpusVec), centroids))
+      .withColumn("_codes", pqEncode(col(corpusVec), codebooks).getField("codes"))
+      .select(col(corpusId), col("_cell"), col("_codes"))
+    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      array(cb.map { c =>
+        (0 until subDim).map { j =>
+          val x = element_at(col(queryVec), s * subDim + j + 1) - lit(c(j))
+          x * x
+        }.reduce(_ + _)
+      }: _*)
+    }: _*)
+    val probed = queries
+      .withColumn("_cell", explode(ivfProbes(col(queryVec), centroids, nProbe)))
+      .withColumn("_lut", lut)
+      .select(col(queryId), col("_cell"), col("_lut"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("_lut"), s + 1), element_at(col("_codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("adc").asc, col(corpusId))
+    assigned.join(broadcast(probed), "_cell")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), round(col("adc"), 6).as("adc"), col("rank"))
+  }
+
   /** Inverse of [[pqEncode]]: concatenate each code's centroid. */
   def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val cbArrays = codebooks.map(cb =>

@@ -255,4 +255,58 @@ class DedupAnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("IVF-ADC cluster recall >= 0.9 on planted neighbors") {
+    val rng = new scala.util.Random(9)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = (0 until 20).map(_ => unit())
+    val corpus = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 4).map { j =>
+        val v = c.zip(Array.fill(dim)(rng.nextGaussian() * 0.05)).map { case (a, b) => a + b }
+        (ci.toLong * 10 + j, v)
+      }
+    }
+    val corpusDf = corpus.toDF("cid", "cv")
+    val queryDf = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("qid", "qv")
+    // cells: 8 random unit directions; codebooks: k-means-trained per subspace on
+    // the corpus subvectors (as the pqEncode doc prescribes for production) — an
+    // untrained random codebook quantizes too coarsely for ADC to rank neighbors
+    val cells = (0 until 8).map(_ => unit().toSeq)
+    def trainCodebook(sub: Seq[Array[Double]], k: Int): Seq[Seq[Double]] = {
+      // stride-sampled init: consecutive subvectors are same-cluster near-copies,
+      // a take(k) init would collapse to ~4 distinct centroids
+      var cents = sub.indices.by(sub.size / k).take(k).map(i => sub(i).toSeq)
+      (0 until 5).foreach { _ =>
+        val assign = sub.groupBy(v => cents.indices.minBy(ci =>
+          v.zip(cents(ci)).map { case (a, b) => (a - b) * (a - b) }.sum))
+        cents = cents.indices.map(ci => assign.get(ci) match {
+          case Some(vs) => vs.transpose.map(xs => xs.sum / xs.size).toSeq
+          case None => cents(ci)
+        })
+      }
+      cents
+    }
+    val cbs = (0 until 4).map { s =>
+      trainCodebook(corpus.map(_._2.slice(s * 4, s * 4 + 4)), 16)
+    }
+    val k = 3
+    // quantization collapses a cluster's near-copies onto the same PQ codes, so exact
+    // top-3-of-4 agreement with brute force is unattainable BY DESIGN (ties rank by
+    // id); the meaningful guarantee for a quantized index is CLUSTER recall: every
+    // returned neighbor comes from the query's planted cluster
+    val adc = AnnOps.ivfPqTopK(corpusDf, "cid", "cv", queryDf, "qid", "qv",
+        cells, cbs, nProbe = 4, k = k)
+      .select("qid", "cid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = centers.indices.map { q =>
+      val cluster = (0 until 4).map(j => q.toLong * 10 + j).toSet
+      adc.getOrElse(q.toLong, Set.empty).count(cluster).toDouble / k
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"mean cluster recall $meanRecall")
+  }
 }
