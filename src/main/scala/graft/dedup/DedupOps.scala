@@ -207,9 +207,9 @@ object DedupOps {
     require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
     val rpb = nPlanes / bands
     val planes = graft.ann.AnnOps.hyperplanes(nPlanes, dim, seed)
-    // persist pins the signature AND the vector: the sig feeds the band explode, the
-    // vector feeds both verify joins — without the cache, projection collapse would
-    // re-evaluate all nPlanes dot products per band lambda (see sigTable note above)
+    // persist pins the signature: without the cache, projection collapse would
+    // re-evaluate all nPlanes dot products once per band key (see sigTable note
+    // above); the verify reads vectors from the same pinned table via the buckets
     val vecs = df.select(col(idCol), col(vecCol))
       .withColumn("_sig", graft.ann.AnnOps.rhSignature(col(vecCol), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -285,8 +285,9 @@ object DedupOps {
     var converged = false
     var iter = 1
     while (!converged && iter < maxIter) {
+      val lblType = labels.schema("lbl").dataType
       val msgs = e.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"), lit(null).cast("long").as("own"))
+        .select(col("dst").as("id"), col("lbl"), lit(null).cast(lblType).as("own"))
       val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
         .unionByName(msgs)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
@@ -298,6 +299,10 @@ object DedupOps {
       iter += 1
     }
     e.unpersist()
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after $maxIter " +
+        "rounds — a component's diameter exceeds maxIter; labels are consistent but " +
+        "not minimal. Raise maxIter or switch to large-star/small-star.")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 

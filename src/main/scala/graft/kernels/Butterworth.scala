@@ -62,6 +62,7 @@ object Butterworth {
     val keyExpr = concat_ws("\u0001",
       keys.map(c => coalesce(col(c).cast("string"), lit("\u0002null"))): _*)
     val prepared = df
+      .filter(col(valueCol).isNotNull && col(dataFreqSecondsCol).isNotNull)
       .repartition(keyCols: _*)
       .sortWithinPartitions((keyCols :+ col(timeCol)): _*)
       .select(keyExpr.as("_k"),
@@ -89,10 +90,11 @@ object Butterworth {
     }.toDF("_k", "_t", out)
     // join-back: dedupe the filtered side on (_k, _t) first — an IIR over duplicate
     // timestamps is ill-defined, so duplicates share one filtered value instead of
-    // multiplying rows through the join
+    // multiplying rows through the join; LEFT join so rows the kernel never saw
+    // (null value / null freq, filtered above) survive with a null `out`
     df.withColumn("_k", keyExpr)
       .withColumn("_t", col(timeCol).cast("long"))
-      .join(filtered.dropDuplicates("_k", "_t"), Seq("_k", "_t"))
+      .join(filtered.dropDuplicates("_k", "_t"), Seq("_k", "_t"), "left")
       .drop("_k", "_t")
   }
 }

@@ -37,8 +37,6 @@ object AggOps {
       greatest(expr(s"percentile($valueCol, 0.75) - percentile($valueCol, 0.25)"),
         lit(floor)).as(out))
 
-  /** A4 — fixed-width histogram: bin index per row (`floor((x − origin)/width)`).
-    * Pure expression; the groupBy(bin) count is the caller's. */
   /** Per-group quantile gate — keep rows at or above their group's `p`-quantile of
     * `valueCol` (quality-floor pruning per language/domain in a curation pass). One
     * grouped-percentile aggregate (group count bounds the exact-percentile heap; pass
@@ -50,6 +48,8 @@ object AggOps {
     df.join(thr, keys).filter(col(valueCol) >= col("_thr")).drop("_thr")
   }
 
+  /** A4 — fixed-width histogram: bin index per row (`floor((x − origin)/width)`).
+    * Pure expression; the groupBy(bin) count is the caller's. */
   def binIndex(value: Column, origin: Double, width: Double): Column =
     floor((value - lit(origin)) / lit(width)).cast("long")
 

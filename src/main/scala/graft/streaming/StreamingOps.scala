@@ -93,7 +93,11 @@ object StreamingOps {
     * for a key extend its open session while they arrive within `gapSeconds` of the
     * last seen event; a larger jump closes the session (emitted) and opens a new one.
     * State is one (start, last, n) triple per key — O(keys) memory. The final open
-    * session stays in state until a later event closes it (append-mode semantics). */
+    * session stays in state until a later event closes it (append-mode semantics).
+    * Late events never move `lastTs` backward: within `gapSeconds` of the open
+    * session's start they fold in (extending it backward); older than that they emit
+    * as singleton sessions — the bounded-state approximation (exact late-data
+    * sessionization needs event-time windows + watermark holding all open windows). */
   def sessionize(ds: Dataset[Obs], gapSeconds: Long)
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
@@ -106,11 +110,20 @@ object StreamingOps {
           var st = state.getOption.orNull
           sorted.foreach { o =>
             if (st == null) st = SessionState(o.ts, o.ts, 1)
-            else if (o.ts - st.lastTs <= gapSeconds)
-              st = st.copy(lastTs = o.ts, n = st.n + 1)
-            else {
-              closed += SessionOut(key, st.startTs, st.lastTs, st.n)
-              st = SessionState(o.ts, o.ts, 1)
+            else if (o.ts >= st.lastTs) {
+              if (o.ts - st.lastTs <= gapSeconds) st = st.copy(lastTs = o.ts, n = st.n + 1)
+              else {
+                closed += SessionOut(key, st.startTs, st.lastTs, st.n)
+                st = SessionState(o.ts, o.ts, 1)
+              }
+            } else if (st.startTs - o.ts <= gapSeconds) {
+              // late event within the open session's backward reach: fold it in
+              // (never move lastTs backward — endTs >= startTs stays invariant)
+              st = SessionState(math.min(st.startTs, o.ts), st.lastTs, st.n + 1)
+            } else {
+              // older than the open session can reach: its session already passed;
+              // emit as a singleton (bounded-state approximation, documented)
+              closed += SessionOut(key, o.ts, o.ts, 1)
             }
           }
           if (st != null) state.update(st)

@@ -80,4 +80,20 @@ class KernelsSpec extends SparkSpec {
   test("GaussGapScan bypasses tiny groups") {
     assert(GaussGapScan.flagOutliers(Array(1.0, 2.0, 50.0), binSize = 0.25).isEmpty)
   }
+
+  test("Butterworth passes null values through with a null output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sp = spark
+    val df = Seq(
+      ("a", 1L, Some(1.0), 3600.0), ("a", 2L, None, 3600.0), ("a", 3L, Some(2.0), 3600.0))
+      .toDF("k", "t", "v", "freq_s")
+      .withColumn("t", col("t").cast("timestamp"))
+    val out = Butterworth.lowPass(df, Seq("k"), "t", "v", "freq_s", "lp")
+    assert(out.count() == 3)
+    val nullRow = out.filter(col("v").isNull).select("lp").collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(0))
+    // the kernel state skips the null row: filtered series is (1.0, 2.0)
+    assert(out.filter(col("lp").isNotNull).count() == 2)
+  }
 }

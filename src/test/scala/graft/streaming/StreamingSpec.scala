@@ -115,4 +115,29 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming sessionize folds reachable late events and never inverts bounds") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val out = StreamingOps.sessionize(input.toDS(), gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sess_late_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Obs("a", 1000, 1.0), Obs("a", 1030, 1.0))
+      q.processAllAvailable()
+      // late but within 60s of session start: folds in (start moves back, not last)
+      input.addData(Obs("a", 950, 1.0))
+      q.processAllAvailable()
+      // far-late event: emitted as a singleton, open session untouched
+      input.addData(Obs("a", 100, 1.0))
+      q.processAllAvailable()
+      // close the open session
+      input.addData(Obs("a", 5000, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT startTs, endTs, n FROM sess_late_test ORDER BY startTs")
+        .as[(Long, Long, Long)].collect()
+      assert(rows.forall { case (s, e, _) => e >= s })
+      assert(rows.toSeq == Seq((100L, 100L, 1L), (950L, 1030L, 3L)))
+    } finally q.stop()
+  }
 }
