@@ -309,4 +309,20 @@ class DedupAnnSpec extends SparkSpec {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.9, s"mean cluster recall $meanRecall")
   }
+
+  test("pqTrain reduces reconstruction error vs the untrained codebooks") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (1L to 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian()))).toDF("id", "v")
+    val untrained = AnnOps.pqCodebooks(m = 4, k = 8, subDim = 4, seed = 31L)
+    val trained = AnnOps.pqTrain(rows, "v", m = 4, k = 8, subDim = 4,
+      init = untrained, iters = 4)
+    def meanSse(cbs: Seq[Seq[Seq[Double]]]): Double =
+      rows.select(AnnOps.pqEncode(col("v"), cbs).getField("sse").as("s"))
+        .agg(avg(col("s"))).as[Double].collect().head
+    val (u, t) = (meanSse(untrained), meanSse(trained))
+    assert(t < u * 0.8, s"trained sse $t not < 0.8 x untrained $u")
+    // k-means never increases the objective between our measured endpoints
+    assert(t > 0.0)
+  }
 }
