@@ -86,6 +86,18 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming NEAR-dup suppression: drop any document whose 32-bit SimHash equals
+    * one already seen inside the watermark horizon. SimHash equality is a strong
+    * near-duplicate signal (32 matching sign bits; false-positive rate ~n²/2³²
+    * per horizon), so this is the cheap feed-dedup tier — exact semantics are
+    * [[dedupExact]]'s; batch LSH downstream handles Hamming>0 near-dups. */
+  def nearDedupSimhash(df: DataFrame, textCol: String, timeCol: String,
+                       watermarkDelay: String = "1 hour"): DataFrame =
+    df.withColumn("_sh", graft.dedup.DedupOps.simhash32(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_sh")
+      .drop("_sh")
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

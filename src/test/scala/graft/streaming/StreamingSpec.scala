@@ -140,4 +140,23 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((100L, 100L, 1L), (950L, 1030L, 3L)))
     } finally q.stop()
   }
+
+  test("streaming simhash near-dedup suppresses near-identical docs, keeps distinct ones") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.nearDedupSimhash(
+      input.toDF().toDF("t", "id", "text"), "text", "t")
+    val q = out.writeStream.format("memory").queryName("snear_test")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, base),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 2L, base + " "),  // same tokens
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "completely different content here entirely"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM snear_test").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
 }
