@@ -314,6 +314,21 @@ object QueriesLlm {
         centroids, cbs, nProbe = 2, k = 5)
     }),
 
+    // t10: per-source corpus stats — rows, exact distinct docs (by fingerprint),
+    // token totals; the scale path swaps approx_count_distinct for the exact
+    // distinct (HLL, one pass, no fingerprint shuffle) — property-tested in
+    // TextOpsSpec, not oracle-compared (HLL sketches aren't cross-engine)
+    "t10_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("_fp", TextOps.fingerprint(col("text")))
+        .withColumn("_nt", TextOps.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_fp")).as("n_distinct"),
+          sum(col("_nt")).as("n_tokens"),
+          max(col("_nt")).as("max_tokens"))
+    }),
+
     // samp2: corpus mixture sampling — down-sample three sources to a 50/30/20 mix
     // (per-stratum counts are a k-row driver aggregate, like centroid seeding)
     "samp2_mixture" -> ((s, dir) => {
@@ -739,6 +754,16 @@ object QueriesLlm {
                   row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank
                 FROM adc)
           SELECT qid, cid, ROUND(adc, 6) AS adc, rank FROM r WHERE rank <= 5""",
+    "t10_corpus_stats" ->
+      s"""WITH t AS (SELECT source,
+              md5(array_to_string($toksSql, ' ')) AS fp,
+              len($toksSql) AS nt
+            FROM documents)
+          SELECT source, COUNT(*) AS n_docs,
+            COUNT(DISTINCT fp) AS n_distinct,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens,
+            CAST(MAX(nt) AS BIGINT) AS max_tokens
+          FROM t GROUP BY source""",
     "samp2_mixture" ->
       """WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
           n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),

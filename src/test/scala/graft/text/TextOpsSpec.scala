@@ -115,4 +115,16 @@ class TextOpsSpec extends SparkSpec {
     // a stratum missing from counts samples at 0
     assert(TextOps.mixtureRates(Map("a" -> 10L), Map("a" -> 0.5, "b" -> 0.5))("b") == 0.0)
   }
+
+  test("approx_count_distinct tracks exact distinct within 5% (the t10 scale path)") {
+    val df = (1L to 5000L).map(i => (i, s"doc body number ${i % 1300}"))
+      .toDF("id", "text")
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val (exact, approx) = df
+      .agg(countDistinct(col("fp")).cast("double"),
+        approx_count_distinct(col("fp")).cast("double"))
+      .as[(Double, Double)].collect().head
+    assert(exact == 1300.0)
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
+  }
 }
