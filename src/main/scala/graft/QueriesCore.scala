@@ -392,7 +392,7 @@ object QueriesCore {
                                      ORDER BY event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
     "a2_clim_median" ->
-      """SELECT event_type, hour(ts) AS hr, ROUND(quantile_cont(value, 0.5), 4) AS med
+      """SELECT event_type, hour(ts) AS hr, ROUND(quantile_cont(value, 0.5), 4) + 0 AS med
          FROM events GROUP BY 1, 2""",
     "a5_frequent_bins" ->
       """WITH h AS (
@@ -413,7 +413,7 @@ object QueriesCore {
                   quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
            FROM events GROUP BY 1)
          SELECT e.event_type,
-                ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4) AS wmean
+                ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4) + 0 AS wmean
          FROM events e JOIN b ON e.event_type = b.event_type
          GROUP BY e.event_type""",
     "a10_flag_counts" ->
@@ -433,14 +433,14 @@ object QueriesCore {
            COUNT(DISTINCT year(l_shipdate)) AS n_years
          FROM lineitem GROUP BY 1, 2""",
     "a15_gauss_fit" ->
-      """SELECT event_type, ROUND(AVG(value), 4) AS mu,
+      """SELECT event_type, ROUND(AVG(value), 4) + 0 AS mu,
            ROUND(stddev_pop(value), 4) AS sigma
          FROM events GROUP BY event_type""",
     "o6_top1_by_count" ->
       """SELECT event_type, v AS modal_v, cnt FROM (
            SELECT event_type, v, cnt,
                   row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, v ASC) AS rn
-           FROM (SELECT event_type, round(value, 0) AS v, COUNT(*) AS cnt
+           FROM (SELECT event_type, round(value, 0) + 0 AS v, COUNT(*) AS cnt
                  FROM events GROUP BY 1, 2))
          WHERE rn = 1""",
     "w1_diffs" ->
@@ -452,7 +452,7 @@ object QueriesCore {
            FROM events)
          GROUP BY user_id""",
     "w10_autocorr" ->
-      """SELECT user_id, ROUND(corr(value, lv), 4) AS autocorr FROM (
+      """SELECT user_id, ROUND(corr(value, lv), 4) + 0 AS autocorr FROM (
            SELECT user_id, value,
                   lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS lv
            FROM events)
@@ -460,7 +460,7 @@ object QueriesCore {
          GROUP BY user_id""",
     "w16_hourly_sum" ->
       """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
-           ROUND(CASE WHEN COUNT(v) = 0 THEN NULL ELSE SUM(v) END, 2) AS v
+           ROUND(CASE WHEN COUNT(v) = 0 THEN NULL ELSE SUM(v) END, 2) + 0 AS v
          FROM (SELECT user_id, ts, CASE WHEN value >= 5 THEN value END AS v FROM events)
          GROUP BY 1, 2""",
     "w17_flag_concat" ->

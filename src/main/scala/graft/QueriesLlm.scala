@@ -616,8 +616,8 @@ object QueriesLlm {
             FROM scored),
           m AS (SELECT b.cid, v.v FROM best b JOIN v USING (vec_id) WHERE rn = 1)
           SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n,
-            ROUND(CAST(SUM(CAST(v[1] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 4) AS c1,
-            ROUND(CAST(SUM(CAST(v[2] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 4) AS c2
+            ROUND(CAST(SUM(CAST(v[1] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 4) + 0 AS c1,
+            ROUND(CAST(SUM(CAST(v[2] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 4) + 0 AS c2
           FROM m GROUP BY cid""",
     "pipe2_curation" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
@@ -867,7 +867,7 @@ object QueriesLlm {
           r AS (SELECT qid, cid, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
                 FROM s)
-          SELECT qid, cid, ROUND(cos, 4) AS cos, rank FROM r WHERE rank <= 5""",
+          SELECT qid, cid, ROUND(cos, 4) + 0 AS cos, rank FROM r WHERE rank <= 5""",
     "e3_ivf_assign" ->
       """WITH scored AS (
            SELECT vec_id, i AS cid,
@@ -910,7 +910,7 @@ object QueriesLlm {
                               * sqrt(${dotSql("c2.v", "c2.v")}) = 0 THEN 0.0
                     ELSE ${dotSql("c1.v", "c2.v")}
                          / (sqrt(${dotSql("c1.v", "c1.v")})
-                            * sqrt(${dotSql("c2.v", "c2.v")})) END, 6) AS cos
+                            * sqrt(${dotSql("c2.v", "c2.v")})) END, 6) + 0 AS cos
             FROM pairs p
             JOIN corpus c1 ON p.id1 = c1.vec_id
             JOIN corpus c2 ON p.id2 = c2.vec_id)
@@ -941,7 +941,7 @@ object QueriesLlm {
           r AS (SELECT qid, cid, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
                 FROM scored)
-          SELECT qid, cid, ROUND(cos, 4) AS cos, rank FROM r WHERE rank <= 5""",
+          SELECT qid, cid, ROUND(cos, 4) + 0 AS cos, rank FROM r WHERE rank <= 5""",
     "e5_quantize" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           q AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
@@ -1009,6 +1009,6 @@ object QueriesLlm {
           r AS (SELECT qid, cid, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
                 FROM scored)
-          SELECT qid, cid, ROUND(cos, 6) AS cos, rank FROM r WHERE rank <= 5"""
+          SELECT qid, cid, ROUND(cos, 6) + 0 AS cos, rank FROM r WHERE rank <= 5"""
   )
 }

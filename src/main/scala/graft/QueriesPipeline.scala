@@ -170,8 +170,8 @@ object QueriesPipeline {
          SELECT 'total_obs_count', COUNT(*) FROM s4""",
     "j7_hourly_standardize" ->
       """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
-           ROUND(any_value(v1 ORDER BY ts, event_id), 4) AS v1,
-           ROUND(CASE WHEN COUNT(v2) = 0 THEN NULL ELSE SUM(v2) END, 2) AS v2,
+           ROUND(any_value(v1 ORDER BY ts, event_id), 4) + 0 AS v1,
+           ROUND(CASE WHEN COUNT(v2) = 0 THEN NULL ELSE SUM(v2) END, 2) + 0 AS v2,
            CASE WHEN COUNT(DISTINCT fl) = 0 THEN 'nan'
                 ELSE array_to_string(list_sort(list(DISTINCT fl)), ',') END AS fl,
            any_value(c) AS c

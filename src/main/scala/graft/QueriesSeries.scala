@@ -463,7 +463,7 @@ object QueriesSeries {
                  GREATEST(quantile_cont(anom, 0.75) - quantile_cont(anom, 0.25), 1.5) AS iqr
                FROM an GROUP BY 1, 2)
          SELECT an.event_type, an.hr,
-           ROUND(quantile_cont(an.anom / iq.iqr, 0.5), 4) AS med_std
+           ROUND(quantile_cont(an.anom / iq.iqr, 0.5), 4) + 0 AS med_std
          FROM an JOIN iq ON an.event_type = iq.event_type AND an.hr = iq.hr
          GROUP BY 1, 2""",
     "a9_daily_p95" ->
@@ -477,7 +477,7 @@ object QueriesSeries {
          FROM daily d LEFT JOIN p ON d.user_id = p.user_id AND month(d.day) = p.m
          WHERE d.total > LEAST(1e9, p.p95 * 1.02)""",
     "a13_resolution" ->
-      """WITH v AS (SELECT user_id, round(value, 0) AS v FROM events WHERE value IS NOT NULL),
+      """WITH v AS (SELECT user_id, round(value, 0) + 0 AS v FROM events WHERE value IS NOT NULL),
          d AS (SELECT user_id, v - lag(v) OVER (PARTITION BY user_id ORDER BY v) AS d FROM v),
          dd AS (SELECT user_id, d FROM d WHERE d IS NOT NULL),
          mo AS (SELECT user_id, d AS md FROM (

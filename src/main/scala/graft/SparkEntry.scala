@@ -214,7 +214,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "a1_daily_median" ->
       """SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
-         ROUND(quantile_cont(value, 0.5), 4) AS med
+         ROUND(quantile_cont(value, 0.5), 4) + 0 AS med
          FROM events GROUP BY 1, 2""",
     "w20_season_key" ->
       """SELECT CASE WHEN month(l_shipdate) IN (12,1,2) THEN 'DJF'

@@ -94,10 +94,19 @@ object AnnOps {
     * posting lists only. Centroids come from a driver-side sample (a real system would
     * k-means them; nearest-of-sample preserves the partitioning contract). */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("cos"), lit(i).as("cid"))
-    }
-    greatest(scored: _*).getField("cid")
+    // Centroids ride as ONE nested-array literal and the argmax is an HOF fold:
+    // the expression tree is O(1) in k, not O(k*dim) unrolled terms — k*dim unrolled
+    // blows past the 64 KB codegen method limit for realistic (k, dim) and drops the
+    // whole stage to interpreted mode. Ties go to the HIGHER cid (>=, matching the
+    // lexicographic `greatest` this replaces and the e6/e8 oracles' `cid DESC`).
+    val cb = typedlit(centroids)
+    aggregate(sequence(lit(0), lit(centroids.size - 1)),
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1).as("cid")),
+      (best, i) => {
+        val cos = cosine(vec, element_at(cb, i + 1))
+        when(cos >= best.getField("cos"),
+          struct(cos.as("cos"), i.cast("int").as("cid"))).otherwise(best)
+      }).getField("cid")
   }
 
   /** One (spherical) k-means update step over an embedding corpus: assign every
@@ -166,20 +175,33 @@ object AnnOps {
     * replicates bit-for-bit. */
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.size
+    val k = codebooks.head.size
     val subDim = codebooks.head.head.size
-    val scored = (0 until m).map { s =>
-      val best = codebooks(s).zipWithIndex.map { case (c, ci) =>
-        val d = (0 until subDim).map { j =>
-          val x = element_at(vec, s * subDim + j + 1) - lit(c(j))
-          x * x
-        }.reduce(_ + _)
-        struct(d.as("dist"), lit(ci).as("code"))
-      }
-      least(best: _*)
-    }
+    // Codebooks as ONE nested-array literal + HOF folds (see [[ivfAssign]]): the
+    // unrolled m*k*subDim squared-diff tree exceeded the 64 KB codegen method limit.
+    // Fold order is preserved exactly (left-to-right over j, seed 0.0 — `0.0 + x²`
+    // is bit-identical to `x²`), so DuckDB `list_sum(list_transform(...))` oracles
+    // still match bit-for-bit. Ties go to the LOWEST code (strict <, matching the
+    // lexicographic `least` this replaces and the e7/e8 oracles' `ci ASC`).
+    val cb = typedlit(codebooks)
+    val perSub = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = element_at(cb, s + 1)
+      aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(Double.MaxValue).as("dist"), lit(-1).as("code")),
+        (best, ci) => {
+          val c = element_at(sub, ci + 1)
+          val d = aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, j) => {
+            val x = element_at(vec, s * lit(subDim) + j) - element_at(c, j)
+            acc + x * x
+          })
+          when(d < best.getField("dist"),
+            struct(d.as("dist"), ci.cast("int").as("code"))).otherwise(best)
+        })
+    })
     struct(
-      array(scored.map(_.getField("code")): _*).as("codes"),
-      scored.map(_.getField("dist")).reduce(_ + _).as("sse"))
+      transform(perSub, p => p.getField("code")).as("codes"),
+      aggregate(transform(perSub, p => p.getField("dist")), lit(0.0),
+        (acc, d) => acc + d).as("sse"))
   }
 
   /** IVF-ADC top-k search — the billion-vector serving path: corpus vectors are
@@ -202,22 +224,34 @@ object AnnOps {
                 nProbe: Int, k: Int): DataFrame = {
     val m = codebooks.size
     val subDim = codebooks.head.head.size
+    // The (id, cell, codes) table IS the IVF-PQ index: persist it so the wide
+    // encode expression (m*k*subDim terms — past the 64 KB codegen method limit,
+    // so it runs interpreted) is evaluated exactly once per corpus row instead of
+    // being re-planned/re-evaluated by every downstream stage (sort, window, AQE
+    // re-optimizations). A production system writes this table out once and serves
+    // many query batches from it; the persist is the single-job analog.
     val assigned = corpus
       .withColumn("_cell", ivfAssign(col(corpusVec), centroids))
       .withColumn("_codes", pqEncode(col(corpusVec), codebooks).getField("codes"))
       .select(col(corpusId), col("_cell"), col("_codes"))
-    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
-      array(cb.map { c =>
-        (0 until subDim).map { j =>
-          val x = element_at(col(queryVec), s * subDim + j + 1) - lit(c(j))
-          x * x
-        }.reduce(_ + _)
-      }: _*)
-    }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbLit = typedlit(codebooks)
+    val lut = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = element_at(cbLit, s + 1)
+      transform(sub, c =>
+        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, j) => {
+          val x = element_at(col(queryVec), s * lit(subDim) + j) - element_at(c, j)
+          acc + x * x
+        }))
+    })
+    // Materialize the per-query LUTs too (|Q|*nProbe rows of m*k doubles): the LUT
+    // literal-expression tree is another >64 KB codegen blowout, and pinning it keeps
+    // the broadcast build + every AQE re-plan reading values, not re-deriving them.
     val probed = queries
       .withColumn("_cell", explode(ivfProbes(col(queryVec), centroids, nProbe)))
       .withColumn("_lut", lut)
       .select(col(queryId), col("_cell"), col("_lut"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adc = (0 until m).map(s =>
       element_at(element_at(col("_lut"), s + 1), element_at(col("_codes"), s + 1) + 1))
       .reduce(_ + _)
@@ -278,20 +312,18 @@ object AnnOps {
 
   /** Inverse of [[pqEncode]]: concatenate each code's centroid. */
   def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val cbArrays = codebooks.map(cb =>
-      array(cb.map(c => array(c.map(lit): _*)): _*))
-    flatten(array(cbArrays.zipWithIndex.map { case (cb, s) =>
-      element_at(cb, element_at(codes, s + 1) + 1)
-    }: _*))
+    val cb = typedlit(codebooks)
+    flatten(transform(sequence(lit(0), lit(codebooks.size - 1)),
+      s => element_at(element_at(cb, s + 1), element_at(codes, s + 1) + 1)))
   }
 
   /** The `nProbe` centroid ids nearest to `vec` (cos desc, cid desc on ties —
     * the same ordering [[ivfAssign]]'s `greatest` uses for the top-1). */
   def ivfProbes(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("cos"), lit(i).as("cid"))
-    }
-    transform(slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+    val cb = typedlit(centroids)
+    val scored = transform(sequence(lit(0), lit(centroids.size - 1)), i =>
+      struct(cosine(vec, element_at(cb, i + 1)).as("cos"), i.cast("int").as("cid")))
+    transform(slice(reverse(array_sort(scored)), 1, nProbe),
       s => s.getField("cid"))
   }
 
