@@ -99,14 +99,24 @@ object AnnOps {
     // blows past the 64 KB codegen method limit for realistic (k, dim) and drops the
     // whole stage to interpreted mode. Ties go to the HIGHER cid (>=, matching the
     // lexicographic `greatest` this replaces and the e6/e8 oracles' `cid DESC`).
+    // Seed with centroid 0's ACTUAL score, not a (-Inf, -1) sentinel: with a sentinel
+    // seed, a vector whose every cosine is NaN (NaN component) keeps cid = -1, which
+    // downstream index lookups (ivfPqTopK's element_at(lut, code+1)) turn into an
+    // index-0 error; seeding with index 0 makes all-NaN inputs land deterministically
+    // in cell 0. Identical comparisons for finite inputs — oracles unaffected.
     val cb = typedlit(centroids)
-    aggregate(sequence(lit(0), lit(centroids.size - 1)),
-      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1).as("cid")),
-      (best, i) => {
-        val cos = cosine(vec, element_at(cb, i + 1))
-        when(cos >= best.getField("cos"),
-          struct(cos.as("cos"), i.cast("int").as("cid"))).otherwise(best)
-      }).getField("cid")
+    if (centroids.size == 1) lit(0).cast("int")
+    else {
+      val seed0 = struct(cosine(vec, element_at(cb, 1)).as("cos"),
+        lit(0).cast("int").as("cid"))
+      // sequence(1, k-1) needs k >= 2: Spark's sequence(1, 0) is DESCENDING [1, 0]
+      aggregate(sequence(lit(1), lit(centroids.size - 1)), seed0,
+        (best, i) => {
+          val cos = cosine(vec, element_at(cb, i + 1))
+          when(cos >= best.getField("cos"),
+            struct(cos.as("cos"), i.cast("int").as("cid"))).otherwise(best)
+        }).getField("cid")
+    }
   }
 
   /** One (spherical) k-means update step over an embedding corpus: assign every

@@ -274,8 +274,13 @@ object DedupOps {
   def connectedComponents(edges: DataFrame, id1: String = "id1", id2: String = "id2",
                           maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // repartition by src BEFORE distinct: hash(src) co-locates equal (src,dst) rows,
+    // so the distinct is partition-local (no extra shuffle), the init groupBy(src) is
+    // partition-local, and every round's join on src reuses the cached partitioning —
+    // one setup shuffle buys zero e-side exchanges for the whole loop.
     val e = edges.select(col(id1).as("src"), col(id2).as("dst"))
       .union(edges.select(col(id2).as("src"), col(id1).as("dst")))
+      .repartition(col("src"))
       .distinct()
       .persist(lvl)
     // round 1 fused into init: label = min(id, min(neighbors)), one groupBy, no join
@@ -288,11 +293,16 @@ object DedupOps {
       val lblType = labels.schema("lbl").dataType
       val msgs = e.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"), lit(null).cast(lblType).as("own"))
+      // LAZY checkpoint + one full-scan aggregate: the agg action materializes the
+      // checkpoint AND returns the changed-label count in the same job (the former
+      // eager-checkpoint + filter/limit/count pair was two jobs per round — pure
+      // driver/job overhead on converging graphs).
       val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
         .unionByName(msgs)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("lbl") =!= col("own")).limit(1).count()
+        .localCheckpoint(false)
+      val changed = next.agg(
+        sum(when(col("lbl") =!= col("own"), 1L).otherwise(0L))).first().getLong(0)
       labels.unpersist()
       labels = next.drop("own")
       converged = changed == 0
