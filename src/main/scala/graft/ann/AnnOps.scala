@@ -104,10 +104,15 @@ object AnnOps {
     // downstream index lookups (ivfPqTopK's element_at(lut, code+1)) turn into an
     // index-0 error; seeding with index 0 makes all-NaN inputs land deterministically
     // in cell 0. Identical comparisons for finite inputs — oracles unaffected.
+    // The seed score is nanvl-guarded: a NaN centroid 0 (degenerate training input)
+    // would otherwise poison every `cos >= best.cos` comparison and pin ALL vectors
+    // to cell 0 even when later centroids are finite; -Inf lets any finite centroid
+    // win while all-NaN inputs still land in cell 0.
     val cb = typedlit(centroids)
     if (centroids.size == 1) lit(0).cast("int")
     else {
-      val seed0 = struct(cosine(vec, element_at(cb, 1)).as("cos"),
+      val seed0 = struct(
+        nanvl(cosine(vec, element_at(cb, 1)), lit(Double.NegativeInfinity)).as("cos"),
         lit(0).cast("int").as("cid"))
       // sequence(1, k-1) needs k >= 2: Spark's sequence(1, 0) is DESCENDING [1, 0]
       aggregate(sequence(lit(1), lit(centroids.size - 1)), seed0,

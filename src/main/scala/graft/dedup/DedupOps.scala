@@ -259,11 +259,12 @@ object DedupOps {
     * 2-4 rounds in practice. The FIRST round needs no join (labels are the ids
     * themselves), so it folds into the init as a single groupBy over the edge list;
     * each later round carries the previous label through its groupBy so convergence
-    * is a `limit(1).count` scan of the just-checkpointed table — no extra join, no
-    * data collect. `maxIter` bounds pathological chains; components
-    * wider than that still get consistent (if unconverged) labels, and a production
-    * run on adversarial graphs would switch to large-star/small-star for O(log n)
-    * rounds. Each round's label table is `localCheckpoint`ed (eager): persist alone
+    * is read from a one-row `sum(lbl != own)` aggregate over the round's label table —
+    * the SAME job that materializes the round's lazy `localCheckpoint(false)`, so each
+    * round costs exactly one job and no data collect. `maxIter` bounds pathological
+    * chains; components wider than that still get consistent (if unconverged) labels,
+    * and a production run on adversarial graphs would switch to large-star/small-star
+    * for O(log n) rounds. The per-round checkpoint is load-bearing: persist alone
     * caches the DATA but not the PLAN — the union+join both reference the previous
     * round, so the uncheckpointed logical plan doubles per round and planning itself
     * goes exponential by ~10 rounds. Checkpointing truncates lineage to O(1) per
