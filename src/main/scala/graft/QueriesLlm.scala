@@ -88,6 +88,17 @@ object QueriesLlm {
         threshold = 0.4, shingleN = 3, k = 32, bands = 8)
     }),
 
+    // d2x: the PRODUCTION hash path — same pipeline under XxHash64Fast (Spark-native
+    // xxhash64, codegen'd, no hex round-trip). Rows-only BY DESIGN: xxhash64's seed is
+    // Spark-specific so no cross-engine oracle exists; pair-parity with the md5 path
+    // is pinned by DedupStrategySpec. Benched so the md5-vs-xxhash cost delta of the
+    // path a real 100 TB run would use is measured, not assumed (BASELINE.md).
+    "d2x_minhash_xxhash" -> ((s, dir) => {
+      DedupOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4, shingleN = 3, k = 32, bands = 8,
+        strategy = DedupOps.XxHash64Fast)
+    }),
+
     // SimHash-32 per document
     "d3_simhash" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),

@@ -1,11 +1,20 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+
+import graft.core.AttrsTable
 
 /** S7/S9/S11 — sinks. The reference's delete-then-write zarr store per station
   * (`QAQC_pipeline.py:345-368`, `MERGE_pipeline.py:413-468`) becomes ONE partitioned
   * columnar table; its tiny CSV reports/ledgers stay driver-side single files.
+  *
+  * Attrs: zarr carries global + per-variable attributes natively; parquet via the
+  * DataFrame API does not, so [[graft.core.AttrsTable]] rides as a `_graft_attrs`
+  * sidecar (hidden from data readers — Spark ignores `_`-prefixed paths) and is
+  * rendered as the reference's `#`-comment header on station CSV export
+  * (`data-access/zarr_to_csv.py:58-160`).
   */
 object Sinks {
 
@@ -17,10 +26,13 @@ object Sinks {
     * hashing by the partition column ALONE would send each network to a single task
     * (one writer per network at 100 TB); the salt spreads a network over up to
     * `filesPerPartition` writers while keeping any one station's rows in one file,
-    * so station min/max pruning stays tight. */
+    * so station min/max pruning stays tight.
+    *
+    * `attrs`, when given, is written as the table's sidecar; [[readAttrs]] restores it. */
   def writeObs(df: DataFrame, path: String, partitionCols: Seq[String] = Seq("network"),
                sortCols: Seq[String] = Seq("station", "time"),
-               filesPerPartition: Int = 8): Unit = {
+               filesPerPartition: Int = 8,
+               attrs: Option[AttrsTable] = None): Unit = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val salt = pmod(hash(col(sortCols.head)), lit(filesPerPartition))
@@ -29,7 +41,12 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    attrs.foreach(_.write(spark, path))
   }
+
+  /** Attrs sidecar of an obs table written by [[writeObs]] (empty if none). */
+  def readAttrs(df: DataFrame, path: String): AttrsTable =
+    AttrsTable.read(df.sparkSession, path)
 
   /** S9 — small report sink (flag counts, rates, ledgers): tiny aggregates → one CSV
     * file with header, like the reference's `to_csv` reports. */
@@ -38,11 +55,38 @@ object Sinks {
 
   /** S11 — per-station CSV export (`data-access/zarr_to_csv.py:58-160`): one station's
     * rows, time-sorted. The station filter prunes on partition/min-max stats before
-    * anything is read. */
+    * anything is read.
+    *
+    * With `attrs`, the export carries the reference's metadata header — `#`-comment
+    * lines (station, network, global attrs, per-variable attrs) PREPENDED to the CSV,
+    * exactly the `ADD_METADATA_HEADER` path of `zarr_to_csv.py:135-146`. The prepend
+    * rewrites the single part file driver-side via a stream copy: a station export is
+    * one station's rows by construction (the reference loads the whole station into
+    * pandas for the same step), so the copy is bounded and never touches executors. */
   def exportStationCsv(obs: DataFrame, stationId: String, path: String,
-                       stationCol: String = "station", timeCol: String = "time"): Unit =
+                       stationCol: String = "station", timeCol: String = "time",
+                       attrs: Option[AttrsTable] = None,
+                       network: String = ""): Unit = {
     obs.filter(col(stationCol) === stationId)
       .orderBy(col(timeCol))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    attrs.foreach { at =>
+      val spark = obs.sparkSession
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(path))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $path"))
+      val tmp = new Path(path, "._with_header.csv")
+      val out = fs.create(tmp, true)
+      val header = (at.csvHeaderLines(stationId, network).mkString("\n") + "\n")
+        .getBytes("UTF-8")
+      out.write(header)
+      val in = fs.open(part)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+      finally { in.close(); out.close() }
+      fs.delete(part, false)
+      fs.rename(tmp, part)
+    }
+  }
 }

@@ -10,9 +10,13 @@ class SparkEntrySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("every query has an oracle except the two documented rows-only kernels") {
+  test("every query has an oracle except the documented rows-only entries") {
+    // w13/clim1: libm-exp 1-ulp parity (golden-pinned in KernelsSpec);
+    // d2x: Spark-seeded xxhash64 has no cross-engine replica BY DESIGN — pair-parity
+    // with the md5 path is pinned in DedupAnnSpec (the production-hash bench entry).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("w13_gauss_gap", "clim1_outlier_chain"), s"got $noOracle")
+    assert(noOracle ==
+      Set("w13_gauss_gap", "clim1_outlier_chain", "d2x_minhash_xxhash"), s"got $noOracle")
     // no orphan oracles either (an oracle without a query never gets checked)
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"orphan oracles: $orphan")

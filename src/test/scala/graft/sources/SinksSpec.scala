@@ -27,6 +27,53 @@ class SinksSpec extends SparkSpec {
     assert(after.filter(col("network") === "ASOS").count() == 1) // replaced
   }
 
+  test("S7+attrs: sidecar round-trips and stays invisible to data readers") {
+    import graft.core.AttrsTable
+    val dir = Files.createTempDirectory("obsattrs").toFile.getAbsolutePath + "/obs"
+    val df = Seq(("ASOS", "s1", 1L, 280.5)).toDF("network", "station", "time", "tas")
+    val attrs = AttrsTable.ObsDefaults ++ AttrsTable(
+      Map("comment" -> "test product"),
+      Map("tas" -> Map("comment" -> "Converted from Celsius.")))
+    Sinks.writeObs(df, dir, filesPerPartition = 1, attrs = Some(attrs))
+    // data readers never see the sidecar (underscore path is hidden)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("network", "station", "time", "tas"))
+    assert(back.count() == 1)
+    // attrs restore: defaults + overrides both survive
+    val at = Sinks.readAttrs(back, dir)
+    assert(at.global("comment") == "test product")
+    assert(at.forVar("tas")("units") == "degree_Kelvin")
+    assert(at.forVar("tas")("comment") == "Converted from Celsius.")
+    assert(at.forVar("tas")("ancillary_variables") == "tas_eraqc")
+  }
+
+  test("S11+attrs: station CSV export carries the #-comment metadata header") {
+    import graft.core.AttrsTable
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("csvattrs").toFile.getAbsolutePath
+    val obs = Seq(("s1", 2L, 280.0), ("s1", 1L, 281.0), ("s2", 1L, 282.0))
+      .toDF("station", "time", "tas")
+    val attrs = AttrsTable(Map("disclaimer" -> "synthetic"),
+      Map("tas" -> Map("units" -> "degree_Kelvin")))
+    Sinks.exportStationCsv(obs, "s1", s"$tmp/s1", attrs = Some(attrs),
+      network = "ASOS")
+    val part = new java.io.File(s"$tmp/s1").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val lines = Files.readAllLines(part.toPath).asScala
+    assert(lines.head == "# STATION: s1")
+    assert(lines.contains("# NETWORK: ASOS"))
+    assert(lines.contains("# DISCLAIMER: synthetic"))
+    assert(lines.contains("# VAR tas.units: degree_Kelvin"))
+    // data intact under the header: header row + 2 station rows, time-sorted
+    val data = lines.dropWhile(_.startsWith("#"))
+    assert(data.head == "station,time,tas")
+    assert(data.tail.size == 2 && data.tail.head.split(",")(1) == "1")
+    // a comment-aware reader (DuckDB/pandas skip '#') sees exactly the data
+    val back = spark.read.option("header", "true").option("comment", "#")
+      .csv(s"$tmp/s1")
+    assert(back.count() == 2)
+  }
+
   test("S9/S11: CSV report and per-station export") {
     val tmp = Files.createTempDirectory("csv").toFile.getAbsolutePath
     val report = Seq(("11", 5L), ("no_flag", 95L)).toDF("flag", "cnt")
