@@ -23,7 +23,15 @@ object Bench {
     } catch { case _: Throwable => () }
     // (name, seconds, errorOrNull): failures are REPORTED, never silently folded
     // into the total as fast runs (round-1 bug: 9 crashed queries looked like 0.1s wins).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // args, when given, select a query subset (scale smokes bench the heavy tail only).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val unknown = args.toSet -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: $unknown")
+        SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

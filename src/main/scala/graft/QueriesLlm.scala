@@ -169,8 +169,10 @@ object QueriesLlm {
           transform(sequence(lit(1), lit(64)), j =>
             lit(0.9) * element_at(col("v"), j) +
             lit(0.1) * element_at(col("v"), pmod(j, lit(64)) + 1)).as("v"))
+      // 16-bit bands (48 planes / 3 bands): 8-bit keys saturate once the corpus
+      // approaches 2^8 per bucket — measured 711x slowdown at 50x data (SCALE.md r6)
       DedupOps.embeddingNearDups(base.unionByName(planted), "vec_id", "v",
-        threshold = 0.8, nPlanes = 24, bands = 3, dim = 64)
+        threshold = 0.8, nPlanes = 48, bands = 3, dim = 64)
     }),
 
     // IVF search: probe the 2 nearest posting lists per query, brute-force within
@@ -231,6 +233,19 @@ object QueriesLlm {
           threshold = 0.4, shingleN = 3, k = 32, bands = 8)
         .select(col("id1"), col("id2"))
       DedupOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("keep"))
+    }),
+
+    // d7s: identical clustering contract via LARGE-STAR/SMALL-STAR contraction —
+    // the O(log² n)-round adversarial-graph path (label propagation is
+    // diameter-bounded); shares d7's recursive-CTE oracle because the output
+    // contract is identical
+    "d7s_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = DedupOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.4, shingleN = 3, k = 32, bands = 8)
+        .select(col("id1"), col("id2"))
+      DedupOps.connectedComponentsStar(pairs)
         .select(col("id").as("doc_id"), col("cluster"),
           (col("id") === col("cluster")).as("keep"))
     }),
@@ -392,7 +407,7 @@ object QueriesLlm {
     * pipeline (same seeded constants as the Spark op). Dot products are written as
     * ordered list_sum folds on both sides, so the sign bits agree bit-for-bit. */
   private val d5PlanesSql: String =
-    graft.ann.AnnOps.hyperplanes(24, 64, 42L).zipWithIndex.map { case (p, i) =>
+    graft.ann.AnnOps.hyperplanes(48, 64, 42L).zipWithIndex.map { case (p, i) =>
       s"($i, ${p.mkString("[", ", ", "]")})"
     }.mkString(",\n             ")
 
@@ -558,6 +573,20 @@ object QueriesLlm {
       s"""WITH $minhashVerifiedCte
           SELECT id1, id2, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.4""",
     "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+          nd AS (SELECT id1, id2 FROM verified WHERE j >= 0.4),
+          e2 AS (SELECT id1 AS s, id2 AS d FROM nd
+                 UNION SELECT id2, id1 FROM nd),
+          walk(id, r) AS (
+            SELECT s, d FROM e2
+            UNION
+            SELECT w.id, e.d FROM walk w JOIN e2 e ON w.r = e.s)
+          SELECT id AS doc_id,
+            LEAST(id, MIN(r)) AS cluster,
+            (id = LEAST(id, MIN(r))) AS keep
+          FROM walk GROUP BY id""",
+    // same contract, different algorithm — the oracle is algorithm-independent
+    "d7s_dedup_clusters_star" ->
       s"""WITH RECURSIVE $minhashVerifiedCte,
           nd AS (SELECT id1, id2 FROM verified WHERE j >= 0.4),
           e2 AS (SELECT id1 AS s, id2 AS d FROM nd
@@ -908,7 +937,7 @@ object QueriesLlm {
           sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS sig
                   FROM bits GROUP BY vec_id),
           bands AS (
-            SELECT vec_id, b.b::VARCHAR || ':' || substring(sig, b.b * 8 + 1, 8) AS band
+            SELECT vec_id, b.b::VARCHAR || ':' || substring(sig, b.b * 16 + 1, 16) AS band
             FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS b) b),
           okb AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND 2000),
           pairs AS (

@@ -188,25 +188,45 @@ object DedupOps {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Plane count for [[embeddingNearDups]] sized to the corpus: bits-per-band
+    * r = log2(n / targetBucket) (min 8), so expected bucket size stays ~targetBucket
+    * and candidate generation stays linear in n instead of going quadratic when a
+    * fixed key space saturates. Callers trade the recall loss of wider bands by
+    * raising `bands` (recall per band = (1-theta/pi)^r). */
+  def suggestedRhPlanes(corpusSize: Long, bands: Int = 3,
+                        targetBucket: Int = 100): Int = {
+    val r = math.max(8,
+      math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt)
+    r * bands
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH candidates
     * verified by exact cosine >= `threshold`.
     *
     * Same 100 TB shape as [[minhashNearDups]]: ONE shuffle on the band bucket key,
     * pairs generated inside buckets only (capped by `maxBucketSize`), with the exact
-    * cosine verify applied at pair generation (see body note). `nPlanes/bands` trades recall vs candidate volume:
-    * 24 planes in 3 bands of 8 keeps random-pair collisions at ~3/256 while retaining
-    * ~98% recall at cos >= 0.99 (P[band match] = (1 - theta/pi)^8 per band).
-    * The hyperplanes are seeded Scala constants, so an external oracle can replicate
-    * the full pipeline by inlining them as literals (cf. reference near-dup semantics,
+    * cosine verify applied at pair generation (see body note).
+    *
+    * SIZE THE BAND KEY TO THE CORPUS ([[suggestedRhPlanes]]): a band of `r` bits has
+    * only 2^r distinct keys, so expected bucket size is n/2^r and candidate pairs per
+    * band grow ~n²/2^r — a fixed `r` turns the op quadratic once n approaches 2^r.
+    * Measured (SCALE.md r6): 8-bit bands went 711× slower on 50× data; 16-bit bands
+    * restored linear scaling at identical recall for the planted near-dups. Recall
+    * per band is (1 - theta/pi)^r (theta = angle at the cosine threshold), so wider
+    * bands want more bands: 48 planes in 3 bands of 16 gives ~92% recall at
+    * cos >= 0.99 and one-in-65k random-pair collisions. The hyperplanes are seeded
+    * Scala constants, so an external oracle can replicate the full pipeline by
+    * inlining them as literals (cf. reference near-dup semantics,
     * `qaqc_concatenate_stations.py:87-152` groups identical coords; this extends the
     * idea to approximate vector identity for training-data curation). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.8, nPlanes: Int = 24, bands: Int = 3,
+                        threshold: Double = 0.8, nPlanes: Int = 48, bands: Int = 3,
                         dim: Int = 64, seed: Long = 42L,
                         maxBucketSize: Int = 2000): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
     val rpb = nPlanes / bands
     val planes = graft.ann.AnnOps.hyperplanes(nPlanes, dim, seed)
+    // (bits-per-band sizing: see scaladoc + suggestedRhPlanes)
     // persist pins the signature: without the cache, projection collapse would
     // re-evaluate all nPlanes dot products once per band key (see sigTable note
     // above); the verify reads vectors from the same pinned table via the buckets
@@ -315,6 +335,93 @@ object DedupOps {
         "rounds — a component's diameter exceeds maxIter; labels are consistent but " +
         "not minimal. Raise maxIter or switch to large-star/small-star.")
     labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR contraction — the
+    * adversarial-graph production path that [[connectedComponents]]'s scaladoc
+    * promises (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): label propagation needs diameter-many rounds (a 10M-node chain is
+    * 10M rounds), star contraction converges in O(log² n) — in practice a handful —
+    * regardless of diameter, with every round the same two key-balanced
+    * groupBy shuffles.
+    *
+    *  - large-star: every node u links each STRICTLY LARGER neighbor to the minimum
+    *    of its closed neighborhood m(u) = min(N(u) ∪ u) — operates on both edge
+    *    orientations;
+    *  - small-star: every node u links each smaller-or-equal neighbor (and itself)
+    *    to m(u) — operates on (larger → smaller) orientation only.
+    *
+    * Both preserve connectivity and strictly shrink non-star components; a fixpoint
+    * is a forest of stars whose centers are the component minima, read out as
+    * (id, cluster) directly from the final edge list. Convergence is detected by an
+    * (edge-count, xxhash64-sum) pair computed in the SAME job that materializes each
+    * round's lazy checkpoint — O(1) driver data, no collect. Per-round
+    * `localCheckpoint` bounds lineage exactly as in [[connectedComponents]].
+    *
+    * Output contract is identical to [[connectedComponents]] (same oracle applies):
+    * (id, cluster = component minimum) for every node appearing in `edges`.
+    * StarCcSpec pins equality with the label-propagation path on chain / star /
+    * random graphs; d7s runs it against d7's recursive-CTE DuckDB oracle. */
+  def connectedComponentsStar(edges: DataFrame, id1: String = "id1", id2: String = "id2",
+                              maxIter: Int = 30): DataFrame = {
+    // neighborhood-min links for one star round. `bidir`: large-star sees both
+    // orientations (it rewires only larger neighbors), small-star only
+    // larger→smaller. `keep`: which neighbors get linked to the neighborhood min.
+    def starRound(e: DataFrame, bidir: Boolean,
+                  keep: (Column, Column) => Column): DataFrame = {
+      val oriented =
+        if (bidir) e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        else e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+      oriented
+        .groupBy(col("src"))
+        .agg(collect_set(col("dst")).as("_nbrs"))
+        .select(col("src"),
+          least(col("src"), array_min(col("_nbrs"))).as("_m"),
+          explode(concat(col("_nbrs"), array(col("src")))).as("_v"))
+        .where(keep(col("_v"), col("src")) && col("_v") =!= col("_m"))
+        .select(col("_v").as("src"), col("_m").as("dst"))
+        .distinct()
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var e = edges.select(col(id1).as("src"), col(id2).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // fingerprint of the (already-deduped, orientation-normalized) edge set; equal
+    // fingerprints across a round = fixpoint. bit_xor is overflow-free (sum of
+    // full-range hashes trips ANSI addExact) and sound on a DISTINCT edge set;
+    // collisions at ~2^-64 are below practical concern, and a false "converged"
+    // would still emit consistent star labels — the paper's invariant holds per round
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(least(col("src"), col("dst")),
+          greatest(col("src"), col("dst")))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val ls = starRound(e, bidir = true, keep = (v, u) => v > u)
+      val ss = starRound(ls, bidir = false, keep = (v, u) => v <= u)
+        .localCheckpoint(false)
+      val nfp = fingerprint(ss) // same job materializes the checkpoint
+      e = ss
+      converged = nfp == fp
+      fp = nfp
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponentsStar: no fixpoint after " +
+        s"$maxIter rounds (O(log² n) expected — pathological input?); labels are " +
+        "consistent but may not be component-minimal.")
+    // fixpoint is a star forest: every non-center points at its center; centers
+    // (cluster minima) label themselves
+    val members = e.select(col("src").as("id"), col("dst").as("cluster"))
+    val centers = e.select(col("dst").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+    members.unionByName(centers).distinct()
   }
 
   /** 32-bit SimHash of the token multiset: per token, md5-derived 32-bit hash votes
