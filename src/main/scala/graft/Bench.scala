@@ -31,24 +31,38 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: $unknown")
         SparkEntry.queries.view.filterKeys(args.toSet).toMap
       }
+    // Repeat protocol (r7): each query runs `reps` times in-process with the Spark
+    // cache cleared between runs, so rep 1 is "cold" (fresh plans + parquet footers,
+    // but a warmed JVM) and later reps are "warm" (JIT + OS page cache). The headline
+    // per-query number and total are the MIN across reps: a transient container-load
+    // spike (r5's 142 s total, r6's d2x at 30 s — both untouched code) inflates one
+    // rep, not all, so min-of-reps is the stable plan-cost signal, and the cold/warm
+    // pair in the output makes noise adjudication mechanical instead of forensic.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt max 1
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // queries that pin intermediates (LSH signature tables, pipeline stages) must
-      // not hold memory against later queries — each query is timed self-contained
-      spark.catalog.clearCache()
-      (name, sec, err)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // queries that pin intermediates (LSH signature tables, pipeline stages) must
+        // not hold memory against later queries — each rep is timed self-contained
+        spark.catalog.clearCache()
+        (sec, err)
+      }
+      (name, runs.map(_._1).min, runs.head._1, runs.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v, _, _) => k -> v })
+    val cold = jmap(results.map { case (k, _, c, _) => k -> c })
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
-    val nFailed = results.count(_._3.isDefined)
+    val nFailed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val totalCold = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"total_cold":$totalCold,"reps":$reps,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -91,7 +91,7 @@ object QueriesLlm {
     // d2x: the PRODUCTION hash path — same pipeline under XxHash64Fast (Spark-native
     // xxhash64, codegen'd, no hex round-trip). Rows-only BY DESIGN: xxhash64's seed is
     // Spark-specific so no cross-engine oracle exists; pair-parity with the md5 path
-    // is pinned by DedupStrategySpec. Benched so the md5-vs-xxhash cost delta of the
+    // is pinned by DedupAnnSpec. Benched so the md5-vs-xxhash cost delta of the
     // path a real 100 TB run would use is measured, not assumed (BASELINE.md).
     "d2x_minhash_xxhash" -> ((s, dir) => {
       DedupOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",

@@ -41,7 +41,7 @@ object DedupOps {
     * exact cross-engine oracle (the verification default). [[XxHash64Fast]] is the
     * production path: Spark-native, codegen'd, no hex round-trip — same 60-bit
     * positive range, same downstream pipeline, just not replicable in other engines.
-    * DedupStrategySpec pins that both find the same near-dup pairs. */
+    * DedupAnnSpec pins that both find the same near-dup pairs. */
   sealed trait HashStrategy
   case object Md5Portable extends HashStrategy
   case object XxHash64Fast extends HashStrategy
@@ -213,8 +213,10 @@ object DedupOps {
     * Measured (SCALE.md r6): 8-bit bands went 711× slower on 50× data; 16-bit bands
     * restored linear scaling at identical recall for the planted near-dups. Recall
     * per band is (1 - theta/pi)^r (theta = angle at the cosine threshold), so wider
-    * bands want more bands: 48 planes in 3 bands of 16 gives ~92% recall at
-    * cos >= 0.99 and one-in-65k random-pair collisions. The hyperplanes are seeded
+    * bands want more bands: 48 planes in 3 bands of 16 gives ~86% recall at
+    * cos >= 0.99 (1-(1-(1-theta/pi)^16)^3 at theta=acos(0.99); ~92% holds at
+    * cos ~= 0.995, where the planted-copy spec measures >= 0.9) and one-in-65k
+    * random-pair collisions. The hyperplanes are seeded
     * Scala constants, so an external oracle can replicate the full pipeline by
     * inlining them as literals (cf. reference near-dup semantics,
     * `qaqc_concatenate_stations.py:87-152` groups identical coords; this extends the
@@ -367,28 +369,38 @@ object DedupOps {
     // neighborhood-min links for one star round. `bidir`: large-star sees both
     // orientations (it rewires only larger neighbors), small-star only
     // larger→smaller. `keep`: which neighbors get linked to the neighborhood min.
+    // m(u) = min(N(u) ∪ {u}) is a plain `min` AGGREGATE joined back to the oriented
+    // edges — O(1) aggregation state per node, never a materialized neighborhood
+    // array: a high-degree hub (exactly the graphs this path is advertised for) costs
+    // a partial min, not an executor-sized collect_set buffer (ADVICE r6). The self
+    // link (u → m(u), small-star only) comes straight from the m table; its subtree
+    // repeats the m aggregate, but Spark's ReuseExchange collapses the identical
+    // shuffle so the agg runs once.
     def starRound(e: DataFrame, bidir: Boolean,
                   keep: (Column, Column) => Column): DataFrame = {
       val oriented =
         if (bidir) e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         else e.select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
-      oriented
-        .groupBy(col("src"))
-        .agg(collect_set(col("dst")).as("_nbrs"))
-        .select(col("src"),
-          least(col("src"), array_min(col("_nbrs"))).as("_m"),
-          explode(concat(col("_nbrs"), array(col("src")))).as("_v"))
-        .where(keep(col("_v"), col("src")) && col("_v") =!= col("_m"))
-        .select(col("_v").as("src"), col("_m").as("dst"))
-        .distinct()
+      val m = oriented.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("_m"))
+      val nbrLinks = oriented.join(m, "src")
+        .where(keep(col("dst"), col("src")) && col("dst") =!= col("_m"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+      val selfLinks = m
+        .where(keep(col("src"), col("src")) && col("src") =!= col("_m"))
+        .select(col("src"), col("_m").as("dst"))
+      nbrLinks.union(selfLinks).distinct()
     }
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var e = edges.select(col(id1).as("src"), col(id2).as("dst"))
+    // canonicalize orientation (larger → smaller) BEFORE distinct so mirrored inputs
+    // (a,b)/(b,a) collapse to one row — the invariant the fingerprint's bit_xor
+    // soundness argument relies on, and the orientation every later round emits
+    var e = edges.select(greatest(col(id1), col(id2)).as("src"),
+        least(col(id1), col(id2)).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    // fingerprint of the (already-deduped, orientation-normalized) edge set; equal
+    // fingerprint of the (deduped, orientation-normalized) edge set; equal
     // fingerprints across a round = fixpoint. bit_xor is overflow-free (sum of
     // full-range hashes trips ANSI addExact) and sound on a DISTINCT edge set;
     // collisions at ~2^-64 are below practical concern, and a false "converged"

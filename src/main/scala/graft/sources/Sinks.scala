@@ -85,8 +85,16 @@ object Sinks {
       val in = fs.open(part)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
       finally { in.close(); out.close() }
-      fs.delete(part, false)
-      fs.rename(tmp, part)
+      // rename FIRST, delete after: on filesystems where rename signals failure by
+      // returning false (object stores), the failure is then detectable and
+      // non-destructive — the original part file is still in place.
+      val renamed = new Path(path, "." + part.getName + ".orig")
+      if (!fs.rename(part, renamed)) sys.error(s"rename failed: $part -> $renamed")
+      if (!fs.rename(tmp, part)) {
+        fs.rename(renamed, part) // restore; header copy remains at `tmp` for debugging
+        sys.error(s"rename failed: $tmp -> $part (original restored)")
+      }
+      fs.delete(renamed, false)
     }
   }
 }
