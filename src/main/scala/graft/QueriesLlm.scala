@@ -220,7 +220,10 @@ object QueriesLlm {
           encode(col("text"), "UTF-8").as("payload"),
           typedLit(Map.empty[String, String]).as("meta"))
         .as[graft.multimodal.MultimodalOps.MediaRow]
-      graft.multimodal.MultimodalOps.resizeStub(rows, 4).toDF()
+      // text bytes are not a decodable image, so this exercises the documented
+      // stride-decimation fallback (the ceil(n/4) length contract below); real
+      // PNG decode/resize is pinned by MultimodalSpec
+      graft.multimodal.MultimodalOps.resize(rows, 4).toDF()
         .select(col("id").as("doc_id"),
           length(col("payload")).cast("long").as("resized_len"),
           element_at(col("meta"), "orig_bytes").cast("long").as("orig_len"))

@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns with typed
   * metadata, processed in partition-batched typed kernels.
   *
-  * The container has no codec libraries, so the DECODE step is a clearly-marked
-  * deterministic stub ([[StubCodec]]); everything around it -- schema, batch shape,
-  * partitioning, feature extraction on raw bytes -- is real and tested. In production
-  * the stub body is replaced by an actual codec call with the identical signature; the
-  * Spark plan does not change.
+  * IMAGE decode/resize is REAL: `javax.imageio` ships with the JVM (PNG/JPEG/GIF/BMP),
+  * so `kind == "image"` payloads that ImageIO can parse get true dimensions, channel
+  * counts, and a decode -> box-filter -> PNG re-encode resize. Audio/video (no JVM
+  * codec) and undecodable image payloads fall back to the clearly-marked deterministic
+  * stub ([[StubCodec]]) so the plumbing stays total; everything around the codec --
+  * schema, batch shape, partitioning, byte-level features -- is real either way.
   *
   * Scale notes: media rows are large -- callers should store binaries in their own
   * column (Parquet keeps them in separate pages; projection pruning skips them unless
   * selected) and repartition by id range so a partition's batch fits executor memory.
   * The kernels below stream one row at a time inside `mapPartitions` (no
-  * whole-partition materialization).
+  * whole-partition materialization). ImageIO's tmp-file cache is disabled once per
+  * executor JVM: decodes are pure in-memory, no disk traffic per row.
   */
 object MultimodalOps {
 
@@ -24,18 +26,75 @@ object MultimodalOps {
   final case class MediaRow(id: Long, kind: String, payload: Array[Byte],
                             meta: Map[String, String])
 
-  /** Decoded media descriptor (what a real codec would emit). */
+  /** Decoded media descriptor. `codec` records which path produced it: "imageio"
+    * (real decode) or "stub" (deterministic fallback). */
   final case class Decoded(id: Long, kind: String, width: Int, height: Int,
-                           channels: Int, nFrames: Int)
+                           channels: Int, nFrames: Int, codec: String)
 
   /** Fixed-length byte-level features: 16-bucket byte histogram (normalized), payload
     * length, entropy proxy. Real computation on real bytes -- used as the
     * "feature-extract" stage independent of any codec. */
   final case class ByteFeatures(id: Long, length: Long, features: Array[Double])
 
-  /** STUB codec: deterministically fakes a decode from the payload's leading bytes.
-    * ??? -- replace with a real image/audio decoder in production; the container ships
-    * no codec libraries. Kept total and deterministic so plumbing tests are stable. */
+  /** Real JVM-native image codec (javax.imageio): decode, deterministic box-filter
+    * downscale, PNG re-encode. Static + stateless -> safe inside executor closures. */
+  object ImageCodec {
+    // in-memory only: the default ImageIO disk cache would write a tmp file per
+    // decode on every executor thread
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** Box-filter downscale by integer `stride`: each output pixel is the rounded
+      * per-channel mean of its stride x stride source block (clipped at the edges).
+      * Pure integer/double arithmetic on the ARGB raster -- deterministic across
+      * platforms, unlike Graphics2D's platform-dependent interpolation. */
+    def boxResize(img: java.awt.image.BufferedImage, stride: Int): java.awt.image.BufferedImage = {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val w = math.max(sw / stride, 1)
+      val h = math.max(sh / stride, 1)
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var (a, r, g, b, n) = (0L, 0L, 0L, 0L, 0L)
+          var sy = y * stride
+          val ey = math.min(sy + stride, sh)
+          while (sy < ey) {
+            var sx = x * stride
+            val ex = math.min(sx + stride, sw)
+            while (sx < ex) {
+              val p = img.getRGB(sx, sy)
+              a += (p >>> 24) & 0xff; r += (p >>> 16) & 0xff
+              g += (p >>> 8) & 0xff; b += p & 0xff
+              n += 1; sx += 1
+            }
+            sy += 1
+          }
+          def avg(s: Long) = ((s + n / 2) / n).toInt
+          out.setRGB(x, y, (avg(a) << 24) | (avg(r) << 16) | (avg(g) << 8) | avg(b))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB codec for kinds the JVM has no codec for (audio/video) and undecodable
+    * image payloads: deterministically fakes a decode from the payload's leading
+    * bytes. ??? -- a production deployment swaps in real audio/video decoders with
+    * the identical signature. Kept total and deterministic so plumbing tests are
+    * stable. */
   object StubCodec {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) = {
       val b = (i: Int) => if (payload.length > i) payload(i) & 0xff else 0
@@ -49,12 +108,20 @@ object MultimodalOps {
   }
 
   /** Batched decode: one typed `mapPartitions` pass (the Scala analog of a Pandas UDF
-    * over mapInPandas -- same batch shape, arrow-free). */
+    * over mapInPandas -- same batch shape, arrow-free). Images decode for real via
+    * [[ImageCodec]]; other kinds (and image bytes ImageIO rejects) take the stub. */
   def decodeBatch(ds: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[Decoded] = {
     import spark.implicits._
     ds.mapPartitions(_.map { r =>
-      val (w, h, ch, f) = StubCodec.decode(r.kind, r.payload)
-      Decoded(r.id, r.kind, w, h, ch, f)
+      val real =
+        if (r.kind == "image") ImageCodec.tryDecode(r.payload).map(img =>
+          Decoded(r.id, r.kind, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, 1, "imageio"))
+        else None
+      real.getOrElse {
+        val (w, h, ch, f) = StubCodec.decode(r.kind, r.payload)
+        Decoded(r.id, r.kind, w, h, ch, f, "stub")
+      }
     })
   }
 
@@ -87,24 +154,43 @@ object MultimodalOps {
     }
   }
 
-  /** Resize stage: deterministic stride-decimation of the payload standing in for an
-    * image resize (??? -- in production the body becomes codec-decode -> bilinear
-    * resample -> re-encode; signature and plan shape are identical). Output payload is
-    * every `stride`-th byte, so downstream stages see a genuinely smaller binary and
-    * the metadata records the provenance -- the contract a real resize must keep. */
-  def resizeStub(ds: Dataset[MediaRow], stride: Int)
-                (implicit spark: SparkSession): Dataset[MediaRow] = {
+  /** Resize stage. For `kind == "image"` payloads ImageIO can decode, this is a REAL
+    * resize: decode -> deterministic box-filter downscale by `stride` -> PNG re-encode,
+    * with true dimensions recorded in the metadata. For everything else (audio/video,
+    * undecodable bytes) it falls back to stride-decimation of the raw payload (??? --
+    * production swaps in the matching codec), so downstream stages always see a
+    * genuinely smaller binary plus provenance -- the contract any resize must keep.
+    * `meta("resize_codec")` records which path ran. */
+  def resize(ds: Dataset[MediaRow], stride: Int)
+            (implicit spark: SparkSession): Dataset[MediaRow] = {
     require(stride >= 1, "stride must be >= 1")
     import spark.implicits._
     ds.mapPartitions(_.map { r =>
       val n = r.payload.length
-      val out = new Array[Byte]((n + stride - 1) / stride)
-      var i = 0
-      while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
-      r.copy(payload = out,
-        meta = r.meta + ("resize_stride" -> stride.toString, "orig_bytes" -> n.toString))
+      val realImg = if (r.kind == "image") ImageCodec.tryDecode(r.payload) else None
+      realImg match {
+        case Some(img) =>
+          val small = ImageCodec.boxResize(img, stride)
+          r.copy(payload = ImageCodec.encodePng(small),
+            meta = r.meta + ("resize_stride" -> stride.toString,
+              "orig_bytes" -> n.toString, "resize_codec" -> "imageio",
+              "orig_w" -> img.getWidth.toString, "orig_h" -> img.getHeight.toString,
+              "new_w" -> small.getWidth.toString, "new_h" -> small.getHeight.toString))
+        case None =>
+          val out = new Array[Byte]((n + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
+          r.copy(payload = out,
+            meta = r.meta + ("resize_stride" -> stride.toString,
+              "orig_bytes" -> n.toString, "resize_codec" -> "stub"))
+      }
     })
   }
+
+  /** Pre-r7 name for [[resize]] (the image path is no longer a stub). */
+  @deprecated("use resize", "r7")
+  def resizeStub(ds: Dataset[MediaRow], stride: Int)
+                (implicit spark: SparkSession): Dataset[MediaRow] = resize(ds, stride)
 
   /** DataFrame-level entry: attach byte features to any (id, binary) pair without the
     * typed API -- for SQL-facing pipelines. */

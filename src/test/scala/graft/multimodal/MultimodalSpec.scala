@@ -15,10 +15,48 @@ class MultimodalSpec extends SparkSpec {
       media(1, "image", Array[Byte](10, 20, 30)),
       media(2, "video", Array[Byte](1, 2, 3, 4))).toDS()
     val out = decodeBatch(ds).collect().sortBy(_.id)
-    assert(out(0).channels == 3 && out(0).nFrames == 1)
+    assert(out(0).channels == 3 && out(0).nFrames == 1 && out(0).codec == "stub")
     assert(out(1).kind == "video" && out(1).nFrames > 1)
     // determinism
     assert(decodeBatch(ds).collect().sortBy(_.id).toSeq == out.toSeq)
+  }
+
+  // a real PNG generated in-test: 40x24, two solid vertical halves
+  private def pngBytes(w: Int = 40, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff336699 else 0xffcc2200)
+    ImageCodec.encodePng(img)
+  }
+
+  test("real PNG decode: imageio path reports true dimensions and channels") {
+    val ds = Seq(media(1, "image", pngBytes()),
+      media(2, "image", pngBytes(7, 3))).toDS()
+    val out = decodeBatch(ds).collect().sortBy(_.id)
+    assert(out(0) == Decoded(1, "image", 40, 24, 4, 1, "imageio"))
+    assert(out(1) == Decoded(2, "image", 7, 3, 4, 1, "imageio"))
+  }
+
+  test("real PNG resize: box-filter halves dimensions and re-encodes decodably") {
+    val ds = Seq(media(1, "image", pngBytes())).toDS()
+    val out = resize(ds, 2).collect().head
+    assert(out.meta("resize_codec") == "imageio")
+    assert(out.meta == out.meta ++ Map("orig_w" -> "40", "orig_h" -> "24",
+      "new_w" -> "20", "new_h" -> "12"))
+    val back = ImageCodec.tryDecode(out.payload).get
+    assert(back.getWidth == 20 && back.getHeight == 12)
+    // interior pixel of the left half keeps its color under a uniform box filter
+    assert((back.getRGB(2, 5) & 0xffffff) == 0x336699)
+    assert((back.getRGB(17, 5) & 0xffffff) == 0xcc2200)
+  }
+
+  test("box filter averages blocks deterministically") {
+    // 2x1 black+white -> stride 2 -> single mid-gray pixel
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 0xff000000); img.setRGB(1, 0, 0xffffffff)
+    val out = ImageCodec.boxResize(img, 2)
+    assert(out.getWidth == 1 && out.getHeight == 1)
+    assert(out.getRGB(0, 0) == 0xff808080) // (0+255+128)/2 = 127.5 -> round 128
   }
 
   test("byte features: normalized 16-bucket histogram") {
