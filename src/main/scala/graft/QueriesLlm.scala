@@ -343,6 +343,31 @@ object QueriesLlm {
         centroids, cbs, nProbe = 2, k = 5)
     }),
 
+    // e8t: the TRAINED IVF-ADC serving path — spherical-k-means cells (kmeansTrain,
+    // init = 8 smallest-id embeddings) + per-subspace Lloyd-trained PQ codebooks
+    // (pqTrain), fed into the same ivfPqTopK. Rows-only BY DESIGN: multi-round
+    // k-means has no tractable SQL oracle; trained >= untrained recall at equal
+    // nProbe is pinned by DedupAnnSpec, and determinism holds end-to-end (ordered
+    // init, order-independent decimal sums, deterministic tie-breaks).
+    "e8t_ivfpq_trained" -> ((s, dir) => {
+      // persisted across the 5 training jobs (3 k-means + 2 PQ iterations) so each
+      // reads the cast projection from cache instead of re-scanning parquet;
+      // released by the harness's per-query clearCache
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val init: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(8)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val centroids = AnnOps.kmeansTrain(emb, "v", init, iters = 3)
+      val cbs = AnnOps.pqTrain(emb, "v", m = 8, k = 16, subDim = 8,
+        init = AnnOps.pqCodebooks(m = 8, k = 16, subDim = 8, seed = 7L), iters = 2)
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.ivfPqTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, cbs, nProbe = 2, k = 5)
+    }),
+
     // t10: per-source corpus stats — rows, exact distinct docs (by fingerprint),
     // token totals; the scale path swaps approx_count_distinct for the exact
     // distinct (HLL, one pass, no fingerprint shuffle) — property-tested in

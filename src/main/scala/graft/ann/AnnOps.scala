@@ -149,6 +149,21 @@ object AnnOps {
           col(s"_s$j").cast("double") / col("n")): _*).as("centroid"))
   }
 
+  /** Iterate [[kmeansStep]] to train spherical IVF centroids — the production path
+    * the driver-sample inits stand in for. Each round is ONE partial-aggregated
+    * shuffle of k×dim decimals; the per-round collect is centroid-sized (k×dim
+    * doubles), never data. Empty cells keep their previous centroid, so k is stable
+    * across rounds. Deterministic given a deterministic `init` (decimal sums are
+    * addition-order independent). */
+  def kmeansTrain(df: DataFrame, vecCol: String, init: Seq[Seq[Double]],
+                  iters: Int = 5): Seq[Seq[Double]] =
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val byCid = kmeansStep(df, vecCol, cents)
+        .select(col("cid"), col("centroid")).collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq).toMap
+      cents.indices.map(ci => byCid.getOrElse(ci, cents(ci)))
+    }
+
   /** Per-vector int8 scalar quantization — the storage path for billion-vector
     * corpora (4x smaller than float32, 8x than float64; IVF+SQ is the standard
     * pairing). Codes are `round((v - mn) / (mx - mn) * 255) - 128` with the
@@ -315,15 +330,49 @@ object AnnOps {
   }
 
   /** Train PQ codebooks by per-subspace Lloyd iterations over the corpus — the
-    * production path the seeded [[pqCodebooks]] stand in for. Init is a stride
-    * sample of `init` (deterministic); each iteration is one partial-aggregated
-    * shuffle of k×subDim decimals per subspace, never a data collect. */
+    * production path the seeded [[pqCodebooks]] stand in for.
+    *
+    * ALL m subspaces train in ONE scan+shuffle per iteration (not m): the vector
+    * posexplodes into (subspace, subvector) rows, each row folds over ITS subspace's
+    * k centroids (HOF on the nested codebook literal — same shape as [[pqEncode]]),
+    * and a single groupBy(subspace, code) carries m×k×subDim decimal partial sums.
+    * The per-iteration collect is codebook-sized. Assignment ties go to the lowest
+    * code (strict <) and sums are order-independent decimals, so results are
+    * bit-identical to training each subspace separately with [[l2KmeansStep]].
+    * Empty cells keep their previous centroid. */
   def pqTrain(df: DataFrame, vecCol: String, m: Int, k: Int, subDim: Int,
-              init: Seq[Seq[Seq[Double]]], iters: Int = 5): Seq[Seq[Seq[Double]]] =
-    (0 until m).map { s =>
-      val sub = df.select(slice(col(vecCol), s * subDim + 1, subDim).as("_sub"))
-      (0 until iters).foldLeft(init(s)) { (cents, _) => l2KmeansStep(sub, "_sub", cents) }
+              init: Seq[Seq[Seq[Double]]], iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val subs = df.select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(vecCol), s * lit(subDim) + 1, lit(subDim)))))
+      .toDF("_s", "_sub")
+    val sums = (0 until subDim).map(j =>
+      sum(element_at(col("_sub"), j + 1).cast("decimal(27,10)")).as(s"_sum$j"))
+    (0 until iters).foldLeft(init) { (cbs, _) =>
+      val cbLit = typedlit(cbs)
+      val assign = aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(Double.MaxValue).as("dist"), lit(-1).as("code")),
+        (best, ci) => {
+          val c = element_at(element_at(cbLit, col("_s") + 1), ci + 1)
+          val d = aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, j) => {
+            val x = element_at(col("_sub"), j) - element_at(c, j)
+            acc + x * x
+          })
+          when(d < best.getField("dist"),
+            struct(d.as("dist"), ci.cast("int").as("code"))).otherwise(best)
+        }).getField("code")
+      val rows = subs.withColumn("_code", assign)
+        .groupBy(col("_s"), col("_code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), (0 until subDim).map(j => r.getDecimal(j + 3).doubleValue()))))
+        .toMap
+      (0 until m).map(s => (0 until k).map(ci => rows.get((s, ci)) match {
+        case Some((n, sm)) if n > 0 => sm.map(_ / n)
+        case _ => cbs(s)(ci)
+      }))
     }
+  }
 
   /** Inverse of [[pqEncode]]: concatenate each code's centroid. */
   def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {

@@ -310,6 +310,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(meanRecall >= 0.9, s"mean cluster recall $meanRecall")
   }
 
+  test("trained IVF/PQ (kmeansTrain + pqTrain) recall >= untrained at equal nProbe") {
+    val rng = new scala.util.Random(17)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = (0 until 20).map(_ => unit())
+    val corpus = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 4).map { j =>
+        val v = c.zip(Array.fill(dim)(rng.nextGaussian() * 0.05)).map { case (a, b) => a + b }
+        (ci.toLong * 10 + j, v.toSeq)
+      }
+    }
+    val corpusDf = corpus.toDF("cid", "cv")
+    val queryDf = centers.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toDF("qid", "qv")
+    // untrained = the e8 shape: axis-aligned unit cells + seeded Gaussian codebooks
+    val untrainedCells = (0 until 8).map(i => Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+    val untrainedCbs = AnnOps.pqCodebooks(m = 4, k = 16, subDim = 4, seed = 7L)
+    // trained = the e8t shape: spherical k-means cells from a stride-sampled init,
+    // per-subspace Lloyd-trained codebooks from the untrained init
+    val strideInit = corpus.indices.by(corpus.size / 8).take(8).map(i => corpus(i)._2)
+    val trainedCells = AnnOps.kmeansTrain(corpusDf, "cv", strideInit, iters = 4)
+    val trainedCbs = AnnOps.pqTrain(corpusDf, "cv", m = 4, k = 16, subDim = 4,
+      init = untrainedCbs, iters = 3)
+    val k = 3
+    def clusterRecall(cells: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): Double = {
+      val got = AnnOps.ivfPqTopK(corpusDf, "cid", "cv", queryDf, "qid", "qv",
+          cells, cbs, nProbe = 2, k = k)
+        .select("qid", "cid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      centers.indices.map { q =>
+        val cluster = (0 until 4).map(j => q.toLong * 10 + j).toSet
+        got.getOrElse(q.toLong, Set.empty).count(cluster).toDouble / k
+      }.sum / centers.size
+    }
+    val (u, t) = (clusterRecall(untrainedCells, untrainedCbs),
+      clusterRecall(trainedCells, trainedCbs))
+    assert(t >= u, s"trained recall $t < untrained $u")
+    assert(t >= 0.9, s"trained recall $t below 0.9")
+  }
+
   test("pqTrain reduces reconstruction error vs the untrained codebooks") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
