@@ -369,28 +369,28 @@ object DedupOps {
     // neighborhood-min links for one star round. `bidir`: large-star sees both
     // orientations (it rewires only larger neighbors), small-star only
     // larger→smaller. `keep`: which neighbors get linked to the neighborhood min.
-    // m(u) = min(N(u) ∪ {u}) is a plain `min` AGGREGATE joined back to the oriented
-    // edges — O(1) aggregation state per node, never a materialized neighborhood
-    // array: a high-degree hub (exactly the graphs this path is advertised for) costs
-    // a partial min, not an executor-sized collect_set buffer (ADVICE r6). The self
-    // link (u → m(u), small-star only) comes straight from the m table; its subtree
-    // repeats the m aggregate, but Spark's ReuseExchange collapses the identical
-    // shuffle so the agg runs once.
+    // m(u) = min(N(u) ∪ {u}) rides every edge row as a WINDOW min over the src
+    // partition — never a materialized neighborhood array: a high-degree hub
+    // (exactly the graphs this path is advertised for) costs a disk-spillable
+    // window sort, not an executor-sized collect_set buffer (ADVICE r6), and the
+    // round stays at two shuffles (window exchange + distinct), with no join and
+    // no second aggregate. The self link (u → m(u), small-star only) is emitted
+    // from the same rows via a 2-way explode (duplicates per degree collapse in
+    // the round's distinct).
     def starRound(e: DataFrame, bidir: Boolean,
                   keep: (Column, Column) => Column): DataFrame = {
       val oriented =
         if (bidir) e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         else e.select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
-      val m = oriented.groupBy(col("src"))
-        .agg(least(col("src"), min(col("dst"))).as("_m"))
-      val nbrLinks = oriented.join(m, "src")
-        .where(keep(col("dst"), col("src")) && col("dst") =!= col("_m"))
-        .select(col("dst").as("src"), col("_m").as("dst"))
-      val selfLinks = m
-        .where(keep(col("src"), col("src")) && col("src") =!= col("_m"))
-        .select(col("src"), col("_m").as("dst"))
-      nbrLinks.union(selfLinks).distinct()
+      val w = Window.partitionBy(col("src"))
+      oriented
+        .withColumn("_m", least(col("src"), min(col("dst")).over(w)))
+        .select(col("src"), col("_m"),
+          explode(array(col("dst"), col("src"))).as("_v"))
+        .where(keep(col("_v"), col("src")) && col("_v") =!= col("_m"))
+        .select(col("_v").as("src"), col("_m").as("dst"))
+        .distinct()
     }
     // canonicalize orientation (larger → smaller) BEFORE distinct so mirrored inputs
     // (a,b)/(b,a) collapse to one row — the invariant the fingerprint's bit_xor
