@@ -90,11 +90,26 @@ object MultimodalOps {
     }
   }
 
-  /** STUB codec for kinds the JVM has no codec for (audio/video) and undecodable
-    * image payloads: deterministically fakes a decode from the payload's leading
-    * bytes. ??? -- a production deployment swaps in real audio/video decoders with
-    * the identical signature. Kept total and deterministic so plumbing tests are
-    * stable. */
+  /** Real JVM-native audio header decode (javax.sound.sampled): WAV/AIFF/AU PCM.
+    * Returns (sampleRate, sampleSizeBits, channels, frames). Static + stateless. */
+  object AudioCodec {
+    def tryDecode(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          Some((f.getSampleRate.toInt, f.getSampleSizeInBits, f.getChannels,
+            in.getFrameLength))
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** STUB codec for kinds the JVM has no codec for (video, non-PCM audio) and
+    * undecodable payloads: deterministically fakes a decode from the payload's
+    * leading bytes. ??? -- a production deployment swaps in real video/compressed-
+    * audio decoders with the identical signature. Kept total and deterministic so
+    * plumbing tests are stable. */
   object StubCodec {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) = {
       val b = (i: Int) => if (payload.length > i) payload(i) & 0xff else 0
@@ -109,15 +124,22 @@ object MultimodalOps {
 
   /** Batched decode: one typed `mapPartitions` pass (the Scala analog of a Pandas UDF
     * over mapInPandas -- same batch shape, arrow-free). Images decode for real via
-    * [[ImageCodec]]; other kinds (and image bytes ImageIO rejects) take the stub. */
+    * [[ImageCodec]] (PNG/JPEG/GIF/BMP), audio via [[AudioCodec]] (WAV/AIFF/AU PCM --
+    * width carries the sample rate, height the bits per sample, nFrames the frame
+    * count); video and undecodable payloads take the stub. */
   def decodeBatch(ds: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[Decoded] = {
     import spark.implicits._
     ds.mapPartitions(_.map { r =>
-      val real =
-        if (r.kind == "image") ImageCodec.tryDecode(r.payload).map(img =>
+      val real = r.kind match {
+        case "image" => ImageCodec.tryDecode(r.payload).map(img =>
           Decoded(r.id, r.kind, img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents, 1, "imageio"))
-        else None
+        case "audio" => AudioCodec.tryDecode(r.payload).map { case (rate, bits, ch, fr) =>
+          Decoded(r.id, r.kind, rate, bits, ch,
+            math.min(fr, Int.MaxValue.toLong).toInt, "javasound")
+        }
+        case _ => None
+      }
       real.getOrElse {
         val (w, h, ch, f) = StubCodec.decode(r.kind, r.payload)
         Decoded(r.id, r.kind, w, h, ch, f, "stub")

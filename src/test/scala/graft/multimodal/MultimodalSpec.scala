@@ -50,6 +50,22 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(17, 5) & 0xffffff) == 0xcc2200)
   }
 
+  test("real WAV decode: javasound path reports true rate/bits/channels/frames") {
+    // a 100-frame 8kHz 16-bit stereo PCM WAV generated in-test
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](100 * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ds = Seq(media(1, "audio", bos.toByteArray),
+      media(2, "audio", Array[Byte](1, 2, 3))).toDS()
+    val out = decodeBatch(ds).collect().sortBy(_.id)
+    assert(out(0) == Decoded(1, "audio", 8000, 16, 2, 100, "javasound"))
+    assert(out(1).codec == "stub") // non-PCM payload keeps the documented fallback
+  }
+
   test("box filter averages blocks deterministically") {
     // 2x1 black+white -> stride 2 -> single mid-gray pixel
     val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
