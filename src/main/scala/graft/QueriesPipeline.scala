@@ -81,6 +81,36 @@ object QueriesPipeline {
           sum(when(col("sfcWind_dir") === 360.0, 1).otherwise(0)).as("n_dir360"))
     }),
 
+    // Flags 6-9: sensor-height gates (reference part 1b, inactive in its v2 stage
+    // list — shipped behind the default-off sensorHeightStage for catalog
+    // completeness). Stations synthesized so every code fires: user_id%5==0 with an
+    // event_id%97 row -> thermometer height null somewhere (6); %5==1 -> 2.5m (7);
+    // %3==0 with an event_id%101 row -> anemometer null (8); %3==1 -> FIRST-row
+    // height 10.9m (9 — pins the reference's row-0 wind quirk, df[...][0]).
+    "c6_sensor_heights" -> ((s, dir) => {
+      val wmin = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val e = t(s, dir, "events")
+        .withColumn("thermometer_height_m",
+          when(col("user_id") % 5 === 0 && col("event_id") % 97 === 0,
+            lit(null).cast("double"))
+          .when(col("user_id") % 5 === 1, lit(2.5)).otherwise(lit(2.1)))
+        .withColumn("anemometer_height_m",
+          when(col("user_id") % 3 === 0,
+            when(col("event_id") % 101 === 0, lit(null).cast("double"))
+              .otherwise(lit(10.0)))
+          .when(col("user_id") % 3 === 1,
+            when(col("ts") === min(col("ts")).over(wmin), lit(10.9)).otherwise(lit(10.0)))
+          .otherwise(lit(10.2)))
+        .withColumn("tas_eraqc", lit(null).cast("int"))
+        .withColumn("sfcWind_eraqc", lit(null).cast("int"))
+        .withColumn("sfcWind_dir_eraqc", lit(null).cast("int"))
+      graft.ops.CleanOps.sensorHeightFlags(e, "user_id", "ts")
+        .groupBy(col("tas_eraqc").cast("long").as("t_flag"),
+          col("sfcWind_eraqc").cast("long").as("w_flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_stations"))
+    }),
+
     // §2.8: derive DAG -- dewpoint derived from (tas, hurs) with synergistic flag 38
     "d8_derive_dag" -> ((s, dir) => {
       val obs = t(s, dir, "events")
@@ -95,6 +125,35 @@ object QueriesPipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "c6_sensor_heights" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN user_id % 5 = 0 AND event_id % 97 = 0 THEN NULL
+                  WHEN user_id % 5 = 1 THEN 2.5 ELSE 2.1 END AS th,
+             CASE WHEN user_id % 3 = 0 THEN
+                    (CASE WHEN event_id % 101 = 0 THEN NULL ELSE 10.0 END)
+                  WHEN user_id % 3 = 1 THEN
+                    (CASE WHEN ts = MIN(ts) OVER (PARTITION BY user_id) THEN 10.9 ELSE 10.0 END)
+                  ELSE 10.2 END AS anem
+           FROM events),
+         m AS (SELECT *, MIN(ts) OVER (PARTITION BY user_id) AS mts FROM e),
+         st AS (
+           SELECT user_id,
+             MAX(CASE WHEN th IS NULL THEN 1 ELSE 0 END) AS t_miss,
+             MAX(CASE WHEN th < 2 - 1.0/3 OR th > 2 + 1.0/3 THEN 1 ELSE 0 END) AS t_out,
+             MAX(CASE WHEN anem IS NULL THEN 1 ELSE 0 END) AS a_miss,
+             MAX(CASE WHEN ts = mts THEN anem END) AS first_a
+           FROM m GROUP BY 1),
+         fl AS (
+           SELECT user_id,
+             CASE WHEN t_miss = 1 THEN 6 WHEN t_out = 1 THEN 7 END AS tf,
+             CASE WHEN a_miss = 1 THEN 8
+                  WHEN first_a < 10 - 1.0/3 OR first_a > 10 + 1.0/3 THEN 9 END AS wf
+           FROM st)
+         SELECT CAST(tf AS BIGINT) AS t_flag, CAST(wf AS BIGINT) AS w_flag,
+                COUNT(*) AS n_rows, COUNT(DISTINCT e.user_id) AS n_stations
+         FROM e JOIN fl ON e.user_id = fl.user_id
+         GROUP BY 1, 2""",
     "pipe1_qaqc_e2e" ->
       """WITH obs AS (
            SELECT user_id, ts,

@@ -14,7 +14,13 @@ object Flags {
   val ElevInfillDem = 3
   val ElevInfillNeighbor = 4
   val ElevInfillFailed = 5
-  // 6-9: sensor-height checks (inactive in reference v2)
+  // 6-9: sensor-height gates — defined but NOT CALLED in the reference's v2 stage
+  // list (many networks don't report heights, `qaqc_wholestation.py:596,633`);
+  // implemented in CleanOps.sensorHeightFlags behind a default-off stage
+  val ThermometerHeightMissing = 6
+  val ThermometerHeightNot2m = 7
+  val AnemometerHeightMissing = 8
+  val AnemometerHeightNot10m = 9
   val NegativePrecip = 10
   val WorldRecord = 11
   val Supersaturation = 12

@@ -176,6 +176,39 @@ object CleanOps {
         lit(flag).cast("int")).otherwise(existing))
   }
 
+  /** Flags 6/7/8/9 — sensor-height gates (`qaqc_wholestation.py:579-686`): per
+    * station, if thermometer height is missing anywhere the station's `tas_eraqc`
+    * becomes 6; present but anywhere outside 2 m ± 1/3 m → 7. Anemometer: missing
+    * anywhere → `sfcWind_eraqc` = `sfcWind_dir_eraqc` = 8; present but the FIRST
+    * row's height outside 10 m ± 1/3 m → 9 (the reference reads only row 0 for wind
+    * — `df["anemometer_height_m"][0]` at `:674` — while the temperature check scans
+    * every row; mirrored exactly). The reference assigns the WHOLE column, wiping
+    * prior flags for the station — mirrored (these run first in part 1b).
+    *
+    * INACTIVE IN THE REFERENCE'S V2 PIPELINE (both functions are defined but
+    * commented out of the stage list — many networks don't report sensor heights);
+    * shipped for catalog completeness behind QaqcPipeline's `sensorHeights = false`
+    * default. One window shuffle on station; per-station state is four scalars. */
+  def sensorHeightFlags(df: DataFrame, stationCol: String = "station",
+                        timeCol: String = "time"): DataFrame = {
+    val w = Window.partitionBy(col(stationCol))
+    val wt = w.orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tMissing = max(when(col("thermometer_height_m").isNull, 1).otherwise(0)).over(w) === 1
+    val tOutside = max(when(col("thermometer_height_m") < 2.0 - 1.0 / 3 ||
+      col("thermometer_height_m") > 2.0 + 1.0 / 3, 1).otherwise(0)).over(w) === 1
+    val aMissing = max(when(col("anemometer_height_m").isNull, 1).otherwise(0)).over(w) === 1
+    val firstA = first(col("anemometer_height_m")).over(wt)
+    val aOutside = firstA < 10.0 - 1.0 / 3 || firstA > 10.0 + 1.0 / 3
+    def windFlag(existing: Column): Column =
+      when(aMissing, lit(8)).when(aOutside, lit(9)).otherwise(existing).cast("int")
+    df.withColumn("tas_eraqc",
+        when(tMissing, lit(6)).when(tOutside, lit(7))
+          .otherwise(col("tas_eraqc")).cast("int"))
+      .withColumn("sfcWind_eraqc", windFlag(col("sfcWind_eraqc")))
+      .withColumn("sfcWind_dir_eraqc", windFlag(col("sfcWind_dir_eraqc")))
+  }
+
   /** Flag 30 — fixed-cadence grid infill (`VALLEYWATER_clean.py:117-134`): resample
     * each key's record onto a regular `cadence` grid from its first to last timestamp;
     * timestamps absent from the record appear as new rows with null observations and

@@ -91,6 +91,17 @@ object QaqcPipeline {
       }))
   }
 
+  /** Part 1b sensor-height gates (flags 6–9) as an optional LEADING stage. OFF by
+    * default everywhere: the reference defines both checks but leaves them out of
+    * its v2 stage list (`qaqc_wholestation.py:579-686` — "many networks do not
+    * report sensor height"). Prepend to [[singleVariable]]'s stages when a corpus
+    * carries `thermometer_height_m` / `anemometer_height_m`. */
+  def sensorHeightStage(station: String = "station", timeCol: String = "time"): Stage =
+    Stage("sensor_heights",
+      Seq(Flags.ThermometerHeightMissing, Flags.ThermometerHeightNot2m,
+        Flags.AnemometerHeightMissing, Flags.AnemometerHeightNot10m),
+      df => CleanOps.sensorHeightFlags(df, station, timeCol))
+
   /** A10 report off the pipeline output: flag value counts per variable, including the
     * `no_flag` and `total_obs_count` rows (`merge_eraqc_counts.py:22-84`). */
   def flagCountReport(df: DataFrame, flagColName: String): DataFrame = {

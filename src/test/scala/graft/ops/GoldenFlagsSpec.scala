@@ -169,4 +169,41 @@ class GoldenFlagsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(3L, 4L, 5L, 7L))
   }
+
+  test("flags 6-9: sensor-height gates incl. the reference's row-0 wind quirk") {
+    // s1: thermometer height null somewhere -> 6 (whole station)
+    // s2: thermometer 2.5m (outside 2 +/- 1/3) -> 7; anemometer fine
+    // s3: anemometer null somewhere -> 8 on BOTH wind flag columns
+    // s4: anemometer FIRST row 10.9 (outside) -> 9, even though later rows are 10.0
+    // s5: anemometer first row 10.0, LATER row 12.0 -> NOT flagged (the reference
+    //     reads only row 0 for wind, qaqc_wholestation.py:674); thermometer fine
+    def rows(st: String, th: Seq[java.lang.Double], an: Seq[java.lang.Double]) =
+      th.zip(an).zipWithIndex.map { case ((t, a), i) =>
+        (st, ts(f"2024-01-01 ${i}%02d:00:00"), t, a)
+      }
+    val obs = (rows("s1", Seq(2.0, null), Seq(10.0, 10.0)) ++
+        rows("s2", Seq(2.5, 2.5), Seq(10.0, 10.0)) ++
+        rows("s3", Seq(2.0, 2.0), Seq(null, 10.0)) ++
+        rows("s4", Seq(2.0, 2.0), Seq(10.9, 10.0)) ++
+        rows("s5", Seq(2.0, 2.0), Seq(10.0, 12.0)))
+      .toDF("station", "time", "thermometer_height_m", "anemometer_height_m")
+      .withColumn("tas_eraqc", lit(null).cast("int"))
+      .withColumn("sfcWind_eraqc", lit(null).cast("int"))
+      .withColumn("sfcWind_dir_eraqc", lit(null).cast("int"))
+    val out = CleanOps.sensorHeightFlags(obs).cache()
+    def flagOf(st: String, c: String): Option[Int] =
+      out.filter(col("station") === st).select(c).distinct()
+        .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Int])).head
+    assert(flagOf("s1", "tas_eraqc").contains(Flags.ThermometerHeightMissing))
+    assert(flagOf("s2", "tas_eraqc").contains(Flags.ThermometerHeightNot2m))
+    assert(flagOf("s3", "sfcWind_eraqc").contains(Flags.AnemometerHeightMissing))
+    assert(flagOf("s3", "sfcWind_dir_eraqc").contains(Flags.AnemometerHeightMissing))
+    assert(flagOf("s4", "sfcWind_eraqc").contains(Flags.AnemometerHeightNot10m))
+    assert(flagOf("s5", "sfcWind_eraqc").isEmpty, "row-0 quirk: later rows ignored")
+    assert(flagOf("s5", "tas_eraqc").isEmpty)
+    // every station's flag is uniform across its rows (whole-column assignment)
+    assert(out.groupBy("station")
+      .agg(countDistinct(coalesce(col("sfcWind_eraqc"), lit(-1))).as("n"))
+      .filter(col("n") > 1).count() == 0)
+  }
 }
