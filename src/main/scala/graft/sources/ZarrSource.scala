@@ -21,11 +21,11 @@ import graft.core.AttrsTable
   *  - consolidated metadata only (`.zmetadata`; the reference always consolidates);
   *  - C-order chunks, any dimensionality with singleton leading dims (the
   *    reference's arrays are `(station=1, time)` or `(time,)`);
-  *  - compressors: `null`, `zlib`, `gzip`, and **blosc with cname=lz4/memcpy** —
-  *    zarr's DEFAULT (`Blosc(cname='lz4', shuffle=SHUFFLE)`); byte-shuffle and
-  *    block-split are undone exactly as c-blosc 1.x emits them (lz4 block format
-  *    via the lz4-java Spark already ships for shuffle compression). blosc with
-  *    cname=blosclz/zstd is rejected with a clear error (no JVM codec);
+  *  - compressors: `null`, `zlib`, `gzip`, and **blosc with cname=lz4/zlib/zstd/
+  *    memcpy** — lz4 is zarr's DEFAULT (`Blosc(cname='lz4', shuffle=SHUFFLE)`);
+  *    byte-shuffle and block-split are undone exactly as c-blosc 1.x emits them
+  *    (inner codecs via the lz4-java / zstd-jni Spark already ships for shuffle
+  *    compression). cname=blosclz is rejected with a clear error (no JVM decoder);
   *  - filters: none or `vlen-utf8` (xarray's string-coordinate encoding);
   *  - dtypes: `f8/f4`, `i8/i4/i2/i1`, `u1`, `b1`, fixed-width `S`/`U`, `M8[ns]`;
   *    either endianness;
@@ -137,8 +137,9 @@ object ZarrSource {
     }
 
   /** Decode a c-blosc 1.x frame (the zarr default compressor). Supports memcpy mode
-    * and lz4-coded blocks with optional byte-shuffle and block-split — exactly what
-    * `Blosc(cname='lz4', shuffle=SHUFFLE)` emits. Layout per c-blosc `blosc.c`:
+    * and lz4/zlib/zstd-coded blocks with optional byte-shuffle and (lz4-only)
+    * block-split — what `Blosc(cname='lz4'|'zlib'|'zstd', shuffle=SHUFFLE)` emits.
+    * Layout per c-blosc `blosc.c`:
     * 16-byte header (version, versionlz, flags, typesize, nbytes, blocksize, cbytes,
     * all LE), then `nblocks` int32 block offsets, then per block `nsplits` streams of
     * [int32 csize][payload], where csize == stream size means a stored (uncompressed)
@@ -157,13 +158,30 @@ object ZarrSource {
       return out
     }
     val codec = (flags >> 5) & 0x7 // 0=blosclz 1=lz4/lz4hc 2=snappy 3=zlib 4=zstd
-    require(codec == 1, s"blosc inner codec id $codec unsupported (only lz4); " +
-      "re-encode the store with cname='lz4' or zlib")
+    require(codec == 1 || codec == 3 || codec == 4,
+      s"blosc inner codec id $codec unsupported (lz4/zlib/zstd only; blosclz has " +
+        "no JVM decoder — re-encode the store with cname='lz4')")
     require((flags & 0x4) == 0, "blosc bit-shuffle unsupported (byte-shuffle only)")
     val byteShuffle = (flags & 0x1) != 0 && typesize > 1
     val nblocks = (nbytes + blocksize - 1) / blocksize
-    val doSplit = typesize > 1 && typesize <= 16 && blocksize / typesize >= 128
+    // NOTE: c-blosc's FORWARD_COMPAT split rule applies to blosclz/lz4 only — zlib
+    // and zstd streams are never split (one stream per block)
+    val doSplit = codec == 1 && typesize > 1 && typesize <= 16 &&
+      blocksize / typesize >= 128
     val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
+    def inflate(srcArr: Array[Byte], off: Int, len: Int,
+                dst: Array[Byte], dstOff: Int, dstLen: Int): Int = codec match {
+      case 1 => lz4.decompress(srcArr, off, len, dst, dstOff, dstLen)
+      case 3 =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(srcArr, off, len)
+        var done = 0
+        while (!inf.finished() && done < dstLen)
+          done += inf.inflate(dst, dstOff + done, dstLen - done)
+        inf.end(); done
+      case 4 => com.github.luben.zstd.Zstd.decompressByteArray(
+        dst, dstOff, dstLen, srcArr, off, len).toInt
+    }
     var b = 0
     while (b < nblocks) {
       val bsize = math.min(blocksize, nbytes - b * blocksize)
@@ -178,8 +196,8 @@ object ZarrSource {
         else if (csize == neblock) {
           System.arraycopy(src, off, block, s * neblock, neblock); off += csize
         } else {
-          val n = lz4.decompress(src, off, csize, block, s * neblock, neblock)
-          require(n == neblock, s"lz4 stream decoded $n of $neblock bytes")
+          val n = inflate(src, off, csize, block, s * neblock, neblock)
+          require(n == neblock, s"blosc stream decoded $n of $neblock bytes")
           off += csize
         }
         s += 1

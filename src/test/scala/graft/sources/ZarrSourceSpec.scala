@@ -19,14 +19,32 @@ class ZarrSourceSpec extends SparkSpec {
   private def intLE(out: ByteArrayOutputStream, v: Int): Unit =
     out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
 
-  /** c-blosc 1.x frame with cname=lz4, byte-shuffle, FORWARD_COMPAT block split —
-    * byte-compatible with what `Blosc(cname='lz4', shuffle=SHUFFLE)` writes. */
-  private def bloscLz4Frame(data: Array[Byte], typesize: Int, blocksize: Int): Array[Byte] = {
+  /** c-blosc 1.x frame with byte-shuffle and the inner `codec` (1=lz4 with
+    * FORWARD_COMPAT block split, 3=zlib, 4=zstd — unsplit, as c-blosc emits them) —
+    * byte-compatible with what `Blosc(cname=..., shuffle=SHUFFLE)` writes. */
+  private def bloscFrame(data: Array[Byte], typesize: Int, blocksize: Int,
+                         codec: Int = 1): Array[Byte] = {
     require(blocksize % typesize == 0)
     val nbytes = data.length
     val nblocks = (nbytes + blocksize - 1) / blocksize
-    val doSplit = typesize > 1 && typesize <= 16 && blocksize / typesize >= 128
+    val doSplit = codec == 1 && typesize > 1 && typesize <= 16 &&
+      blocksize / typesize >= 128
     val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
+    def deflate(src: Array[Byte], off: Int, len: Int): Array[Byte] = codec match {
+      case 1 =>
+        val comp = new Array[Byte](lz4.maxCompressedLength(len))
+        val n = lz4.compress(src, off, len, comp, 0, comp.length)
+        java.util.Arrays.copyOf(comp, n)
+      case 3 =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(src, off, len); d.finish()
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end(); bos.toByteArray
+      case 4 => com.github.luben.zstd.Zstd.compress(
+        java.util.Arrays.copyOfRange(src, off, off + len), 3)
+    }
     val blocks = (0 until nblocks).map { b =>
       val bsize = math.min(blocksize, nbytes - b * blocksize)
       val items = bsize / typesize
@@ -37,17 +55,17 @@ class ZarrSourceSpec extends SparkSpec {
       val neblock = bsize / nsplits
       val bout = new ByteArrayOutputStream()
       for (s <- 0 until nsplits) {
-        val comp = new Array[Byte](lz4.maxCompressedLength(neblock))
-        val clen = lz4.compress(shuffled, s * neblock, neblock, comp, 0, comp.length)
-        if (clen >= neblock) { intLE(bout, neblock); bout.write(shuffled, s * neblock, neblock) }
-        else { intLE(bout, clen); bout.write(comp, 0, clen) }
+        val comp = deflate(shuffled, s * neblock, neblock)
+        if (comp.length >= neblock) {
+          intLE(bout, neblock); bout.write(shuffled, s * neblock, neblock)
+        } else { intLE(bout, comp.length); bout.write(comp) }
       }
       bout.toByteArray
     }
     val out = new ByteArrayOutputStream()
     out.write(2) // BLOSC_VERSION_FORMAT
     out.write(1) // versionlz
-    out.write(0x1 | (1 << 5)) // flags: byte-shuffle + lz4
+    out.write(0x1 | (codec << 5)) // flags: byte-shuffle + inner codec id
     out.write(typesize)
     intLE(out, nbytes); intLE(out, blocksize)
     val headerLen = 16 + 4 * nblocks
@@ -142,7 +160,7 @@ class ZarrSourceSpec extends SparkSpec {
     // tas: one whole-time blosc chunk (the reference's single-time-chunk layout),
     // value i*0.5 with a NaN (fill) at index 3
     val tas = (0 until n).map(i => if (i == 3) Double.NaN else i * 0.5)
-    chunk("tas", "0.0", bloscLz4Frame(doublesLE(tas), 8, 1024))
+    chunk("tas", "0.0", bloscFrame(doublesLE(tas), 8, 1024))
     if (withPr)
       (0 until n by 4).foreach { c =>
         chunk("pr", (c / 4).toString,
@@ -160,8 +178,13 @@ class ZarrSourceSpec extends SparkSpec {
     val vals = (0 until 300).map(i => math.sin(i) * 100)
     val raw = doublesLE(vals)
     // blocksize 2048 -> 256 items/block: split active (2048/8 >= 128), last block partial
-    val frame = bloscLz4Frame(raw, typesize = 8, blocksize = 2048)
+    val frame = bloscFrame(raw, typesize = 8, blocksize = 2048)
     assert(ZarrSource.bloscDecode(frame).toSeq == raw.toSeq)
+    // zlib and zstd inner codecs (unsplit streams, shuffle still applies)
+    assert(ZarrSource.bloscDecode(
+      bloscFrame(raw, typesize = 8, blocksize = 2048, codec = 3)).toSeq == raw.toSeq)
+    assert(ZarrSource.bloscDecode(
+      bloscFrame(raw, typesize = 8, blocksize = 2048, codec = 4)).toSeq == raw.toSeq)
     // memcpy-mode frame (flags bit 1)
     val mem = new ByteArrayOutputStream()
     mem.write(2); mem.write(1); mem.write(0x2); mem.write(8)
