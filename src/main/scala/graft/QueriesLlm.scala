@@ -99,6 +99,15 @@ object QueriesLlm {
         strategy = DedupOps.XxHash64Fast)
     }),
 
+    // d10: fuzzy decontamination — GPT-3-style n-gram overlap fraction against the
+    // held-out source (5-grams here: the synthetic docs are short; production uses 13)
+    "d10_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.contaminationScore(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text", n = 5)
+    }),
+
     // SimHash-32 per document
     "d3_simhash" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -916,6 +925,23 @@ object QueriesLlm {
           JOIN sh s1 ON p.id1 = s1.doc_id
           JOIN sh s2 ON p.id2 = s2.doc_id
           WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""",
+    // d10: overlap is decided on the raw 5-gram strings — hash equality in the Spark
+    // op is string equality up to a ~2^-60 md5-truncation collision, below the
+    // suite's bit-exactness noise floor
+    "d10_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+          sh AS (SELECT doc_id, source,
+                   list_distinct(CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(generate_series(1, len(tk) - 4),
+                            i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END) AS sh
+                 FROM toks),
+          ref AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+          cg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE source != 'src0')
+          SELECT cg.doc_id,
+            ROUND(CAST(SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS contamination
+          FROM cg LEFT JOIN ref r ON cg.g = r.g
+          GROUP BY cg.doc_id""",
     "d4_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks)

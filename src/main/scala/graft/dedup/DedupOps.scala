@@ -269,6 +269,36 @@ object DedupOps {
       fp(corpus(textCol)) === col("_ref_fp"), "left_anti")
   }
 
+  /** Fuzzy decontamination score — the GPT-3/PaLM-style n-gram overlap check that
+    * [[decontaminate]]'s exact-fingerprint match cannot express: for each corpus
+    * document, the fraction of its distinct word `n`-grams that appear ANYWHERE in
+    * `reference` (held-out eval sets). Callers drop documents above a threshold
+    * (~0.5 is typical for 13-gram checks) or route them to review.
+    *
+    * Scale shape: the reference side collapses to DISTINCT n-gram hashes (eval sets
+    * are tiny next to the corpus, so the inner join broadcasts under AQE; a genuinely
+    * large reference degrades to a shuffled join on the uniform 60-bit hash — never
+    * a cross product). The corpus explodes to one row per distinct n-gram, which is
+    * the unavoidable payload and is scanned exactly ONCE: a left join marks the
+    * matched grams and a single groupBy carries (total, hits) partial sums back to
+    * (id). Hashes route through md5 (shingleHash), so the score is engine-portable
+    * and oracle-checked bit-exactly. */
+  def contaminationScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+                         textCol: String, n: Int = 13): DataFrame = {
+    val refGrams = reference
+      .select(explode(transform(shingles(col(textCol), n), s => shingleHash(s))).as("_g"))
+      .distinct()
+      .withColumn("_m", lit(1L))
+    corpus
+      .select(col(idCol), explode(transform(shingles(col(textCol), n),
+        s => shingleHash(s))).as("_g"))
+      .join(refGrams, Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_tot"), sum(coalesce(col("_m"), lit(0L))).as("_hit"))
+      .select(col(idCol),
+        round(col("_hit").cast("double") / col("_tot"), 6).as("contamination"))
+  }
+
   /** Connected components over an undirected near-dup edge list — the clustering step
     * after candidate-pair generation: each document gets its component's MINIMUM id as
     * `cluster`, so `id == cluster` selects one canonical document per duplicate

@@ -310,6 +310,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(meanRecall >= 0.9, s"mean cluster recall $meanRecall")
   }
 
+  test("contamination score: planted n-gram overlap fractions") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // every 5-gram contained -> 1.0
+      (2L, "one two three four five six seven"), // disjoint -> 0.0
+      (3L, "alpha beta gamma delta epsilon nine ten") // 1 of 3 grams -> 1/3
+    ).toDF("id", "text")
+    val got = DedupOps.contaminationScore(corpus, ref, "id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(approx(got(3L), 0.333333, 1e-9)) // round(1/3, 6dp)
+  }
+
   test("trained IVF/PQ (kmeansTrain + pqTrain) recall >= untrained at equal nProbe") {
     val rng = new scala.util.Random(17)
     val dim = 16

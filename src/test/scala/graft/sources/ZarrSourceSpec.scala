@@ -219,6 +219,38 @@ class ZarrSourceSpec extends SparkSpec {
     assert(d.attrs.forVar("time")("units") == "hours since 2000-01-01")
   }
 
+  test("S5: datetime64[ns] time axis and big-endian dtypes decode") {
+    val dir = Files.createTempDirectory("zarr_m8").resolve("M8.zarr")
+    Files.createDirectories(dir)
+    val meta =
+      """{"metadata":{".zgroup":{"zarr_format":2},".zattrs":{},
+        |"station/.zarray":{"chunks":[1],"compressor":null,"dtype":"<U4","fill_value":null,"filters":null,"order":"C","shape":[1],"zarr_format":2},
+        |"station/.zattrs":{"_ARRAY_DIMENSIONS":["station"]},
+        |"time/.zarray":{"chunks":[4],"compressor":null,"dtype":"<M8[ns]","fill_value":null,"filters":null,"order":"C","shape":[4],"zarr_format":2},
+        |"time/.zattrs":{"_ARRAY_DIMENSIONS":["time"]},
+        |"bar/.zarray":{"chunks":[4],"compressor":null,"dtype":">f8","fill_value":null,"filters":null,"order":"C","shape":[4],"zarr_format":2},
+        |"bar/.zattrs":{"_ARRAY_DIMENSIONS":["time"]}},
+        |"zarr_consolidated_format":1}""".stripMargin.replaceAll("\n", "")
+    Files.write(dir.resolve(".zmetadata"), meta.getBytes("UTF-8"))
+    Files.createDirectories(dir.resolve("station"))
+    Files.write(dir.resolve("station").resolve("0"), utf32LE("M8ST", 4))
+    // nanos since epoch: 2020-01-01T00 + i hours
+    val base = 1577836800L * 1000000000L
+    Files.createDirectories(dir.resolve("time"))
+    Files.write(dir.resolve("time").resolve("0"),
+      longsLE((0 until 4).map(i => base + i * 3600L * 1000000000L)))
+    val beBytes = ByteBuffer.allocate(32).order(ByteOrder.BIG_ENDIAN)
+    Seq(1.5, -2.25, 0.0, 99.75).foreach(beBytes.putDouble)
+    Files.createDirectories(dir.resolve("bar"))
+    Files.write(dir.resolve("bar").resolve("0"), beBytes.array())
+    val d = ZarrSource.readStore(
+      ZarrSource.hadoopReader(dir.toString, spark.sparkContext.hadoopConfiguration),
+      "M8.zarr")
+    assert(d.station == "M8ST")
+    assert(d.time.toSeq == (0 until 4).map(i => 1577836800000000L + i * 3600000000L))
+    assert(d.cols.find(_._1 == "bar").get._3.toSeq == Seq(1.5, -2.25, 0.0, 99.75))
+  }
+
   test("S5: multi-store distributed read + ingest round-trip to the obs layout") {
     val dir = Files.createTempDirectory("zarr_corpus")
     writeStore(dir.resolve("ST_A.zarr"), "ST_A", n = 10)
