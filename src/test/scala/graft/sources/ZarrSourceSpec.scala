@@ -219,6 +219,23 @@ class ZarrSourceSpec extends SparkSpec {
     assert(d.attrs.forVar("time")("units") == "hours since 2000-01-01")
   }
 
+  test("chunk-grid scatter: 2-D (1,N) array across multiple chunks with partial tail") {
+    // shape [1,10], chunks [1,4] -> grid (1,3), last chunk holds 2 valid of 4 slots
+    val za = ZarrSource.ZArrayMeta(shape = Seq(1, 10), chunks = Seq(1, 4),
+      dtype = "<f8", compressor = None, fillValue = None,
+      dims = Seq("station", "time"), vlenUtf8 = false)
+    val files = (0 until 3).map { c =>
+      // chunk files are FULL chunk size; positions past the shape edge are padding
+      s"v/0.$c" -> doublesLE((0 until 4).map(i => (c * 4 + i) * 1.0))
+    }.toMap
+    val got = ZarrSource.readArray(files.get(_), "v", za)
+    assert(got.toSeq == (0 until 10).map(_.toDouble))
+    // missing middle chunk -> fill (null) for exactly its span
+    val got2 = ZarrSource.readArray((files - "v/0.1").get(_), "v", za)
+    assert(got2.slice(4, 8).forall(_ == null) &&
+      got2(3) == 3.0 && got2(8) == 8.0)
+  }
+
   test("S5: datetime64[ns] time axis and big-endian dtypes decode") {
     val dir = Files.createTempDirectory("zarr_m8").resolve("M8.zarr")
     Files.createDirectories(dir)
