@@ -201,9 +201,12 @@ object CleanOps {
     val firstA = first(col("anemometer_height_m")).over(wt)
     val aOutside = firstA < 10.0 - 1.0 / 3 || firstA > 10.0 + 1.0 / 3
     def windFlag(existing: Column): Column =
-      when(aMissing, lit(8)).when(aOutside, lit(9)).otherwise(existing).cast("int")
+      when(aMissing, lit(graft.core.Flags.AnemometerHeightMissing))
+        .when(aOutside, lit(graft.core.Flags.AnemometerHeightNot10m))
+        .otherwise(existing).cast("int")
     df.withColumn("tas_eraqc",
-        when(tMissing, lit(6)).when(tOutside, lit(7))
+        when(tMissing, lit(graft.core.Flags.ThermometerHeightMissing))
+          .when(tOutside, lit(graft.core.Flags.ThermometerHeightNot2m))
           .otherwise(col("tas_eraqc")).cast("int"))
       .withColumn("sfcWind_eraqc", windFlag(col("sfcWind_eraqc")))
       .withColumn("sfcWind_dir_eraqc", windFlag(col("sfcWind_dir_eraqc")))
