@@ -170,6 +170,25 @@ class GoldenFlagsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 4L, 5L, 7L))
   }
 
+  test("quantile gate approx path (the unbounded-key scale contract) tracks exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = (1L to 2000L).map(i => ((i % 3).toString, i, rng.nextDouble() * 100))
+      .toDF("g", "id", "v")
+    val ex = graft.ops.AggOps.groupedPercentile(df, Seq("g"), "v", 0.8, out = "thr")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ap = graft.ops.AggOps.groupedPercentile(df, Seq("g"), "v", 0.8, out = "thr",
+        exact = false, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // accuracy 10000 on ~667-row groups: rank error <= n/accuracy < 1 row, so the
+    // approx threshold sits within one order statistic (~0.5 value units on U[0,100])
+    ex.foreach { case (g, t) =>
+      assert(math.abs(ap(g) - t) < 1.0, s"group $g: exact $t vs approx ${ap(g)}") }
+    val nEx = graft.ops.AggOps.quantileGate(df, Seq("g"), "v", 0.8).count()
+    val nAp = graft.ops.AggOps.quantileGate(df, Seq("g"), "v", 0.8, exact = false).count()
+    assert(math.abs(nEx - nAp) <= 6, s"kept $nEx exact vs $nAp approx")
+  }
+
   test("flags 6-9: sensor-height gates incl. the reference's row-0 wind quirk") {
     // s1: thermometer height null somewhere -> 6 (whole station)
     // s2: thermometer 2.5m (outside 2 +/- 1/3) -> 7; anemometer fine
