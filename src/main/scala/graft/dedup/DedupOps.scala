@@ -46,10 +46,13 @@ object DedupOps {
   case object Md5Portable extends HashStrategy
   case object XxHash64Fast extends HashStrategy
 
-  /** 60-bit shingle hash under `strategy` -- uniform, positive. */
+  /** 60-bit shingle hash under `strategy` -- uniform, positive. The Md5Portable
+    * value is `conv(substring(md5(s), 1, 15), 16, 10)` -- what every oracle inlines
+    * -- computed by the native [[graft.expr.Md5Hash60]] expression (bit-identical,
+    * no hex round-trip; equivalence + codegen parity pinned in Md5Hash60Spec). */
   def shingleHash(shingle: Column, strategy: HashStrategy = Md5Portable): Column =
     strategy match {
-      case Md5Portable => conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+      case Md5Portable => graft.expr.Md5Hash60.expr(shingle)
       case XxHash64Fast => pmod(xxhash64(shingle), lit(1L << 60))
     }
 
