@@ -105,5 +105,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_point_in_polygon"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "graft_point_in_polygon"),
       (args: Seq[Expression]) => PointInPolygon.fromArgs(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5_hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_hash60(s) takes exactly 1 argument")
+        Md5Hash60(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }))
   }
 }

@@ -23,6 +23,15 @@ class Md5Hash60Spec extends SparkSpec {
     assert(df.filter(col("native") < 0 || col("native") >= (1L << 60)).count() == 0)
   }
 
+  test("SQL registration: graft_md5_hash60 resolves via GraftExtensions") {
+    val got = spark.sql("SELECT graft_md5_hash60('spark sql batch') AS h")
+      .collect().head.getLong(0)
+    val want = samples.toDF("s").filter(col("s") === "spark sql batch")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .collect().head.getLong(0)
+    assert(got == want)
+  }
+
   test("codegen and interpreted paths agree; nulls propagate") {
     val df = (samples.map(Option(_)) :+ None).toDF("s")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
