@@ -470,22 +470,14 @@ object DedupOps {
   }
 
   /** 32-bit SimHash of the token multiset: per token, md5-derived 32-bit hash votes
-    * +/-1 on each bit position; positive vote-sums set bits. O(tokens x 32) codegen'd
-    * expression, no UDF. */
+    * +/-1 on each bit position; positive vote-sums set bits. Computed by the native
+    * [[graft.expr.SimHash32]] expression over the hashed-token array — bit-identical
+    * to (and replacing) the former HOF chain that spelled each bit test as
+    * `floor(h / 2^i) mod 2` (32 double round-trips per token; equivalence pinned in
+    * SimHash32Spec, d3/d6 oracles unchanged). */
   def simhash32(text: Column): Column = {
     val toks = graft.text.TextOps.tokens(lower(text))
-    val th = transform(toks, t => pmod(shingleHash(t), lit(1L << 32)))
-    // dynamic shift amounts aren't in the functions API -- bit i of h as
-    // floor(h / 2^i) mod 2 (h < 2^32, exact in double)
-    def bitAt(h: Column, i: Column): Column =
-      pmod(floor(h.cast("double") / pow(lit(2.0), i)).cast("long"), lit(2L))
-    val counts = aggregate(th,
-      array_repeat(lit(0L), 32),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
-        (a, i) => a + when(bitAt(h, i) === 1, 1L).otherwise(-1L)))
-    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
-      (cnt, i) => when(cnt > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
-      lit(0L), (acc, bit) => acc + bit)
+    graft.expr.SimHash32.expr(transform(toks, t => pmod(shingleHash(t), lit(1L << 32))))
   }
 
   /** Hamming distance between two SimHash values (bit_count of xor). */
