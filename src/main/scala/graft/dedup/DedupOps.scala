@@ -78,18 +78,16 @@ object DedupOps {
     minhashSignatureFromHashes(
       transform(shingleArr, s => pmod(shingleHash(s, strategy), lit(1L << 32))), k, seed)
 
-  /** Signature from PRE-hashed 32-bit shingle values. Callers that also need the
-    * hashes (LSH pipelines) should materialize them in their own column first — an
-    * expression passed here is inlined into all k lambdas and would recompute the md5
-    * per signature row (32x the hash work; measured 70%+ of an LSH run). */
+  /** Signature from PRE-hashed 32-bit shingle values, via the native
+    * [[graft.expr.MinHashSig]] expression — one pass over the hash array computes
+    * all k minima with no intermediate arrays (the former k-nested-transform HOF
+    * materialized k×|shingles| boxed longs per row on the sig-table build, the
+    * dedup family's measured growth term). Values are bit-identical (MinHashSigSpec;
+    * the d2/d7 oracles inline the same formula). Callers that also need the hashes
+    * (LSH pipelines) should still materialize them in their own column first. */
   def minhashSignatureFromHashes(h32: Column, k: Int = 32, seed: Long = 42L): Column = {
     val (as, bs) = minhashCoeffs(k, seed)
-    val aArr = array(as.map(lit): _*)
-    val bArr = array(bs.map(lit): _*)
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      // element_at is 1-based
-      array_min(transform(h32,
-        h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashPrime)))))
+    graft.expr.MinHashSig.expr(h32, as, bs)
   }
 
   /** (id, hashed-shingle array, minhash signature), CACHED. The cache is load-bearing,
