@@ -91,9 +91,10 @@ object DedupOps {
   }
 
   /** (id, hashed-shingle array, minhash signature), CACHED. The cache is load-bearing,
-    * not a convenience: projection collapse inlines the md5 hash array into every one
-    * of the k signature lambdas and then into every band lambda (k x bands md5
-    * re-evaluations per shingle — measured 131s vs ~2s for 5k docs at sf0.1), and a
+    * not a convenience: projection collapse inlines the signature expression (and its
+    * md5 hash-array child) into every band lambda — `bands` full signature
+    * re-evaluations per row (in the pre-r7 k-lambda HOF form this was k × bands md5
+    * re-evaluations per shingle, measured 131s vs ~2s for 5k docs at sf0.1) — and a
     * repartition does not stop it (projections push through exchanges). Persisting the
     * signature table pins one evaluation — the same design as Spark ML's MinHashLSH,
     * and the table is reused by the band explode and both verify joins anyway.
