@@ -364,8 +364,12 @@ object ZarrSource {
 
   private def timeToMicros(vals: Array[Any], dtype: String,
                            attrs: Map[String, String]): Array[Long] =
-    if (dtype.drop(1).startsWith("M8")) vals.map(v => v.asInstanceOf[Long] / 1000L)
-    else {
+    if (dtype.drop(1).startsWith("M8")) {
+      // xarray always encodes datetime64[ns]; any other M8 unit would silently
+      // mis-scale, so refuse it explicitly
+      require(dtype.endsWith("[ns]"), s"unsupported datetime64 unit in $dtype (only [ns])")
+      vals.map(v => v.asInstanceOf[Long] / 1000L)
+    } else {
       val (perStep, epoch) = parseCfUnits(attrs.getOrElse("units",
         sys.error("time variable has neither M8 dtype nor CF units attr")))
       vals.map {
