@@ -99,6 +99,17 @@ object QueriesLlm {
         strategy = DedupOps.XxHash64Fast)
     }),
 
+    // d11: paragraph-level boilerplate removal — a constant banner paragraph planted
+    // on every third doc survives only in its first corpus-wide occurrence
+    "d11_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("subscribe to our newsletter accept all cookies\n\n"), col("text")))
+          .otherwise(col("text")))
+      DedupOps.dedupParagraphs(docs, "doc_id", "text2")
+    }),
+
     // d10: fuzzy decontamination — GPT-3-style n-gram overlap fraction against the
     // held-out source (5-grams here: the synthetic docs are short; production uses 13)
     "d10_contamination" -> ((s, dir) => {
@@ -925,6 +936,32 @@ object QueriesLlm {
           JOIN sh s1 ON p.id1 = s1.doc_id
           JOIN sh s2 ON p.id2 = s2.doc_id
           WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""",
+    // d11: lockstep unnest pairs each paragraph with its position; keep-first is a
+    // row_number over the normalized-paragraph fingerprint ordered by (doc, pos)
+    "d11_paragraph_dedup" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0
+                THEN 'subscribe to our newsletter accept all cookies'
+                     || chr(10) || chr(10) || text
+                ELSE text END AS t2
+            FROM documents),
+          parts AS (
+            SELECT doc_id,
+              unnest(generate_series(1, len(ps))) - 1 AS pos,
+              unnest(ps) AS para
+            FROM (SELECT doc_id, string_split(t2, chr(10) || chr(10)) AS ps FROM d)),
+          fp AS (
+            SELECT doc_id, pos, para,
+              md5(array_to_string(list_filter(
+                regexp_split_to_array(trim(lower(para)), '\\s+'), x -> len(x) > 0), ' ')) AS f
+            FROM parts),
+          keep AS (
+            SELECT doc_id, pos, para,
+              row_number() OVER (PARTITION BY f ORDER BY doc_id, pos) AS rn
+            FROM fp)
+          SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text2
+          FROM keep WHERE rn = 1 GROUP BY doc_id""",
     // d10: overlap is decided on the raw 5-gram strings — hash equality in the Spark
     // op is string equality up to a ~2^-60 md5-truncation collision, below the
     // suite's bit-exactness noise floor

@@ -28,6 +28,33 @@ object DedupOps {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Paragraph-level exact dedup — boilerplate removal: split each document on
+    * `sep`, keep only the FIRST corpus-wide occurrence (ordered by (id, position))
+    * of each normalized-paragraph fingerprint, and reassemble the survivors in
+    * their original order. The Common-Crawl-style strip for cookie banners /
+    * navigation chrome / license blocks that repeat across millions of pages but
+    * never make whole documents near-identical (so document-level dedup misses
+    * them). A document whose every paragraph was seen before disappears entirely.
+    *
+    * Scale shape: one posexplode (row per paragraph), ONE window shuffle on the
+    * paragraph fingerprint (md5 — uniform, key-balanced; a viral paragraph makes a
+    * big partition but the window state is a row_number counter, O(1) memory,
+    * sort spills), one groupBy(id) to reassemble. No joins, nothing all-pairs. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val parts = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "_pos", "_para")
+    val w = Window.partitionBy(graft.text.TextOps.fingerprint(col("_para")))
+      .orderBy(col(idCol), col("_pos"))
+    parts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
+          s => s.getField("_para"))).as(textCol))
+  }
+
   /** Distinct word `n`-gram shingles of the text. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = graft.text.TextOps.tokens(lower(text))

@@ -310,6 +310,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(meanRecall >= 0.9, s"mean cluster recall $meanRecall")
   }
 
+  test("paragraph dedup strips corpus-wide boilerplate, keeps first occurrence") {
+    val sep = "\n\n"
+    val docs = Seq(
+      (1L, s"cookie banner${sep}unique alpha content"),
+      (2L, s"cookie banner${sep}unique beta content"),
+      (3L, s"COOKIE   Banner"), // normalization folds with doc 1's banner -> doc vanishes
+      (4L, s"unique gamma content${sep}cookie banner${sep}tail part"))
+      .toDF("id", "text")
+    val out = DedupOps.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"cookie banner${sep}unique alpha content") // first keeps it
+    assert(out(2L) == "unique beta content")
+    assert(!out.contains(3L), "all-duplicate document must disappear")
+    assert(out(4L) == s"unique gamma content${sep}tail part") // order preserved
+  }
+
   test("contamination score: planted n-gram overlap fractions") {
     val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val corpus = Seq(
