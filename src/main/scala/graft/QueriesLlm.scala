@@ -99,6 +99,18 @@ object QueriesLlm {
         strategy = DedupOps.XxHash64Fast)
     }),
 
+    // a18: two-sample KS drift per event_type between even/odd user cohorts; a +50
+    // shift planted on the click/b slice makes one group's drift near-maximal while
+    // the untouched groups measure the cohorts' natural (near-zero) divergence
+    "a18_ks_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("side", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+        .withColumn("v",
+          when(col("event_type") === "click" && col("user_id") % 2 =!= 0,
+            col("value") + 50.0).otherwise(col("value")))
+      graft.ops.AggOps.ksStatistic(e, Seq("event_type"), "v", "side", "a", "b")
+    }),
+
     // d11: paragraph-level boilerplate removal — a constant banner paragraph planted
     // on every third doc survives only in its first corpus-wide occurrence
     "d11_paragraph_dedup" -> ((s, dir) => {
@@ -936,6 +948,32 @@ object QueriesLlm {
           JOIN sh s1 ON p.id1 = s1.doc_id
           JOIN sh s2 ON p.id2 = s2.doc_id
           WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""",
+    "a18_ks_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+             CASE WHEN event_type = 'click' AND user_id % 2 <> 0
+               THEN value + 50.0 ELSE value END AS v
+           FROM events WHERE value IS NOT NULL),
+         c AS (
+           SELECT event_type, v,
+             SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS na,
+             SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS nb,
+             SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+           FROM e)
+         SELECT event_type,
+           ROUND(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                 ELSE ABS(CAST(ca AS DOUBLE) / GREATEST(na, 1)
+                          - CAST(cb AS DOUBLE) / GREATEST(nb, 1)) END), 6) AS ks,
+           CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+         FROM c GROUP BY event_type""",
     // d11: lockstep unnest pairs each paragraph with its position; keep-first is a
     // row_number over the normalized-paragraph fingerprint ordered by (doc, pos)
     "d11_paragraph_dedup" ->

@@ -217,4 +217,36 @@ object AggOps {
         when(coalesce(bad, lit(false)), lit(flag).cast("int")).otherwise(col(flagColName)))
       .drop("_n_distinct", "_span", "_dmed", "_minority")
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group — distribution-drift
+    * detection between two corpus slices (train vs val split, old vs new crawl,
+    * network A vs B): D = max over x of |F_a(x) − F_b(x)| with the empirical CDFs
+    * evaluated at every observed value (RANGE window frames make ties exact — every
+    * row at a tied value sees the full tied mass on both sides).
+    *
+    * One window shuffle on `keys` (the sort is the unavoidable cost of an exact
+    * EDF; state per row is two running counts) + one groupBy max over the same
+    * partitioning — Catalyst reuses the exchange. Returns (keys..., ks, n_a, n_b).
+    * Groups missing one side entirely yield ks = 1.0 (maximal drift) by the CDF
+    * definition. At 100 TB scale the same shape applies per group; a keyless
+    * whole-corpus KS should sub-key first (e.g. by hash bucket) and take the max. */
+  def ksStatistic(df: DataFrame, keys: Seq[String], valueCol: String,
+                  sideCol: String, sideA: String, sideB: String): DataFrame = {
+    val kc = keys.map(col)
+    val isA = when(col(sideCol) === sideA, 1L).otherwise(0L)
+    val isB = when(col(sideCol) === sideB, 1L).otherwise(0L)
+    val wAll = Window.partitionBy(kc: _*)
+    val wCdf = Window.partitionBy(kc: _*).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(sideCol).isin(sideA, sideB) && col(valueCol).isNotNull)
+      .withColumn("_na", sum(isA).over(wAll))
+      .withColumn("_nb", sum(isB).over(wAll))
+      .withColumn("_d", abs(
+        sum(isA).over(wCdf).cast("double") / greatest(col("_na"), lit(1L)) -
+        sum(isB).over(wCdf).cast("double") / greatest(col("_nb"), lit(1L))))
+      .groupBy(kc: _*)
+      .agg(round(max(when(col("_na") === 0 || col("_nb") === 0, 1.0)
+          .otherwise(col("_d"))), 6).as("ks"),
+        max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
+  }
 }

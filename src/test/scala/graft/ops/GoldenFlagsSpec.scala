@@ -170,6 +170,25 @@ class GoldenFlagsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 4L, 5L, 7L))
   }
 
+  test("KS drift statistic: hand-computed cases, ties, and one-sided groups") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: a={1,2}, b={2,3} -> D = 0.5 (at x=1: 1/2 vs 0; tie at 2 exact via RANGE)
+      ("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 2.0), ("g1", "b", 3.0),
+      // g2: identical samples -> D = 0
+      ("g2", "a", 5.0), ("g2", "b", 5.0),
+      // g3: only side a present -> D = 1 (maximal drift by definition)
+      ("g3", "a", 7.0),
+      // side values outside {a,b} are ignored
+      ("g1", "zzz", 100.0))
+      .toDF("g", "side", "v")
+    val got = graft.ops.AggOps.ksStatistic(df, Seq("g"), "v", "side", "a", "b")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g1") == ((0.5, 2L, 2L)))
+    assert(got("g2") == ((0.0, 1L, 1L)))
+    assert(got("g3") == ((1.0, 1L, 0L)))
+  }
+
   test("quantile gate approx path (the unbounded-key scale contract) tracks exact") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
