@@ -121,7 +121,10 @@ object ZarrSource {
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput()) sys.error("truncated zlib chunk")
+          // inflate also yields 0 for a preset-dictionary stream — error rather
+          // than spin (zarr zlib chunks never use dictionaries)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            sys.error("truncated or dictionary-requiring zlib chunk")
           out.write(buf, 0, n)
         }
         inf.end(); out.toByteArray
