@@ -88,9 +88,13 @@ object TextOps {
     "it" -> Seq("il", "lo", "gli", "che", "di", "e", "è", "per", "con", "una"))
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text — the
-    * exact-dedup key. md5 keeps it DuckDB-comparable. */
+    * exact-dedup key. md5 keeps it DuckDB-comparable. Computed by the native
+    * [[graft.expr.NormFingerprint]] expression (one string pass, no token-array /
+    * joined-string allocation; bit-identical to the composed
+    * `md5(concat_ws(" ", tokens(lower(text))))` every oracle inlines — pinned in
+    * NormFingerprintSpec). */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(lower(text))))
+    graft.expr.NormFingerprint.expr(text)
 
   /** 60-bit integer fingerprint (rolling-hash analog through md5, cross-engine):
     * `conv(substr(md5(normalized),1,15),16,10)`. */
