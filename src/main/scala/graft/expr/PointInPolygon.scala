@@ -112,5 +112,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_md5_hash60(s) takes exactly 1 argument")
         Md5Hash60(Cast(args.head, org.apache.spark.sql.types.StringType))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_norm_fingerprint"),
+      new ExpressionInfo(classOf[NormFingerprint].getName, "graft_norm_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_norm_fingerprint(s) takes exactly 1 argument")
+        NormFingerprint(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }))
   }
 }

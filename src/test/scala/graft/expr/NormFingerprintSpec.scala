@@ -22,6 +22,13 @@ class NormFingerprintSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("SQL registration: graft_norm_fingerprint resolves via GraftExtensions") {
+    val got = spark.sql("SELECT graft_norm_fingerprint('  A  b\tC ') AS f")
+      .collect().head.getString(0)
+    val want = Seq("a b c").toDF("s").select(md5(col("s"))).collect().head.getString(0)
+    assert(got == want)
+  }
+
   test("codegen and interpreted paths agree; nulls propagate") {
     val df = (samples.map(Option(_)) :+ None).toDF("s")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
