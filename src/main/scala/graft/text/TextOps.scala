@@ -110,7 +110,7 @@ object TextOps {
     val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
-    transform(grams, g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    transform(grams, g => graft.expr.Md5Hash60.expr(g))
   }
 
   /** Deterministic split assignment for training-data curation: hash the id (md5,
@@ -120,8 +120,7 @@ object TextOps {
     * grown data keeps every existing assignment stable (the property that matters at
     * 100 TB where a global shuffle-split is impossible). */
   def splitAssign(id: Column, valFrac: Double = 0.05, testFrac: Double = 0.05): Column = {
-    val u = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("double") /
-      lit((1L << 60).toDouble)
+    val u = graft.expr.Md5Hash60.expr(id).cast("double") / lit((1L << 60).toDouble)
     when(u < 1.0 - valFrac - testFrac, "train")
       .when(u < 1.0 - testFrac, "val")
       .otherwise("test")
@@ -173,7 +172,7 @@ object TextOps {
   /** Deterministic uniform-in-[0,1) hash of an id with a salt — the sampling
     * primitive. Routed through md5 so external engines replicate it exactly. */
   def hashUniform(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+    graft.expr.Md5Hash60.expr(concat(lit(salt), id.cast("string")))
       .cast("double") / lit((1L << 60).toDouble)
 
   /** Deterministic stratified sampling: keep a row iff its salted id-hash falls below
