@@ -51,7 +51,11 @@ object Bench {
         spark.catalog.clearCache()
         (sec, err)
       }
-      (name, runs.map(_._1).min, runs.head._1, runs.flatMap(_._2).headOption)
+      // min over SUCCESSFUL reps only: a rep that throws records its (short)
+      // time-to-exception, which must not become the headline min for a query
+      // that still counts as failed (ADVICE r7).
+      val okMin = runs.filter(_._2.isEmpty).map(_._1).minOption.getOrElse(runs.map(_._1).min)
+      (name, okMin, runs.head._1, runs.flatMap(_._2).headOption)
     }
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

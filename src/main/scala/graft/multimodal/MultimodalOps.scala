@@ -135,8 +135,10 @@ object MultimodalOps {
           Decoded(r.id, r.kind, img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents, 1, "imageio"))
         case "audio" => AudioCodec.tryDecode(r.payload).map { case (rate, bits, ch, fr) =>
+          // getFrameLength may be AudioSystem.NOT_SPECIFIED (-1) for streamed
+          // formats (ADVICE r7) — clamp so nFrames never goes negative
           Decoded(r.id, r.kind, rate, bits, ch,
-            math.min(fr, Int.MaxValue.toLong).toInt, "javasound")
+            math.min(math.max(fr, 0L), Int.MaxValue.toLong).toInt, "javasound")
         }
         case _ => None
       }

@@ -179,8 +179,15 @@ object ZarrSource {
         val inf = new java.util.zip.Inflater()
         inf.setInput(srcArr, off, len)
         var done = 0
-        while (!inf.finished() && done < dstLen)
-          done += inf.inflate(dst, dstOff + done, dstLen - done)
+        while (!inf.finished() && done < dstLen) {
+          val n = inf.inflate(dst, dstOff + done, dstLen - done)
+          // truncation guard (ADVICE r7): a corrupt stream that yields 0 bytes while
+          // demanding more input would otherwise spin forever
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new IllegalArgumentException(
+              s"blosc inner zlib stream truncated after $done of $dstLen bytes")
+          done += n
+        }
         inf.end(); done
       case 4 => com.github.luben.zstd.Zstd.decompressByteArray(
         dst, dstOff, dstLen, srcArr, off, len).toInt
@@ -365,13 +372,18 @@ object ZarrSource {
     }
   }
 
-  private def timeToMicros(vals: Array[Any], dtype: String,
-                           attrs: Map[String, String]): Array[Long] =
+  private[sources] def timeToMicros(vals: Array[Any], dtype: String,
+                                    attrs: Map[String, String]): Array[Long] =
     if (dtype.drop(1).startsWith("M8")) {
       // xarray always encodes datetime64[ns]; any other M8 unit would silently
       // mis-scale, so refuse it explicitly
       require(dtype.endsWith("[ns]"), s"unsupported datetime64 unit in $dtype (only [ns])")
-      vals.map(v => v.asInstanceOf[Long] / 1000L)
+      // mirror the CF branch's null handling (ADVICE r7): a missing chunk / fill
+      // match would unbox to 0L = epoch-1970 silently
+      vals.map {
+        case l: java.lang.Long => l.longValue() / 1000L
+        case null => sys.error("null time coordinate")
+      }
     } else {
       val (perStep, epoch) = parseCfUnits(attrs.getOrElse("units",
         sys.error("time variable has neither M8 dtype nor CF units attr")))
@@ -401,7 +413,10 @@ object ZarrSource {
     val timeAttrs = attrsOf(meta, s"$timeVar/.zattrs")
     val time = timeToMicros(readArray(readFile, timeVar, zas(timeVar)),
       zas(timeVar).dtype, timeAttrs)
-    val station = varNames.find(v => zas(v).dims == Seq("station") || v == "station")
+    // exact name first (ADVICE r7): another station-dim variable sorting earlier
+    // (e.g. "elevation") must not silently become the station id
+    val station = varNames.find(_ == "station")
+      .orElse(varNames.find(v => zas(v).dims == Seq("station")))
       .map(v => readArray(readFile, v, zas(v)).head.toString)
       .getOrElse(storeName.stripSuffix(".zarr"))
     val dataVars = varNames.filterNot(v => v == timeVar || zas(v).dims == Seq("station"))
