@@ -59,7 +59,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesSeries.queries ++ QueriesLlm.queries ++ QueriesPipeline.queries ++ base
+    QueriesCore.queries ++ QueriesSeries.queries ++ QueriesLlm.queries ++
+      QueriesPipeline.queries ++ QueriesClean.queries ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: star-schema equi-join with broadcast dims (SURVEY §2.3 J1)
@@ -164,7 +165,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles ++ QueriesSeries.oracles ++ QueriesLlm.oracles ++ QueriesPipeline.oracles ++ baseOracles
+    QueriesCore.oracles ++ QueriesSeries.oracles ++ QueriesLlm.oracles ++
+      QueriesPipeline.oracles ++ QueriesClean.oracles ++ baseOracles
 
   private def baseOracles: Map[String, String] = Map(
     "j1_revenue_by_nation" ->
