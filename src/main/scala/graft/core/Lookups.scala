@@ -83,6 +83,40 @@ object Lookups {
     streakCriteria.toDF()
   }
 
+  /** Buoy disestablishment / adrift catalog
+    * (`/root/reference/scripts/3_qaqc_data/qaqc_buoy_check.py:48-160`): the
+    * reference hard-codes per-station cutoff branches; here one broadcast table
+    * `(station, cutoff_ts, end_ts)` — rows past `cutoff_ts` (and, when `end_ts`
+    * is set, not past it — the NDBC_46044 adrift window) get flag 2 on every
+    * variable's flag column. "Potential issue" stations (`:61-73`) flag their
+    * WHOLE record, expressed as an epoch-0 cutoff. Only MARITIME/NDBC stations
+    * appear, so the check is network-gated by construction. */
+  def buoyCutoffsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val known = Seq(
+      ("NDBC_46023", "2010-09-09 00:00:00", None), // disestablished 9/8/2010
+      ("NDBC_46045", "1997-12-01 00:00:00", None), // disestablished 11/1997
+      ("NDBC_46051", "1996-05-01 00:00:00", None), // disestablished 4/1996
+      ("MARITIME_PTAC1", "2022-02-09 00:00:00", None), // disestablished 2/9/2022
+      // adrift 5/2/2015 10:40Z – 5/3/2015 15:50Z (inclusive window)
+      ("NDBC_46044", "2015-05-02 10:40:00", Some("2015-05-03 15:50:00")))
+    val potential = Seq("NDBC_46290", "NDBC_46404", "NDBC_46212", "NDBC_46216",
+      "NDBC_46220", "NDBC_46226", "NDBC_46227", "NDBC_46228", "NDBC_46230",
+      "NDBC_46234", "NDBC_46245", "NDBC_46250")
+      .map(s => (s, "1970-01-01 00:00:00", None: Option[String]))
+    (known ++ potential).toDF("station", "cutoff", "end")
+      .selectExpr("station", "CAST(cutoff AS TIMESTAMP) AS cutoff_ts",
+        "CAST(end AS TIMESTAMP) AS end_ts")
+  }
+
+  /** Known-issue hour windows (`qaqc_buoy_check.py:133-146`): MARITIME_PTWW1's
+    * wind is obstructed by ferry dockings 06:00–20:00 — flag 1 on the wind
+    * variables only. */
+  def buoyIssueHoursDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("MARITIME_PTWW1", 6, 20)).toDF("station", "hour_lo", "hour_hi")
+  }
+
   /** Flag-code → (owning check, meaning) decode table
     * (`/root/reference/data/era_qaqc_flag_meanings.csv:1-39`). */
   def flagMeaningsDf(spark: SparkSession): DataFrame = {

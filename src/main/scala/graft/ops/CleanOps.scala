@@ -66,17 +66,22 @@ object CleanOps {
 
   /** Flags 1/2 — buoy checks (`/root/reference/scripts/3_qaqc_data/qaqc_buoy_check.py:60-170`):
     * the reference hand-codes disestablishment cutoffs per station; here they are a
-    * broadcast lookup `(station, cutoff_ts)` and every observation past its station's
-    * cutoff is flagged 2 on all variables' flag columns. */
+    * broadcast lookup `(station, cutoff_ts[, end_ts])` and every observation past its
+    * station's cutoff — and, when `end_ts` is present, not past `end_ts` (the
+    * NDBC_46044 adrift window, `:121-131`) — is flagged 2 on all variables' flag
+    * columns. [[graft.core.Lookups.buoyCutoffsDf]] carries the reference's catalog. */
   def flagDisestablished(df: DataFrame, stationCol: String, timeCol: String,
                          flagColNames: Seq[String], cutoffs: DataFrame): DataFrame = {
-    val joined = df.join(broadcast(cutoffs), Seq(stationCol), "left")
-    val bad = col("cutoff_ts").isNotNull && col(timeCol) >= col("cutoff_ts")
+    val cut = if (cutoffs.columns.contains("end_ts")) cutoffs
+      else cutoffs.withColumn("end_ts", lit(null).cast("timestamp"))
+    val joined = df.join(broadcast(cut), Seq(stationCol), "left")
+    val bad = col("cutoff_ts").isNotNull && col(timeCol) >= col("cutoff_ts") &&
+      (col("end_ts").isNull || col(timeCol) <= col("end_ts"))
     flagColNames.foldLeft(joined) { (d, f) =>
       d.withColumn(f,
         when(bad && validObs(col(f)), lit(graft.core.Flags.BuoyMissingPosition).cast("int"))
           .otherwise(col(f)))
-    }.drop("cutoff_ts")
+    }.drop("cutoff_ts", "end_ts")
   }
 
   /** Flag 1 — known-issue hour-of-day window (`qaqc_buoy_check.py:133-145`: e.g. wind

@@ -102,6 +102,24 @@ object QaqcPipeline {
         Flags.AnemometerHeightMissing, Flags.AnemometerHeightNot10m),
       df => CleanOps.sensorHeightFlags(df, station, timeCol))
 
+  /** Part 1a buoy checks (flags 1/2) as a LEADING stage, network-gated by
+    * construction: [[graft.core.Lookups.buoyCutoffsDf]] /
+    * [[graft.core.Lookups.buoyIssueHoursDf]] list only MARITIME/NDBC stations, so
+    * the broadcast left joins leave every other network's rows untouched
+    * (`qaqc_buoy_check.py:25-160`; the reference reaches the same gating by only
+    * calling `spurious_buoy_check` when the station id matches its hard-coded
+    * lists). `windFlagCols` get the ferry-hours flag 1; `allFlagCols` get the
+    * disestablishment/adrift flag 2. */
+  def buoyCheckStage(allFlagCols: Seq[String], windFlagCols: Seq[String],
+                     station: String = "station", timeCol: String = "time")
+                    (implicit spark: org.apache.spark.sql.SparkSession): Stage =
+    Stage("buoy_check", Seq(Flags.BuoyDrift, Flags.BuoyMissingPosition), { df =>
+      val hours = CleanOps.flagKnownIssueHours(df, station, timeCol,
+        windFlagCols, Lookups.buoyIssueHoursDf(spark))
+      CleanOps.flagDisestablished(hours, station, timeCol,
+        allFlagCols, Lookups.buoyCutoffsDf(spark))
+    })
+
   /** A10 report off the pipeline output: flag value counts per variable, including the
     * `no_flag` and `total_obs_count` rows (`merge_eraqc_counts.py:22-84`). */
   def flagCountReport(df: DataFrame, flagColName: String): DataFrame = {
