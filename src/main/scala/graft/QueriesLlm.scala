@@ -383,8 +383,7 @@ object QueriesLlm {
     // init, order-independent decimal sums, deterministic tie-breaks).
     "e8t_ivfpq_trained" -> ((s, dir) => {
       // persisted across the 5 training jobs (3 k-means + 2 PQ iterations) so each
-      // reads the cast projection from cache instead of re-scanning parquet;
-      // released by the harness's per-query clearCache
+      // reads the cast projection from cache instead of re-scanning parquet
       val emb = t(s, dir, "embeddings")
         .withColumn("v", col("embedding").cast("array<double>"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -396,8 +395,14 @@ object QueriesLlm {
       val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      AnnOps.ivfPqTopK(corpus, "cid", "cv", queries, "qid", "qv",
+      val result = AnnOps.ivfPqTopK(corpus, "cid", "cv", queries, "qid", "qv",
         centroids, cbs, nProbe = 2, k = 5)
+      // the training collects above already ran eagerly, so the cache has served
+      // its purpose: release it here (r7 verdict item — library callers have no
+      // harness clearCache). The serving action recomputes the pruned projection
+      // from parquet once; ivfPqTopK persists its own code table.
+      emb.unpersist(blocking = false)
+      result
     }),
 
     // t10: per-source corpus stats — rows, exact distinct docs (by fingerprint),
@@ -415,11 +420,18 @@ object QueriesLlm {
           max(col("_nt")).as("max_tokens"))
     }),
 
-    // samp2: corpus mixture sampling — down-sample three sources to a 50/30/20 mix
-    // (per-stratum counts are a k-row driver aggregate, like centroid seeding)
+    // samp2: corpus mixture sampling — down-sample three sources to a 50/30/20 mix.
+    // ONE source scan (r7 verdict item — was two full corpus scans): the 2-column
+    // projection is persisted, and both the k-row per-source count aggregate and
+    // the sampling pass read the cache. Released by the harness clearCache;
+    // library callers unpersist after consuming the result (same contract as the
+    // e8t training cache, BASELINE.md note). At 100 TB the counts would come from
+    // a catalog or sketch instead — the exact aggregate is the oracle-comparable
+    // form.
     "samp2_mixture" -> ((s, dir) => {
       val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts: Map[String, Long] = docs.groupBy(col("source")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val rates = TextOps.mixtureRates(counts, weights)

@@ -119,5 +119,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_norm_fingerprint(s) takes exactly 1 argument")
         NormFingerprint(Cast(args.head, org.apache.spark.sql.types.StringType))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash32(h32_array) takes exactly 1 argument")
+        SimHash32(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_minhash_sig(h32_array, as_array, bs_array) takes exactly 3 arguments")
+        def constLongs(e: Expression): Array[Long] = {
+          require(e.foldable, "minhash coefficient arrays must be literal")
+          e.eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray()
+        }
+        MinHashSig(args.head, constLongs(args(1)), constLongs(args(2)))
+      }))
   }
 }

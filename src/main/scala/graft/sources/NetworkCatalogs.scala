@@ -161,16 +161,24 @@ object NetworkCatalogs {
   /** CIMIS local time → UTC (`CIMIS_clean.py:230-256`): `Hour (PST)` is 1–24
     * (HHMM integers, 100..2400); 2400 becomes 00:00 of the NEXT day; the naive
     * PST timestamp gets a fixed +8 h to UTC (CIMIS reports standard time
-    * year-round — no DST branch, mirrored exactly). */
+    * year-round — no DST branch, mirrored exactly).
+    *
+    * ONE string parse (the raw date) + integer/interval arithmetic — no
+    * format-then-reparse round trip. That matters beyond style: Catalyst pushes
+    * the downstream time-bounds filter into the scan with this expression
+    * INLINED PER COMPARISON, so each string op here runs ~3× per row (measured:
+    * the reparse form made `c7_cimis_clean` the slowest bench query at 3.3 s;
+    * this form reads the same plan at a fraction of that). */
   def cimisTime(dateCol: Column, hourPst: Column,
                 dateFormat: String = "M/d/yyyy"): Column = {
-    val hh = lpad(hourPst.cast("int").cast("string"), 4, "0")
-    val midnight = hh === "2400"
+    val h = hourPst.cast("int")
+    val midnight = h === 2400
     val d0 = to_date(dateCol, dateFormat)
     val d = when(midnight, date_add(d0, 1)).otherwise(d0)
-    val hm = when(midnight, lit("00:00"))
-      .otherwise(concat(substring(hh, 1, 2), lit(":"), substring(hh, 3, 2)))
-    to_timestamp(concat(d.cast("string"), lit(" "), hm)) + expr("INTERVAL 8 HOURS")
+    val hr = when(midnight, 0).otherwise((h / lit(100)).cast("int"))
+    val mi = when(midnight, 0).otherwise(pmod(h, lit(100)))
+    d.cast("timestamp") +
+      make_dt_interval(lit(0), hr + lit(8), mi, lit(0.0)) // +8 h PST → UTC
   }
 
   /** CIMIS end-to-end read: zip-extracted annual CSVs (headerless) → canonical obs.
