@@ -85,6 +85,24 @@ def scaled_events(copies: int):
     return pa.concat_tables(parts).replace_schema_metadata(None)
 
 
+def scaled_facts(name: str, keycols, copies: int):
+    """Replicate a TPC-H fact table with per-copy key shifts: primary/order keys
+    shift so copies don't collide; dim foreign keys (custkey/partkey/suppkey)
+    stay, so dim joins fan out N x — the production shape (more facts, same
+    dims). Full-suite scale smoke needs lineitem/orders to grow too (r8)."""
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    parts = []
+    for c in range(copies):
+        shifted = t
+        for k in keycols:
+            mx = pa.compute.max(t[k]).as_py() + 1
+            shifted = shifted.set_column(
+                shifted.schema.get_field_index(k), k,
+                pa.compute.add(shifted[k], c * mx))
+        parts.append(shifted)
+    return pa.concat_tables(parts).replace_schema_metadata(None)
+
+
 def main():
     copies, outdir = int(sys.argv[1]), sys.argv[2]
     import os
@@ -95,10 +113,12 @@ def main():
         out = f"{outdir}/{name}.parquet"
         pq.write_table(fn(copies), out, row_group_size=50000)
         print(f"wrote {out}: {pq.ParquetFile(out).metadata.num_rows} rows")
-    # the TPC-H-ish dims aren't part of the scale smoke: link them unchanged so
-    # every SparkEntry query still resolves its tables
-    for name in ("region", "nation", "customer", "supplier", "part", "orders",
-                 "lineitem"):
+    # fact tables scale with key shifts; true dims stay fixed (linked unchanged)
+    for name, keys in [("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])]:
+        out = f"{outdir}/{name}.parquet"
+        pq.write_table(scaled_facts(name, keys, copies), out, row_group_size=100000)
+        print(f"wrote {out}: {pq.ParquetFile(out).metadata.num_rows} rows")
+    for name in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{outdir}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
