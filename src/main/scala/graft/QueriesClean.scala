@@ -87,6 +87,86 @@ object QueriesClean {
           NetworkCatalogs.scanTime(col("time"), col("stationDataTimeZone")))
         .select(col("station"), unix_timestamp(col("time")).as("time_s"),
           r4(col("tas")).as("tas"), col("tas_qc"), r4(col("psl")).as("psl"))
+    }),
+
+    // CW3E (`CW3E_clean.py:57-635`): `%Y.%j.%H%M` time reassembly from the
+    // year / julian-day / HHMM columns (already UTC), −99999 NA/sentinel,
+    // °C -> K, mb -> Pa. Values ride a double->string->double round trip
+    // (Java shortest-repr strings round-trip exactly) — the raw files are
+    // stringly typed and the catalog's parse path is the system under test.
+    "c9_cw3e_clean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val tm = date_trunc("MINUTE", expr("ts - INTERVAL 10 YEARS"))
+      val raw = e.select(
+        col("user_id"),
+        year(tm).cast("string").as("Year (end time of average)"),
+        dayofyear(tm).cast("string").as("Julian Day (end time of average)"),
+        (hour(tm) * 100 + minute(tm)).cast("string")
+          .as("HoursMinutes (end time of average)"),
+        when(col("event_id") % 97 === 0, lit("-99999"))
+          .otherwise((col("value") / 10).cast("string")).as("Temperature (C)"),
+        (lit(950.0) + col("value") / 100).cast("string").as("Pressure (mb)"))
+        // same optimizer-barrier rationale as c7: the fixture ENCODE is not the
+        // system under test; persisting stands in for "the raw file exists"
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      NetworkCatalogs.standardize(raw, NetworkCatalogs.cw3e,
+          NetworkCatalogs.cw3e.stationId(concat(lit("S"), col("user_id").cast("string"))),
+          NetworkCatalogs.cw3eTime(col("Year (end time of average)"),
+            col("Julian Day (end time of average)"),
+            col("HoursMinutes (end time of average)")))
+        .select(col("station"), unix_timestamp(col("time")).as("time_s"),
+          r4(col("tas")).as("tas"), r4(col("psl")).as("psl"))
+    }),
+
+    // VALLEYWATER (`VALLEYWATER_clean.py:45-278`): approval-null row drop,
+    // 15-min grid infill with traceable flag 30 (the oracle-green c30 op),
+    // inches -> mm into pr_15min, approval kept as raw_qc. The encode keys
+    // everything off the 15-min bucket so raw rows are grid-aligned and
+    // deterministic per (station, bucket) — exactly the raw-file shape.
+    "c10_valleywater_clean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val raw0 = e.select(col("user_id"),
+        floor(unix_timestamp(expr("ts - INTERVAL 10 YEARS")) / 900).as("b")).distinct()
+      val t15 = timestamp_seconds(col("b") * 900)
+      val raw = raw0.select(
+        col("user_id"),
+        date_format(t15, "yyyy-MM-dd HH:mm:ss").as("ISO 8601 UTC"),
+        (pmod(col("b"), lit(1000)) / 100).cast("string").as("Value"),
+        when(pmod(col("b") + col("user_id"), lit(89)) === 0, "")
+          .when(pmod(col("b"), lit(2)) === 0, "1").otherwise("2").as("Approval Level"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      NetworkCatalogs.standardizeValleywater(raw,
+          concat(lit("VALLEYWATER_"), col("user_id").cast("string")))
+        .select(col("station"), unix_timestamp(col("time")).as("time_s"),
+          r4(col("pr_15min")).as("pr_15min"), col("raw_qc"),
+          col("pr_15min_eraqc").as("infill_flag"))
+    }),
+
+    // MARITIME/NDBC (`MARITIME_clean.py:160-660`): Y/M/D/h/m time reassembly
+    // (already UTC), `MM` NA token, 999/99/9999 missing codes, hPa -> Pa,
+    // °C -> K on air temperature.
+    "c11_maritime_clean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val tm = date_trunc("MINUTE", expr("ts - INTERVAL 10 YEARS"))
+      val raw = e.select(
+        col("user_id"),
+        year(tm).cast("string").as("YYYY"),
+        month(tm).cast("string").as("MO"),
+        dayofmonth(tm).cast("string").as("DD"),
+        hour(tm).cast("string").as("hh"),
+        minute(tm).cast("string").as("mi"),
+        when(col("event_id") % 97 === 0, lit("MM"))
+          .otherwise((col("value") / 20).cast("string")).as("ATMP"),
+        when(col("event_id") % 89 === 0, lit("999"))
+          .otherwise((lit(950.0) + col("value") / 100).cast("string")).as("PRES"),
+        (col("value") / 50).cast("string").as("WSPD"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      NetworkCatalogs.standardize(raw, NetworkCatalogs.maritime,
+          NetworkCatalogs.maritime.stationId(col("user_id")),
+          NetworkCatalogs.maritimeTime(raw))
+        .select(col("station"), unix_timestamp(col("time")).as("time_s"),
+          r4(col("tas")).as("tas"), r4(col("ps")).as("ps"),
+          r4(col("sfcWind")).as("sfcWind"))
     })
   )
 
@@ -134,6 +214,71 @@ object QueriesClean {
              AND time_utc < TIMESTAMP '2022-09-01')
          SELECT station, CAST(epoch(time_utc) AS BIGINT) AS time_s,
                 ROUND(tas, 4) + 0 AS tas, tas_qc, ROUND(psl, 4) + 0 AS psl
+         FROM std""",
+    "c9_cw3e_clean" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  date_trunc('minute', ts - INTERVAL 10 YEAR) AS tm
+           FROM events),
+         raw AS (
+           SELECT 'CW3E_S' || CAST(user_id AS VARCHAR) AS station, tm,
+                  CASE WHEN event_id % 97 = 0 THEN NULL ELSE value / 10 END AS tc,
+                  950.0 + value / 100 AS pmb
+           FROM e),
+         std AS (
+           SELECT DISTINCT station, tm,
+                  tc + 273.15 AS tas, pmb * 100.0 AS psl
+           FROM raw
+           WHERE tm > TIMESTAMP '1979-12-31' AND tm < TIMESTAMP '2022-09-01')
+         SELECT station, CAST(epoch(tm) AS BIGINT) AS time_s,
+                ROUND(tas, 4) + 0 AS tas, ROUND(psl, 4) + 0 AS psl
+         FROM std""",
+    "c10_valleywater_clean" ->
+      """WITH b0 AS (
+           SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts - INTERVAL 10 YEAR) / 900) AS BIGINT) AS b
+           FROM events),
+         raw AS (
+           SELECT user_id, to_timestamp(b * 900) AS t15,
+                  (b % 1000) / 100.0 AS vin,
+                  CASE WHEN (b + user_id) % 89 = 0 THEN NULL
+                       WHEN b % 2 = 0 THEN '1' ELSE '2' END AS apr
+           FROM b0),
+         kept AS (
+           SELECT * FROM raw
+           WHERE apr IS NOT NULL
+             AND t15 > TIMESTAMP '1979-12-31' AND t15 < TIMESTAMP '2022-09-01'),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(min(t15), max(t15), INTERVAL 15 MINUTE)) AS t15
+           FROM kept GROUP BY user_id)
+         SELECT 'VALLEYWATER_' || CAST(g.user_id AS VARCHAR) AS station,
+                CAST(epoch(g.t15) AS BIGINT) AS time_s,
+                ROUND(k.vin * 25.4, 4) + 0 AS pr_15min,
+                k.apr AS raw_qc,
+                CASE WHEN k.user_id IS NULL THEN 30 END AS infill_flag
+         FROM grid g LEFT JOIN kept k
+           ON g.user_id = k.user_id AND g.t15 = k.t15""",
+    "c11_maritime_clean" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  date_trunc('minute', ts - INTERVAL 10 YEAR) AS tm
+           FROM events),
+         raw AS (
+           SELECT 'MARITIME_' || CAST(user_id AS VARCHAR) AS station, tm,
+                  CASE WHEN event_id % 97 = 0 THEN NULL ELSE value / 20 END AS atmp,
+                  CASE WHEN event_id % 89 = 0 THEN NULL
+                       ELSE 950.0 + value / 100 END AS pres,
+                  value / 50 AS wspd
+           FROM e),
+         std AS (
+           SELECT DISTINCT station, tm,
+                  atmp + 273.15 AS tas, pres * 100.0 AS ps, wspd AS sfcWind
+           FROM raw
+           WHERE tm > TIMESTAMP '1979-12-31' AND tm < TIMESTAMP '2022-09-01')
+         SELECT station, CAST(epoch(tm) AS BIGINT) AS time_s,
+                ROUND(tas, 4) + 0 AS tas, ROUND(ps, 4) + 0 AS ps,
+                ROUND(sfcWind, 4) + 0 AS sfcWind
          FROM std"""
   )
 }
