@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.NetworkCatalogs
+import graft.sources.{NetworkCatalogs, StationStatus}
 
 /** Batch C2 query instantiations — per-network clean catalogs (SURVEY §2.1 S4,
   * data half): the CIMIS and SCAN/SNOTEL standardization plans run over CSV-shaped
@@ -167,6 +167,32 @@ object QueriesClean {
         .select(col("station"), unix_timestamp(col("time")).as("time_s"),
           r4(col("tas")).as("tas"), r4(col("ps")).as("ps"),
           r4(col("sfcWind")).as("sfcWind"))
+    }),
+
+    // Clean-stage bookkeeping (`stnlist_update_clean.py:152-330`): cleaned Y/N via
+    // full-outer merge (unlisted cleaned stations appended), bare-id substring
+    // error attach with last-match-wins, clean-time gating, multi-error concat.
+    // The fixture exercises every branch: uid%29==0 stations are unlisted,
+    // uid%3==0 are uncleaned, single-digit bare ids force ambiguous substring
+    // matches resolved by the last-match rule.
+    "s12_stnlist_status" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stations = e.filter(col("user_id") % 29 =!= 0)
+        .select(concat(lit("NET_"), col("user_id").cast("string")).as("era_id"))
+        .distinct()
+      val cleanedIds = e.filter(col("user_id") % 3 =!= 0)
+        .groupBy(col("user_id"))
+        .agg(date_trunc("SECOND", min(col("ts"))).as("time_cleaned"))
+        .select(concat(lit("NET_"), col("user_id").cast("string")).as("id"),
+          col("time_cleaned"))
+      val errors = e.filter(col("event_id") % 101 === 0)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(date_trunc("SECOND", min(col("ts"))).as("time"))
+        .select(concat(lit("raw_"), col("user_id").cast("string"), lit("_x.csv")).as("file"),
+          col("time"), col("event_type").as("error"))
+      StationStatus.updateStationList(stations, cleanedIds, errors)
+        .select(col("era_id"), col("cleaned"),
+          unix_timestamp(col("time_cleaned")).as("tc_s"), col("errors_str"))
     })
   )
 
@@ -279,6 +305,42 @@ object QueriesClean {
          SELECT station, CAST(epoch(tm) AS BIGINT) AS time_s,
                 ROUND(tas, 4) + 0 AS tas, ROUND(ps, 4) + 0 AS ps,
                 ROUND(sfcWind, 4) + 0 AS sfcWind
-         FROM std"""
+         FROM std""",
+    "s12_stnlist_status" ->
+      """WITH st AS (
+           SELECT DISTINCT 'NET_' || CAST(user_id AS VARCHAR) AS era_id
+           FROM events WHERE user_id % 29 <> 0),
+         cl AS (
+           SELECT 'NET_' || CAST(user_id AS VARCHAR) AS id,
+                  date_trunc('second', min(ts)) AS time_cleaned
+           FROM events WHERE user_id % 3 <> 0 GROUP BY user_id),
+         er AS (
+           SELECT 'raw_' || CAST(user_id AS VARCHAR) || '_x.csv' AS file,
+                  date_trunc('second', min(ts)) AS time, event_type AS error
+           FROM events WHERE event_id % 101 = 0 GROUP BY user_id, event_type),
+         base AS (
+           SELECT COALESCE(st.era_id, cl.id) AS era_id,
+                  CASE WHEN cl.id IS NULL THEN 'N' ELSE 'Y' END AS cleaned,
+                  cl.time_cleaned
+           FROM st FULL OUTER JOIN cl ON st.era_id = cl.id),
+         cand AS (
+           SELECT er.file, er.error, er.time, b.era_id AS m_era_id,
+                  b.time_cleaned AS m_tc,
+                  row_number() OVER (PARTITION BY er.file, er.error
+                                     ORDER BY b.era_id DESC) AS rn
+           FROM er JOIN base b
+             ON er.file LIKE '%' || regexp_extract(b.era_id, '([^_]+)$', 1) || '%'),
+         att AS (
+           SELECT * FROM cand
+           WHERE rn = 1 AND (m_tc IS NULL OR time IS NULL OR time >= m_tc)),
+         per AS (
+           SELECT m_era_id AS era_id,
+                  CASE WHEN COUNT(*) = 1 THEN MIN(error)
+                       ELSE string_agg(file || ': ' || error, ' '
+                                       ORDER BY file, error) END AS errors_str
+           FROM att GROUP BY m_era_id)
+         SELECT b.era_id, b.cleaned,
+                CAST(epoch(b.time_cleaned) AS BIGINT) AS tc_s, p.errors_str
+         FROM base b LEFT JOIN per p USING (era_id)"""
   )
 }

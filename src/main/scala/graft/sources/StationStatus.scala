@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Clean-stage bookkeeping (`/root/reference/scripts/2_clean_data/
+  * stnlist_update_clean.py:152-330`, `clean_qa`): stamp each station-list row with
+  * its cleaned status, time of clean, and any relevant clean-stage errors.
+  *
+  * Re-expressed Spark-first:
+  *  - the reference's per-row Python loops (error→station substring scan, per-station
+  *    error filtering/joining) become ONE broadcast theta-join + window + groupBy —
+  *    no driver iteration, no O(stations × errors) pandas pass;
+  *  - the station lists and error reports are metadata-sized (thousands of rows), so
+  *    the join side is broadcast and the per-station `collect_list` is bounded by a
+  *    station's own error count.
+  *
+  * Faithful semantics:
+  *  - `cleaned` = "Y"/"N" from a FULL OUTER merge on the standardized id — cleaned
+  *    outputs missing from the station list are appended (`:267-279`);
+  *  - error rows dedup on (file, error) and drop the "Whole network" rows
+  *    (`parse_error_csv`, `:145-149`);
+  *  - an error attaches to the station whose BARE id (the part after the network
+  *    prefix) appears as a substring of the error's `file` — when several match, the
+  *    LAST one wins (`id[-1]`, `:295-298`; the reference's "last" is station-list
+  *    frame order, which is ingestion-dependent — here it is made deterministic as
+  *    the greatest `era_id`, documented delta);
+  *  - for a cleaned station only errors at-or-after its clean time (or with no
+  *    timestamp) are kept; an uncleaned station keeps all its errors (`:300-313`);
+  *  - one error reports its text verbatim; several report `"file: error"` pairs
+  *    joined with spaces (`:315-321`), in deterministic (file, error) order.
+  *
+  * Per-network id standardization (ISD dash-strip, CIMIS numeric ids, CW3E `C3`
+  * prefix strip, SCAN triplet head, `:197-240`) belongs to the catalogs — callers
+  * pass a station list that already carries `era_id` ([[NetworkCatalogs]] builds the
+  * same ids on the data path). Listing adapters (one file per station vs CW3E's
+  * per-station-year layout, `get_cleaned_stations`) are caller-side for the same
+  * reason.
+  */
+object StationStatus {
+
+  /** @param stations station list with an `era_id` column (passthrough columns kept)
+    * @param cleaned   cleaned-output listing: `id`, `time_cleaned` (timestamp)
+    * @param errors    clean-stage error report: `file`, `time` (nullable), `error`
+    * @return stations ∪ unlisted-cleaned, with `cleaned` ("Y"/"N"), `time_cleaned`,
+    *         and nullable `errors_str` appended */
+  def updateStationList(stations: DataFrame, cleaned: DataFrame,
+                        errors: DataFrame): DataFrame = {
+    val passthrough = stations.columns.filter(_ != "era_id").toSeq
+
+    val base = stations.join(cleaned, stations("era_id") === cleaned("id"), "full_outer")
+      .select(coalesce(stations("era_id"), cleaned("id")).as("era_id") +:
+        when(cleaned("id").isNull, "N").otherwise("Y").as("cleaned") +:
+        cleaned("time_cleaned") +:
+        passthrough.map(stations(_)): _*)
+
+    val errs = errors
+      .filter(col("file") =!= "Whole network")
+      .dropDuplicates("file", "error")
+
+    // bare id = the part after the network prefix ("CIMIS_12" -> "12"); the station
+    // side is metadata-sized -> broadcast, so the LIKE theta-join never shuffles the
+    // error table and never becomes a cross product at scale
+    val stationSide = broadcast(base.select(col("era_id").as("m_era_id"),
+      col("time_cleaned").as("m_time_cleaned"),
+      substring_index(col("era_id"), "_", -1).as("bare_id")))
+
+    val lastMatch = Window.partitionBy("file", "error").orderBy(col("m_era_id").desc)
+    val attached = errs
+      .join(stationSide, col("file").contains(col("bare_id")))
+      .withColumn("_rn", row_number().over(lastMatch)).filter(col("_rn") === 1)
+      .filter(col("m_time_cleaned").isNull || col("time").isNull ||
+        col("time") >= col("m_time_cleaned"))
+
+    val perStation = attached.groupBy(col("m_era_id").as("era_id"))
+      .agg(sort_array(collect_list(struct(col("file"), col("error")))).as("_es"))
+      .select(col("era_id"), when(size(col("_es")) === 1, col("_es")(0)("error"))
+        .otherwise(concat_ws(" ",
+          transform(col("_es"), e => concat(e("file"), lit(": "), e("error")))))
+        .as("errors_str"))
+
+    base.join(perStation, Seq("era_id"), "left")
+  }
+}
