@@ -48,6 +48,34 @@ object Sinks {
   def readAttrs(df: DataFrame, path: String): AttrsTable =
     AttrsTable.read(df.sparkSession, path)
 
+  /** S7 (scale variant) — BUCKETED obs table: hash-bucketed and sorted by
+    * `bucketCol` so every downstream station-keyed stage (the QAQC windows,
+    * hourly standardization, streak/spike scans — all keyed on `station`) reads
+    * the table ALREADY hash-partitioned: Catalyst sees the bucketed scan's
+    * `HashPartitioning(station)` and plans groupBy/window/join-on-station with
+    * NO exchange. At 100 TB that removes the one big shuffle per QAQC/merge run
+    * that [[writeObs]]'s layout still pays — the write amortizes it once.
+    *
+    * The reference re-sorts and re-groups per station on every stage run
+    * (`QAQC_pipeline.py` per-station SLURM tasks); a bucketed table is the
+    * Spark-native equivalent of that station-granular layout, minus the 15k
+    * driver-side tasks. Pinned by SinksSpec: station-keyed agg + self-join over
+    * the bucketed table plan ZERO shuffle exchanges.
+    *
+    * Uses `saveAsTable` (bucket metadata lives in the catalog; a plain
+    * `parquet(path)` write cannot record it). Partition-by-network composes via
+    * `partitionCols` when networks are queried separately. */
+  def writeObsBucketed(df: DataFrame, table: String, numBuckets: Int = 256,
+                       bucketCol: String = "station",
+                       sortCols: Seq[String] = Seq("station", "time"),
+                       partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S9 — small report sink (flag counts, rates, ledgers): tiny aggregates → one CSV
     * file with header, like the reference's `to_csv` reports. */
   def writeReport(df: DataFrame, path: String): Unit =

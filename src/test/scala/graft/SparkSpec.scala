@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, built once). */
 object TestSession {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -13,6 +14,11 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      // bucketed-table tests saveAsTable; keep the warehouse + metastore out of
+      // the repo working tree
+      .config("spark.sql.warehouse.dir", wh)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

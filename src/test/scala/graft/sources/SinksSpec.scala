@@ -74,6 +74,32 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("S7 bucketed: station-keyed agg and self-join read with ZERO shuffles") {
+    val obs = Seq(
+      ("s1", 1L, 1.0), ("s1", 2L, 2.0), ("s2", 1L, 3.0), ("s3", 5L, 4.0))
+      .toDF("station", "time", "tas")
+    Sinks.writeObsBucketed(obs, "obs_bucketed_spec", numBuckets = 4)
+    try {
+      val t = spark.table("obs_bucketed_spec")
+      // groupBy on the bucket column: the scan's HashPartitioning(station)
+      // satisfies the aggregate's distribution - no Exchange in the plan
+      val agg = t.groupBy("station").agg(avg("tas").as("m"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"unexpected shuffle:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == 3)
+      // equi-join of the table with itself on station: both sides pre-hashed,
+      // sort-merge join with no exchange on either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = t.join(spark.table("obs_bucketed_spec").groupBy("station")
+          .agg(max("tas").as("mx")), "station")
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+          s"unexpected shuffle:\n${j.queryExecution.executedPlan}")
+        assert(j.count() == 4)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.sql("DROP TABLE IF EXISTS obs_bucketed_spec")
+  }
+
   test("S9/S11: CSV report and per-station export") {
     val tmp = Files.createTempDirectory("csv").toFile.getAbsolutePath
     val report = Seq(("11", 5L), ("no_flag", 95L)).toDF("flag", "cnt")
