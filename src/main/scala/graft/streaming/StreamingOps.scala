@@ -169,4 +169,44 @@ object StreamingOps {
           closed.iterator
       }
   }
+
+  final case class SpikeBufState(buf: List[Obs])
+  final case class SpikeHit(key: String, ts: Long, value: Double)
+
+  /** Streaming 1-point spike confirmation — W6's 1-pt pattern
+    * (`qaqc_unusual_large_jumps.py:128-299`; see the batch [[graft.ops.SpikeOps]])
+    * on a live feed. The decision for point i needs the diffs (d₋₁, d, d₊₁, d₊₂),
+    * i.e. points i−2..i+2, so emission lags the stream by exactly two points and
+    * state is a ≤ 5-observation ring per key — O(keys), stream-length independent.
+    *
+    * `crit` is the per-key critical value. In production it is the batch-computed
+    * monthly IQR criteria served as a small broadcast map — the kappa shape the
+    * other streaming twins use: batch calibrates (the oracle-checked `w6` plan),
+    * the stream confirms. Pattern, matching the batch 1-pt rule with a constant
+    * crit: |d| > c, sign(d) ≠ sign(d₊₁), |d₋₁| < c, |d₊₁| > c, |d₊₂| < c. */
+  def spikeDetector(ds: Dataset[Obs], crit: Map[String, Double],
+                    defaultCrit: Double = Double.MaxValue)
+                   (implicit spark: SparkSession): Dataset[SpikeHit] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SpikeBufState, SpikeHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[SpikeBufState]) =>
+          val c = crit.getOrElse(key, defaultCrit)
+          var buf = state.getOption.map(_.buf.toVector).getOrElse(Vector.empty)
+          val hits = scala.collection.mutable.ArrayBuffer.empty[SpikeHit]
+          rows.toSeq.sortBy(_.ts).foreach { o =>
+            buf = (buf :+ o).takeRight(5)
+            if (buf.size == 5) {
+              val d = buf.iterator.sliding(2).map(p => p(1).value - p(0).value).toVector
+              val (dm1, d0, dp1, dp2) = (d(0), d(1), d(2), d(3))
+              if (math.abs(d0) > c && math.signum(d0) != math.signum(dp1) &&
+                  math.abs(dm1) < c && math.abs(dp1) > c && math.abs(dp2) < c)
+                hits += SpikeHit(key, buf(2).ts, buf(2).value)
+            }
+          }
+          state.update(SpikeBufState(buf.toList))
+          hits.iterator
+      }
+  }
 }

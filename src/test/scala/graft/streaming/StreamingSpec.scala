@@ -159,4 +159,29 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming spike detector confirms 1-pt spikes across batch boundaries") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val out = StreamingOps.spikeDetector(input.toDS(), Map("s" -> 5.0))
+    val q = out.writeStream.format("memory").queryName("spike_test")
+      .outputMode("append").start()
+    try {
+      // flat series with a single 1-pt excursion at ts=3; the confirming
+      // points (ts=4,5) arrive in a LATER batch - state must carry the buffer
+      input.addData(Obs("s", 1, 10.0), Obs("s", 2, 10.0), Obs("s", 3, 30.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM spike_test").count() == 0) // undecided yet
+      input.addData(Obs("s", 4, 10.0), Obs("s", 5, 10.0))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT key, ts, value FROM spike_test")
+        .as[(String, Long, Double)].collect()
+      assert(hits.toSeq == Seq(("s", 3L, 30.0)))
+      // a monotone ramp of equally large jumps is NOT a spike (no sign flip)
+      input.addData(Obs("s", 6, 20.0), Obs("s", 7, 30.0), Obs("s", 8, 40.0),
+        Obs("s", 9, 50.0), Obs("s", 10, 60.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM spike_test").count() == 1)
+    } finally q.stop()
+  }
 }
