@@ -457,6 +457,17 @@ object QueriesLlm {
           Map("en" -> 0.8, "es" -> 0.5, "fr" -> 0.25), defaultRate = 0.1))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_kept"))
+    }),
+
+    // Per-domain cap (RefinedWeb/C4-style): keep the top-50 docs per source by
+    // length, deterministic doc_id tiebreak. Catalyst's WindowGroupLimit turns
+    // the rn<=n filter into a partial group-limit BELOW the exchange — mega-
+    // domains ship n rows per map task, never their full row set.
+    "samp3_domain_cap" -> ((s, dir) => {
+      TextOps.capPerGroup(t(s, dir, "documents"),
+          col("source"), 50, col("n_chars"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
     })
   )
 
@@ -919,6 +930,15 @@ object QueriesLlm {
           SELECT lang, COUNT(*) AS n,
             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM k GROUP BY lang""",
+    "samp3_domain_cap" ->
+      """WITH r AS (
+            SELECT source, doc_id, n_chars,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents)
+          SELECT source, COUNT(*) AS n_kept,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+          FROM r WHERE rn <= 50 GROUP BY source""",
     "d3_simhash" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: tokenization,
@@ -190,6 +191,21 @@ object TextOps {
     }
     u < rate
   }
+
+  /** Per-group document cap — the RefinedWeb/C4-style per-domain limit: keep at
+    * most `n` rows per `group`, preferring higher `rank` with a deterministic
+    * `tiebreak`. ONE window shuffle on the group key; the `rn <= n` filter is
+    * recognized by Catalyst's WindowGroupLimit rule, which inserts a PARTIAL
+    * group-limit below the exchange — each map task forwards at most `n` rows per
+    * group, so a mega-domain (the skew case that matters at 100 TB) ships
+    * n × mapTasks rows, never its full row set, and the post-shuffle sort is
+    * bounded the same way. Verified in the samp3 plan (WindowGroupLimitExec in
+    * Partial then Final mode). */
+  def capPerGroup(df: DataFrame, group: Column, n: Int,
+                  rank: Column, tiebreak: Column): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(group).orderBy(rank.desc, tiebreak)))
+      .filter(col("_rn") <= n).drop("_rn")
 
   /** Default PII-redaction rules, applied in order: emails first (so their digit
     * runs don't half-match later rules), then URLs, IPv4 literals, and long digit
