@@ -468,6 +468,41 @@ object QueriesLlm {
           col("source"), 50, col("n_chars"), col("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    }),
+
+    // t11: TF-IDF top-5 keywords per document (round-before-rank so the ordering
+    // is engine-portable; term tiebreak; N derived from the same pair table)
+    "t11_tfidf" -> ((s, dir) =>
+      TextOps.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", kTerms = 5)),
+
+    // d12: SemDeDup semantic near-dup removal — the d5 planted corpus (0.9v +
+    // 0.1 shifted twins of vec_id < 50), basis-vector cells (e4's centroid set;
+    // kmeansTrain supplies real centroids in production), cosine >= 0.85
+    "d12_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            lit(0.9) * element_at(col("v"), j) +
+            lit(0.1) * element_at(col("v"), pmod(j, lit(64)) + 1)).as("v"))
+      val centroids = (0 until 8).map(i =>
+        Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
+      DedupOps.semanticDedup(base.unionByName(planted), "vec_id", "v",
+        centroids, threshold = 0.85)
+    }),
+
+    // d13: duplicated-span detection — planted docs replicate a 60-token prefix
+    // of every 20th source doc (>= k+w-1 = 50 tokens, so the winnowing guarantee
+    // forces a shared fingerprint); output = docs sharing any >=50-token run
+    "d13_dup_spans" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 60)),
+            lit(" planted tail marker "), col("doc_id").cast("string")).as("text"))
+      DedupOps.duplicatedSpans(base.unionByName(planted), "doc_id", "text")
+        .filter(col("n_shared_spans") > 0)
     })
   )
 
@@ -939,6 +974,91 @@ object QueriesLlm {
           SELECT source, COUNT(*) AS n_kept,
             CAST(SUM(n_chars) AS BIGINT) AS chars_kept
           FROM r WHERE rn <= 50 GROUP BY source""",
+    // round-before-rank mirrors tfIdfTopK exactly: 1-ulp libm-`ln` differences
+    // die in ROUND(_, 6) before the window ordering ever sees them
+    "t11_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+            GROUP BY 1, 2),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+          dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT tf.doc_id, tf.term,
+              ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+            FROM tf CROSS JOIN n JOIN dfreq ON tf.term = dfreq.term),
+          ranked AS (
+            SELECT doc_id, term, tfidf,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS rn
+            FROM scored)
+          SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5""",
+    // dot products via the ordered list_sum fold (the d5 bit-parity form), NOT
+    // list_dot_product, so the 0.85 threshold compare is bit-identical to Spark's
+    // zip_with/aggregate fold; cell argmax ties go to the HIGHER cid (e3 rule)
+    "d12_semdedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          planted AS (
+            SELECT vec_id + 100000 AS vec_id,
+              list_transform(generate_series(1, 64),
+                j -> 0.9 * v[j] + 0.1 * v[(j % 64) + 1]) AS v
+            FROM base WHERE vec_id < 50),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+          scored AS (
+            SELECT vec_id, v, i AS cid,
+              CASE WHEN ${dotSql("v", "v")} = 0 THEN 0.0
+                   ELSE v[i + 1] / sqrt(${dotSql("v", "v")}) END AS cos
+            FROM corpus CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+          cells AS (
+            SELECT vec_id, v, cid FROM (
+              SELECT vec_id, v, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid DESC) AS rn
+              FROM scored) WHERE rn = 1),
+          pairs AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+              CASE WHEN ${dotSql("a.v", "a.v")} = 0 OR ${dotSql("b.v", "b.v")} = 0
+                   THEN 0.0
+                   ELSE ${dotSql("a.v", "b.v")}
+                        / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) END AS cos
+            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+          SELECT id2 AS vec_id, MIN(id1) AS kept_as, COUNT(*) AS n_matches,
+            ROUND(MAX(cos), 6) + 0 AS max_cos
+          FROM pairs WHERE cos >= 0.85 GROUP BY 1""",
+    // winnowing chain (t3's oracle form) at k=20/w=31 over base + planted docs
+    "d13_dup_spans" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+          planted AS (
+            SELECT doc_id + 100000 AS doc_id,
+              array_to_string(list_slice(
+                  list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> len(x) > 0), 1, 60), ' ')
+                || ' planted tail marker ' || CAST(doc_id AS VARCHAR) AS text
+            FROM base WHERE doc_id % 20 = 0),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+          toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+          grams AS (SELECT doc_id,
+              CASE WHEN len(tk) < 20 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 19),
+                          i -> array_to_string(list_slice(tk, i, i + 19), ' ')) END AS g
+            FROM toks),
+          h AS (SELECT doc_id,
+              list_transform(g, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS h
+            FROM grams),
+          sel AS (SELECT doc_id,
+              CASE WHEN len(h) <= 31 THEN [list_min(h)]
+                   ELSE list_transform(generate_series(1, len(h) - 30),
+                          i -> list_min(list_slice(h, i, i + 30))) END AS s
+            FROM h),
+          fp AS (SELECT doc_id, unnest(list_distinct(s)) AS fp FROM sel),
+          marked AS (SELECT doc_id,
+              CASE WHEN MIN(doc_id) OVER (PARTITION BY fp) <> doc_id
+                     OR MAX(doc_id) OVER (PARTITION BY fp) <> doc_id
+                   THEN 1 ELSE 0 END AS shared
+            FROM fp)
+          SELECT doc_id, COUNT(*) AS n_spans,
+            CAST(SUM(shared) AS BIGINT) AS n_shared_spans
+          FROM marked GROUP BY 1 HAVING SUM(shared) > 0""",
     "d3_simhash" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -541,4 +541,80 @@ object DedupOps {
         col("hamming").cast("long").as("hamming"))
       .distinct()
   }
+
+  /** Cross-document duplicated-span detection — the distributed stand-in for
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": remove/flag exact runs of >= 50 tokens shared
+    * across documents). Exact suffix arrays don't distribute; winnowing
+    * fingerprints are the scale substitute because they are CONTENT-DEFINED:
+    * window-min selection over rolling k-gram hashes picks the same positions
+    * inside a shared run regardless of the run's byte offset in either document,
+    * so any two documents sharing a token run of length >= k + w - 1 are
+    * GUARANTEED to share at least one selected fingerprint (the winnowing
+    * guarantee, property-tested in TextOpsSpec). Defaults k=20, w=31 detect
+    * shared runs of >= 50 tokens — the Lee et al. threshold.
+    *
+    * Scale shape (the d1/d11 pattern): one explode (a few fingerprints per
+    * document — winnowing density is ~2/(w+1)), ONE whole-partition min/max
+    * window on the md5-uniform fingerprint (a boilerplate span shared by millions
+    * of documents makes a big partition, but the window state is two ids — O(1),
+    * sort spills), one groupBy(id) to re-aggregate. No joins, never all-pairs.
+    *
+    * Returns (id, n_spans, n_shared_spans): n_shared_spans > 0 means the document
+    * shares at least one qualifying run with some other document (the caller
+    * drops, trims, or routes to exact verification). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 20, w: Int = 31): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(graft.text.TextOps.winnowingFingerprints(col(textCol), k, w)).as("_fp"))
+    val byFp = Window.partitionBy(col("_fp"))
+    fps
+      .withColumn("_shared",
+        min(col(idCol)).over(byFp) =!= col(idCol) ||
+          max(col(idCol)).over(byFp) =!= col(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_shared").cast("long")).as("n_shared_spans"))
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings into cells
+    * (IVF argmax-cosine assignment against literal centroids — trained via
+    * [[graft.ann.AnnOps.kmeansTrain]] in production, any fixed set here), then
+    * inside each cell mark every vector that has a LOWER-id cell-mate with
+    * cosine >= `threshold` as a semantic duplicate of that mate. Near-identical
+    * paraphrases land in the same cell with cosine ~1 even when their token
+    * streams share nothing, which is exactly what MinHash/SimHash cannot see.
+    *
+    * Scale shape: pair generation is bucketed by cell — the corpus is never
+    * all-pairs; the quadratic is confined to one cell, and `maxCellSize` drops
+    * pathological cells (mirror of [[minhashNearDups]]'s maxBucketSize; in
+    * practice an oversized cell means k is too small for the corpus — SemDeDup
+    * sizes k ~ sqrt(n)). One shuffle to the cell key for the window cap + one
+    * self-equi-join on the cell id (AQE-planned), one groupBy on the dropped id.
+    * Cosine is IEEE-exact arithmetic (mul/add/div/sqrt — no libm), so the
+    * threshold compare is bit-portable and the op carries an exact SQL oracle.
+    *
+    * Returns one row per DROPPED vector: (id, kept_as = its lowest-id match,
+    * n_matches, max_cos). Survivors are `df` anti-joined on the result. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double,
+                    maxCellSize: Int = 10000): DataFrame = {
+    // persist: both join sides read the assignment table; without the pin the
+    // self-join re-runs the k x dim argmax per side (same rationale + release
+    // contract as embeddingNearDups' signature table, BASELINE.md r8)
+    val cells = df.select(col(idCol), col(vecCol))
+      .withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids))
+      .withColumn("_csz", count(lit(1)).over(Window.partitionBy(col("_cell"))))
+      .filter(col("_csz") <= maxCellSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.select(col("_cell"), col(idCol).as("_id1"), col(vecCol).as("_v1"))
+    val b = cells.select(col("_cell"), col(idCol).as("_id2"), col(vecCol).as("_v2"))
+    a.join(b, Seq("_cell"))
+      .filter(col("_id1") < col("_id2"))
+      .withColumn("_cos", graft.ann.AnnOps.cosine(col("_v1"), col("_v2")))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col("_id2").as(idCol))
+      .agg(min(col("_id1")).as("kept_as"), count(lit(1)).as("n_matches"),
+        round(max(col("_cos")), 6).as("max_cos"))
+  }
 }

@@ -255,4 +255,36 @@ object TextOps {
         i => array_min(slice(h, i, lit(w)))))
     array_sort(array_distinct(sel))
   }
+
+  /** TF-IDF top-`kTerms` keyword extraction per document — the classic corpus-
+    * statistics op (topic tagging, keyword-based sampling, index keys). Score =
+    * tf * ln(N / df), smoothed by nothing (a term present in every document scores
+    * exactly 0); scores are rounded to 6 decimals BEFORE ranking so the ordering is
+    * engine-portable (`ln` is the one non-IEEE-exact step; 1-ulp libm differences
+    * die in the rounding, the w13 lesson applied in reverse), ties broken by term.
+    *
+    * Scale shape: explode -> groupBy(doc, term) with map-side partial aggregation
+    * (the explode firehose combines before it shuffles); df via a SECOND partial
+    * aggregation of the (doc, term) pairs to a vocabulary-sized table; the join
+    * back is a shuffle join on term — the vocabulary of a web corpus (typo long
+    * tail, URLs) is NOT broadcastable at 100 TB, and stopword-grade terms make
+    * skewed keys, which is precisely what AQE skew-join splitting handles; top-k
+    * per doc plans as a partial WindowGroupLimit below the exchange (samp3). N is
+    * derived from the SAME persisted pair table (count of distinct doc ids), not a
+    * second corpus scan — the samp2 single-pass rule. Release contract: the result
+    * references the pinned pair table; harness clears per query, library callers
+    * unpersist after consuming (BASELINE.md r8). */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                kTerms: Int): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = pairs.select(col(idCol)).distinct().count()
+    val dfTbl = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = pairs.join(dfTbl, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    capPerGroup(scored, col(idCol), kTerms, col("tfidf"), col("term"))
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
 }

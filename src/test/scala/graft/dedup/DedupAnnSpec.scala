@@ -398,4 +398,48 @@ class DedupAnnSpec extends SparkSpec {
     // k-means never increases the objective between our measured endpoints
     assert(t > 0.0)
   }
+
+  test("duplicated spans: offset-independent detection, disjoint docs unflagged") {
+    // 55-token run (>= k+w-1 = 50 at k=20/w=31) at DIFFERENT offsets: a prefix
+    // of doc 1 but mid-document in doc 2 — winnowing's content-defined selection
+    // must still collide (a fixed-stride window scheme would not)
+    val run = (1 to 55).map(i => s"sharedtok$i").mkString(" ")
+    val filler = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run trailing content here"),
+      (2L, s"$filler $run different tail"),
+      (3L, (1 to 90).map(i => s"unique$i").mkString(" "))).toDF("id", "text")
+    val out = DedupOps.duplicatedSpans(df, "id", "text")
+      .select(col("id"), col("n_shared_spans")).as[(Long, Long)].collect().toMap
+    assert(out(1L) > 0, "doc 1 should share a span")
+    assert(out(2L) > 0, "doc 2 should share a span despite the offset")
+    assert(out(3L) == 0, "disjoint doc must not be flagged")
+    // below the guarantee threshold: a 10-token shared run stays invisible at k=20
+    val shortRun = (1 to 10).map(i => s"tiny$i").mkString(" ")
+    val df2 = Seq(
+      (1L, s"$shortRun ${(1 to 60).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"${(1 to 60).map(i => s"b$i").mkString(" ")} $shortRun")).toDF("id", "text")
+    val out2 = DedupOps.duplicatedSpans(df2, "id", "text")
+      .agg(sum(col("n_shared_spans"))).as[Long].collect().head
+    assert(out2 == 0, "sub-threshold runs must not collide at k=20")
+  }
+
+  test("semantic dedup drops the higher-id twin, keeps singletons, caps cells") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val df = Seq(
+      (1L, Seq(1.0, 0.1, 0.0, 0.0)),   // cell 0
+      (2L, Seq(0.99, 0.11, 0.01, 0.0)), // cell 0, near-twin of 1
+      (3L, Seq(0.1, 1.0, 0.0, 0.0)),   // cell 1, singleton-ish
+      (4L, Seq(1.0, 0.09, -0.01, 0.0)) // cell 0, near-twin of 1 too
+    ).toDF("vid", "v")
+    val out = DedupOps.semanticDedup(df, "vid", "v", centroids, threshold = 0.99)
+      .orderBy(col("vid"))
+      .select(col("vid"), col("kept_as")).as[(Long, Long)].collect().toSeq
+    // 2 and 4 are dropped against survivor 1; 3 survives (different cell)
+    assert(out == Seq((2L, 1L), (4L, 1L)), s"got $out")
+    // maxCellSize drops the oversized cell entirely: nothing reported from it
+    val capped = DedupOps.semanticDedup(df, "vid", "v", centroids,
+      threshold = 0.99, maxCellSize = 2)
+    assert(capped.count() == 0, "cell over the cap must produce no pairs")
+  }
 }

@@ -127,4 +127,25 @@ class TextOpsSpec extends SparkSpec {
     assert(exact == 1300.0)
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
   }
+
+  test("tf-idf top-k: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana")).toDF("id", "text")
+    val out = TextOps.tfIdfTopK(docs, "id", "text", kTerms = 2)
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSeq.sortBy { case (term, s) => (-s, term) })
+      .toMap
+    val ln3 = math.log(3.0)
+    // doc 1: apple tf=2 df=1 -> 2*ln(3); banana df=3 -> tfidf exactly 0
+    assert(out(1L).head == ("apple", math.rint(2 * ln3 * 1e6) / 1e6))
+    assert(out(1L).map(_._1).toSet == Set("apple", "banana"))
+    assert(out(1L).find(_._1 == "banana").get._2 == 0.0)
+    // doc 2: cherry (rare) outranks banana (everywhere)
+    assert(out(2L).head._1 == "cherry")
+    // doc 3: only banana, score 0, still returned (k caps, never pads)
+    assert(out(3L) == Seq(("banana", 0.0)))
+  }
 }
