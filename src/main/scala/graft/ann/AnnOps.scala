@@ -17,16 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object AnnOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // native codegen'd kernels (graft.expr.VecOps) — bit-identical to the HOF
+  // folds they replaced (`aggregate(zip_with(...))`; VecOpsSpec pins parity):
+  // HOFs evaluate interpreted, which dominated pair-quadratic verify paths (d12)
+  def dot(a: Column, b: Column): Column = graft.expr.VecDot.expr(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = sqrt(graft.expr.VecDot.expr(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = l2Norm(a) * l2Norm(b)
-    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column = graft.expr.CosineSim.expr(a, b)
 
   /** Exact brute-force cosine top-k: every query row against every corpus row, ranked
     * per query. The query side is broadcast (callers pass a SMALL query set — this is

@@ -138,5 +138,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(args.head, constLongs(args(1)), constLongs(args(2)))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow_select"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_winnow_select(hash_array, w) takes exactly 2 arguments")
+        require(args(1).foldable, "window width must be literal")
+        WinnowSelect(args.head,
+          args(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_vec_dot(a, b) takes exactly 2 arguments")
+        VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b) takes exactly 2 arguments")
+        CosineSim(args.head, args(1))
+      }))
   }
 }

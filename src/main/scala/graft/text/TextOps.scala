@@ -106,13 +106,11 @@ object TextOps {
     * engine-portable; a production system would swap in a true Rabin-Karp rolling
     * hash — the downstream winnowing contract is identical). Short texts (< k tokens)
     * hash as one gram. */
-  def kgramHashes(text: Column, k: Int = 5): Column = {
-    val toks = tokens(lower(text))
-    val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-    transform(grams, g => graft.expr.Md5Hash60.expr(g))
-  }
+  def kgramHashes(text: Column, k: Int = 5): Column =
+    // native one-pass gram hashing (codegen'd) — bit-identical to the composed
+    // slice/concat_ws/md5 chain it replaced (KgramMd5Spec); the HOF form was
+    // O(tokens x k) interpreted allocation per document
+    graft.expr.KgramMd5.expr(tokens(lower(text)), k)
 
   /** Deterministic split assignment for training-data curation: hash the id (md5,
     * engine-portable) to a uniform value in [0, 1) and carve [train | val | test] by
@@ -248,13 +246,11 @@ object TextOps {
     * >= w+k-1 tokens between two documents is guaranteed to share a fingerprint, at
     * ~1/w the storage of full k-gram sets — the classic near-dup sketch between exact
     * hashing and MinHash. Pure HOF expression, no UDF, no shuffle. */
-  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val h = kgramHashes(text, k)
-    val sel = when(size(h) <= w, array(array_min(h)))
-      .otherwise(transform(sequence(lit(1), size(h) - w + 1),
-        i => array_min(slice(h, i, lit(w)))))
-    array_sort(array_distinct(sel))
-  }
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    // native sliding-min selection (monotonic deque, codegen'd) — bit-identical
+    // to the composed slice/array_min form it replaced (WinnowSelectSpec); the
+    // HOF form was O(tokens x w) interpreted allocation, the d13 cost term
+    graft.expr.WinnowSelect.expr(kgramHashes(text, k), w)
 
   /** TF-IDF top-`kTerms` keyword extraction per document — the classic corpus-
     * statistics op (topic tagging, keyword-based sampling, index keys). Score =

@@ -2,12 +2,26 @@ package graft.expr
 
 import graft.SparkSpec
 
-/** All five native expressions are registered for SQL via GraftExtensions
+/** All eight native expressions are registered for SQL via GraftExtensions
   * (TestSession sets `spark.sql.extensions=graft.expr.GraftExtensions`), with
   * SQL results matching the Column-API entry points. */
 class GraftExtensionsSpec extends SparkSpec {
 
-  test("all five graft_* functions resolve and evaluate in SQL") {
+  test("winnow_select, vec_dot, cosine resolve and match the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wsSql = spark.sql("SELECT graft_winnow_select(array(9L, 1L, 8L, 2L), 2)")
+      .head().getSeq[Long](0)
+    val wsApi = Seq(Seq(9L, 1L, 8L, 2L)).toDF("h")
+      .select(WinnowSelect.expr(col("h"), 2)).head().getSeq[Long](0)
+    assert(wsSql == wsApi && wsSql == Seq(1L, 2L))
+    val r = spark.sql(
+      "SELECT graft_vec_dot(array(1d,2d), array(3d,4d)), graft_cosine(array(1d,0d), array(1d,0d))")
+      .head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("all five r7 graft_* functions resolve and evaluate in SQL") {
     // point-in-polygon: unit square
     assert(spark.sql(
       "SELECT graft_point_in_polygon(0.5, 0.5, array(0d,1d,1d,0d), array(0d,0d,1d,1d))")
