@@ -340,6 +340,24 @@ object QueriesLlm {
           t(s, dir, "documents"), "doc_id", "text", cfg))
     }),
 
+    // pipe3: the near-dedup journey end-to-end — LSH candidate pairs (the d2
+    // params) -> connected components (the d7 contract) -> keep one doc per
+    // cluster (min id) -> surviving corpus stats per source. The dropped set is
+    // near-dup-sized, so the anti-join broadcasts under AQE; no corpus shuffle
+    // beyond the d2/d7 stages themselves.
+    "pipe3_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.4, shingleN = 3, k = 32, bands = 8)
+        .select(col("id1"), col("id2"))
+      val dropped = DedupOps.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"), sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // t8: concat-and-chunk sequence packing into 512-token context windows per lang
     "t8_chunk_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -703,6 +721,22 @@ object QueriesLlm {
             LEAST(id, MIN(r)) AS cluster,
             (id = LEAST(id, MIN(r))) AS keep
           FROM walk GROUP BY id""",
+    // the d7 clustering CTE feeding a survivors anti-join + per-source stats
+    "pipe3_near_dedup" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+          nd AS (SELECT id1, id2 FROM verified WHERE j >= 0.4),
+          e2 AS (SELECT id1 AS s, id2 AS d FROM nd
+                 UNION SELECT id2, id1 FROM nd),
+          walk(id, r) AS (
+            SELECT s, d FROM e2
+            UNION
+            SELECT w.id, e.d FROM walk w JOIN e2 e ON w.r = e.s)
+          SELECT source, COUNT(*) AS n_survivors,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+          FROM documents
+          WHERE doc_id NOT IN (
+            SELECT id FROM walk GROUP BY id HAVING id != LEAST(id, MIN(r)))
+          GROUP BY source""",
     // same contract, different algorithm — the oracle is algorithm-independent
     "d7s_dedup_clusters_star" ->
       s"""WITH RECURSIVE $minhashVerifiedCte,

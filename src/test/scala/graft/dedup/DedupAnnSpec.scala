@@ -442,4 +442,20 @@ class DedupAnnSpec extends SparkSpec {
       threshold = 0.99, maxCellSize = 2)
     assert(capped.count() == 0, "cell over the cap must produce no pairs")
   }
+
+  test("semantic dedup over kmeansTrain centroids (the production k-sizing path)") {
+    val rng = new scala.util.Random(53)
+    val base = (1L to 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian())))
+    // scaled twins: identical direction -> same trained cell, cosine ~ 1
+    val twins = base.take(20).map { case (i, v) => (i + 1000L, v.map(_ * 1.001)) }
+    val df = (base ++ twins).toDF("vid", "v")
+    val init = base.take(8).map(_._2)
+    val cents = AnnOps.kmeansTrain(df, "v", init, iters = 3)
+    val out = DedupOps.semanticDedup(df, "vid", "v", cents, threshold = 0.999)
+      .select(col("vid"), col("kept_as")).as[(Long, Long)].collect().toMap
+    assert(out.keySet == twins.map(_._1).toSet,
+      s"exactly the planted twins must drop, got ${out.keySet}")
+    assert(out.forall { case (vid, kept) => kept == vid - 1000L },
+      "each twin must resolve to its original")
+  }
 }
