@@ -493,6 +493,14 @@ object QueriesLlm {
     "t11_tfidf" -> ((s, dir) =>
       TextOps.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", kTerms = 5)),
 
+    // t12: Gopher-rules hard quality gate (Rae et al. 2021 §A1.1) per document —
+    // word-count/mean-word-length bands, symbol + line-shape ratios, alpha-word
+    // fraction, required-stopword presence; one scan, zero shuffles
+    "t12_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))),
+
     // d12: SemDeDup semantic near-dup removal — the d5 planted corpus (0.9v +
     // 0.1 shifted twins of vec_id < 50), basis-vector cells (e4's centroid set;
     // kmeansTrain supplies real centroids in production), cosine >= 0.85
@@ -1027,6 +1035,40 @@ object QueriesLlm {
                                  ORDER BY tfidf DESC, term ASC) AS rn
             FROM scored)
           SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5""",
+    // every ratio is an integer-count division (bit-identical IEEE op on both
+    // engines); pass thresholds compare the UNROUNDED doubles, as the Spark side
+    "t12_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+          m AS (SELECT doc_id, text, tk, len(tk) AS nw,
+              CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                        / len(tk) END AS mwl,
+              length(text) - length(replace(text, '#', '')) AS hashes,
+              (length(text) - length(replace(text, '...', ''))) / 3 +
+                (length(text) - length(replace(text, '…', ''))) AS ellipses,
+              str_split(text, chr(10)) AS ls
+            FROM t),
+          m2 AS (SELECT doc_id, nw, mwl,
+              CASE WHEN nw = 0 THEN 0.0
+                   ELSE CAST(hashes + ellipses AS DOUBLE) / nw END AS sr,
+              CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                / len(ls) AS bf,
+              CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+                / len(ls) AS ef,
+              CASE WHEN nw = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                        / nw END AS af,
+              len(list_intersect(list_distinct(tk),
+                ['the','be','to','of','and','that','have','with'])) AS rh
+            FROM m)
+          SELECT doc_id, nw AS n_words, ROUND(mwl, 4) AS mean_word_len,
+            ROUND(sr, 4) AS symbol_ratio, ROUND(bf, 4) AS bullet_frac,
+            ROUND(ef, 4) AS ellipsis_frac, ROUND(af, 4) AS alpha_frac,
+            rh AS required_hits,
+            (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+             AND sr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+             AND rh >= 2) AS pass
+          FROM m2""",
     // dot products via the ordered list_sum fold (the d5 bit-parity form), NOT
     // list_dot_product, so the 0.85 threshold compare is bit-identical to Spark's
     // zip_with/aggregate fold; cell argmax ties go to the HIGHER cid (e3 rule)

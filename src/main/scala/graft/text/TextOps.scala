@@ -64,6 +64,68 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
     "on", "with", "as", "was", "at", "by", "be", "this", "are", "from", "not")
 
+  /** Gopher's required-word list (Rae et al. 2021, §A1.1): a document must contain
+    * at least two of these to pass the rules filter. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality RULES (Rae et al. 2021, §A1.1) — the hard
+    * pass/fail gate that complements [[qualityScore]]'s soft composite: word-count
+    * bounds, mean-word-length band, symbol-to-word ratio (`#`/ellipsis), line-shape
+    * fractions (bullet-start, ellipsis-end), alphabetic-word fraction, and the
+    * required-stopword presence check. Returns a struct of the measured statistics
+    * plus per-rule and overall `pass` booleans.
+    *
+    * Every field is a pure Catalyst expression over one scan (zero shuffles, no
+    * UDFs); ratios are integer-count divisions so they are bit-identical across
+    * engines and the thresholds carry an exact SQL oracle. Words are whitespace
+    * tokens of the lower-cased text (punctuation stays attached — the standard
+    * cheap-filter approximation, applied identically on both sides). */
+  def gopherRules(text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minRequiredHits: Int = 2): Column = {
+    val toks = tokens(lower(text))
+    val nWords = size(toks)
+    val meanWordLen = when(nWords === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        nWords)
+    // non-overlapping left-to-right counts, identical replace semantics in DuckDB
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisCount =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val symbolRatio = when(nWords === 0, 0.0)
+      .otherwise((hashCount + ellipsisCount).cast("double") / nWords)
+    val lines = split(text, "\n") // split("") = [""] so nLines >= 1 always
+    val nLines = size(lines)
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines
+    val alphaFrac = when(nWords === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nWords)
+    val requiredHits = size(array_intersect(
+      array_distinct(toks), array(GopherRequiredWords.map(lit): _*)))
+    val pass =
+      nWords >= minWords && nWords <= maxWords &&
+      meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio &&
+      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaFrac && requiredHits >= minRequiredHits
+    struct(
+      nWords.as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      requiredHits.as("required_hits"),
+      pass.as("pass"))
+  }
+
   /** Language ID (n-gram/stopword heuristic): score text against per-language marker
     * sets, return the best-scoring language code or "und". Marker sets are the standard
     * high-frequency function words per language — a real production system would use

@@ -35,6 +35,34 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L) > m(2L))
   }
 
+  test("gopher rules: each rule fires on its constructed violator") {
+    val goodProse = ("the cat and the dog have settled down with care near " +
+      "the old stone house because they want quiet evenings there ") * 5 // ~110 words
+    val df = Seq(
+      (1L, goodProse),                                     // passes everything
+      (2L, "the cat sat with me"),                         // too few words
+      (3L, ("xx " * 120).trim),                            // mean word len < 3 + no required words
+      (4L, goodProse + " " + ("# " * 30).trim),            // symbol ratio > 0.1
+      (5L, (1 to 40).map(i => s"- item $i of the catalog that we have with care").mkString("\n")), // 100% bullet lines
+      (6L, goodProse.split(" ").grouped(11).map(_.mkString(" ") + " ...").mkString("\n")), // every line ends ...
+      (7L, goodProse + " " + ("12345 " * 40).trim))        // alpha fraction < 0.8
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.pass"), col("g.n_words"), col("g.symbol_ratio"),
+        col("g.bullet_frac"), col("g.ellipsis_frac"), col("g.alpha_frac"),
+        col("g.mean_word_len"), col("g.required_hits"))
+      .as[(Long, Boolean, Int, Double, Double, Double, Double, Double, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2, s"clean prose must pass: ${out(1L)}")
+    assert(!out(2L)._2 && out(2L)._3 < 50, "short doc fails on word count")
+    assert(!out(3L)._2 && out(3L)._8 < 3.0 && out(3L)._9 < 2,
+      "xx-soup fails mean word length and required words")
+    assert(!out(4L)._2 && out(4L)._4 > 0.1, "hash soup fails symbol ratio")
+    assert(!out(5L)._2 && out(5L)._5 > 0.9, "bullet list fails bullet fraction")
+    assert(!out(6L)._2 && out(6L)._6 > 0.3, "ellipsis lines fail ellipsis fraction")
+    assert(!out(7L)._2 && out(7L)._7 < 0.8, "digit soup fails alpha fraction")
+  }
+
   test("repetition stats count duplicated and dominant n-grams") {
     // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> n=5, all duplicated (5), top=3
     // "one two three four": 3 distinct bigrams, none duplicated
