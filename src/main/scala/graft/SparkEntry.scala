@@ -19,20 +19,31 @@ import graft.ops.{AggOps, CleanOps, JoinOps, SeriesOps}
   */
 object SparkEntry {
 
-  /** Table loader. `events.parquet` carries TIMESTAMP(NANOS) (parquet-cpp-arrow), which
-    * Spark 4 refuses to read natively: read nanos as long and truncate to microseconds
-    * (integer DIV — no double round-trip), matching DuckDB's ns→µs cast so oracles stay
-    * valid.
-    *
-    * Perf note: the conversion expression blocks predicate pushdown on `ts` (the scan
-    * sees only the raw long). This is a TESTDATA adapter — a production deployment
-    * writes µs timestamps and time filters push to the parquet scan (as `p2`'s plan
-    * does for every other column). */
+  /** Table loader. `events.parquet` has shipped with two different `ts` encodings
+    * across testdata generations — TIMESTAMP(NANOS) (parquet-cpp-arrow, which Spark 4
+    * only reads via the nanos-as-long escape hatch) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false). Probe the actual decoded type and branch, so a testdata
+    * regeneration can never fail analysis:
+    *  - LongType           → raw int64 nanos: truncate to µs (integer DIV — no double
+    *                          round-trip), matching DuckDB's ns→µs cast;
+    *  - TimestampNTZType   → cast to session-TZ timestamp (identity under the UTC
+    *                          session every entrypoint pins);
+    *  - TimestampType      → passthrough.
+    * `inferTimestampNTZ.enabled=false` makes µs-NTZ data land directly on the
+    * TimestampType branch with NO conversion expression, so `ts` predicates push to
+    * the parquet scan (PushedFilters) — the plan a production deployment would get. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Public alias for tests and pipelines. */

@@ -10,6 +10,37 @@ class SparkEntrySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("loadTable normalizes every historical events ts encoding to TimestampType") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    // The harness has regenerated testdata with different parquet ts encodings
+    // (int64-nanos in r1-r7, timestamp[us] NTZ from r8). The loader must survive both.
+    val base = java.nio.file.Files.createTempDirectory("events-enc").toString
+    val row = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS event_id, TIMESTAMP'2024-01-15 06:30:00' AS ts0, " +
+      "CAST(7 AS BIGINT) AS user_id, 'click' AS event_type, 42.0 AS value, '{}' AS props")
+
+    // (a) raw int64 nanos (what nanosAsLong decodes TIMESTAMP(NANOS) to)
+    row.select(col("event_id"), (unix_timestamp(col("ts0")) * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$base/long/events.parquet")
+    // (b) µs NTZ (current testdata: isAdjustedToUTC=false)
+    row.select(col("event_id"), col("ts0").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$base/ntz/events.parquet")
+    // (c) µs LTZ
+    row.select(col("event_id"), col("ts0").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$base/ltz/events.parquet")
+
+    for (enc <- Seq("long", "ntz", "ltz")) {
+      val df = SparkEntry.loadTable(spark, s"$base/$enc", "events")
+      assert(df.schema("ts").dataType == TimestampType, s"enc=$enc")
+      val s = df.select(unix_timestamp(col("ts"))).head().getLong(0)
+      assert(s == 1705300200L, s"enc=$enc epoch=$s") // 2024-01-15T06:30:00Z
+    }
+  }
+
   test("every query has an oracle except the documented rows-only entries") {
     // w13/clim1: libm-exp 1-ulp parity (golden-pinned in KernelsSpec);
     // d2x: Spark-seeded xxhash64 has no cross-engine replica BY DESIGN — pair-parity
