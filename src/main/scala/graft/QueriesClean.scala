@@ -169,6 +169,79 @@ object QueriesClean {
           r4(col("sfcWind")).as("sfcWind"))
     }),
 
+    // MADIS/CWOP (`MADIS_clean.py:404-1702`): Synoptic `<var>_set_1` columns with
+    // `;`-separated float-coerced QC flags (".0" residue stripped — `:650-662`),
+    // "None" NA token, °C -> K on temperatures, pressure already Pa, wind m/s.
+    // The raw-file PARSE path (header sniff, per-file dynamic columns, duplicate
+    // columns, first-data-row scan) is pinned by NetworkCatalogsSpec's MADIS file
+    // fixture; this query starts from the parsed raw shape, like c7-c11.
+    "c12_madis_clean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val tm = date_trunc("SECOND", expr("ts - INTERVAL 10 YEARS"))
+      val raw = e.select(
+        concat(lit("AP"), col("user_id").cast("string")).as("Station_ID"),
+        date_format(tm, "yyyy-MM-dd HH:mm:ss").as("Date_Time"),
+        when(col("event_id") % 97 === 0, lit("None"))
+          .otherwise((col("value") / 10).cast("string")).as("air_temp_set_1"),
+        when(col("value") > 450, lit("2.0;3.0"))
+          .when(col("value") > 400, lit("2.0")).as("air_temp_set_1_qc"),
+        (lit(96000.0) + col("value") * 10).cast("string").as("pressure_set_1"),
+        (col("value") / 50).cast("string").as("wind_speed_set_1"))
+        // same optimizer-barrier rationale as c7: the fixture ENCODE is not the
+        // system under test; persisting stands in for "the raw file exists"
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      NetworkCatalogs.standardize(raw, NetworkCatalogs.madis,
+          NetworkCatalogs.madis.stationId(col("Station_ID")),
+          to_timestamp(col("Date_Time")))
+        .select(col("station"), unix_timestamp(col("time")).as("time_s"),
+          r4(col("tas")).as("tas"), col("tas_qc"), r4(col("ps")).as("ps"),
+          r4(col("sfcWind")).as("sfcWind"))
+    }),
+
+    // ASOSAWOS/OtherISD (`ASOSAWOS_clean.py:254-580`, `OtherISD_clean.py:70-1019`):
+    // fixed-width ISD records encoded from events (mandatory section + optional
+    // MA1 pressure / AA1 precip), parsed by IsdParser at scan speed, then the
+    // clean-stage unit conversions (°C -> K, hPa -> Pa) + platform time filter.
+    "c13_asos_clean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val tm = date_trunc("MINUTE", expr("ts - INTERVAL 10 YEARS"))
+      val d = abs(round(col("value"))).cast("int") // deci-units payload
+      val line = concat(
+        lit("0123"),                                      // [0:4] record length etc.
+        lpad(col("user_id").cast("string"), 11, "0"),     // [4:15] USAF+WBAN
+        date_format(tm, "yyyyMMddHHmm"),                  // [15:27]
+        lit("4"),                                         // [27] source
+        lit("+37123"), lit("-121456"),                    // [28:41] lat/lon
+        lit("00000"),                                     // [41:46] type code
+        lit("+0030"),                                     // [46:51] elevation
+        lit("00000"),                                     // [51:56] call letters
+        lit("V020"),                                      // [56:60] qaqc process
+        lit("999"), lit("9"), lit("N"),                   // [60:65] wind dir missing
+        lpad(d.cast("string"), 4, "0"), lit("1"),         // [65:70] wind speed
+        lit("00000000000000000"),                         // [70:87] sky/visibility
+        concat(lit("+"), lpad(d.cast("string"), 4, "0")), lit("1"), // [87:93] tas
+        lit("+9999"), lit("9"),                           // [93:99] tdps missing
+        lpad((lit(95000) + d).cast("string"), 5, "0"), lit("1"),    // [99:105] psl
+        when(col("event_id") % 3 === 0,
+          concat(lit("MA1"), lpad((lit(10000) + d).cast("string"), 5, "0"), lit("5"),
+            lpad((lit(9000) + d).cast("string"), 5, "0"), lit("5"))).otherwise(lit("")),
+        when(col("event_id") % 5 === 0,
+          concat(lit("AA101"), lpad(d.cast("string"), 4, "0"), lit("05"))).otherwise(lit("")))
+      val lines = e.select(line.as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IsdParser.parse(lines)
+        .filter(col("time") > lit("1979-12-31 00:00:00").cast("timestamp") &&
+          col("time") < lit("2022-09-01 00:00:00").cast("timestamp"))
+        .select(
+          concat(lit("ASOSAWOS_"), col("usaf"), col("wban")).as("station"),
+          unix_timestamp(col("time")).as("time_s"),
+          r4(col("tas") + 273.15).as("tas"),
+          r4(col("psl") * 100).as("psl"),
+          r4(col("ps") * 100).as("ps"),
+          r4(col("pr")).as("pr"),
+          r4(col("sfcWind")).as("sfcWind"))
+    }),
+
     // Clean-stage bookkeeping (`stnlist_update_clean.py:152-330`): cleaned Y/N via
     // full-outer merge (unlisted cleaned stations appended), bare-id substring
     // error attach with last-match-wins, clean-time gating, multi-error concat.
@@ -193,6 +266,33 @@ object QueriesClean {
       StationStatus.updateStationList(stations, cleanedIds, errors)
         .select(col("era_id"), col("cleaned"),
           unix_timestamp(col("time_cleaned")).as("tc_s"), col("errors_str"))
+    }),
+
+    // QAQC-stage ledger (`stnlist_update_qaqc.py:1-380`): same shape as s12 with
+    // the stage deltas — `_c` concatenated-station suffix normalized back to the
+    // original id (uid%7==0 outputs carry it), and stage outputs missing from the
+    // station list DROPPED instead of appended (uid%29==0 passed-ids are unlisted
+    // and must not surface). The merge ledger shares this code path minus the `_c`
+    // rule (StationStatusSpec pins it).
+    "s13_stnlist_qaqc" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stations = e.filter(col("user_id") % 29 =!= 0)
+        .select(concat(lit("NET_"), col("user_id").cast("string")).as("era_id"))
+        .distinct()
+      val passed = e.filter(col("user_id") % 3 =!= 0)
+        .groupBy(col("user_id"))
+        .agg(date_trunc("SECOND", min(col("ts"))).as("time_qaqc"))
+        .select(concat(lit("NET_"), col("user_id").cast("string"),
+          when(col("user_id") % 7 === 0, "_c").otherwise("")).as("id"),
+          col("time_qaqc"))
+      val errors = e.filter(col("event_id") % 101 === 0)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(date_trunc("SECOND", min(col("ts"))).as("time"))
+        .select(concat(lit("raw_"), col("user_id").cast("string"), lit("_x.csv")).as("file"),
+          col("time"), col("event_type").as("error"))
+      StationStatus.updateStationListQaqc(stations, passed, errors)
+        .select(col("era_id"), col("qaqc"),
+          unix_timestamp(col("time_qaqc")).as("tq_s"), col("errors_str"))
     })
   )
 
@@ -306,6 +406,85 @@ object QueriesClean {
                 ROUND(tas, 4) + 0 AS tas, ROUND(ps, 4) + 0 AS ps,
                 ROUND(sfcWind, 4) + 0 AS sfcWind
          FROM std""",
+    "c12_madis_clean" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  date_trunc('second', ts - INTERVAL 10 YEAR) AS tm
+           FROM events),
+         raw AS (
+           SELECT 'MADIS_AP' || CAST(user_id AS VARCHAR) AS station, tm,
+                  CASE WHEN event_id % 97 = 0 THEN NULL ELSE value / 10 END AS tc,
+                  CASE WHEN value > 450 THEN '2;3'
+                       WHEN value > 400 THEN '2' END AS qc,
+                  96000.0 + value * 10 AS psv,
+                  value / 50 AS wspd
+           FROM e),
+         std AS (
+           SELECT DISTINCT station, tm,
+                  tc + 273.15 AS tas, qc AS tas_qc, psv AS ps, wspd AS sfcWind
+           FROM raw
+           WHERE tm > TIMESTAMP '1979-12-31' AND tm < TIMESTAMP '2022-09-01')
+         SELECT station, CAST(epoch(tm) AS BIGINT) AS time_s,
+                ROUND(tas, 4) + 0 AS tas, tas_qc, ROUND(ps, 4) + 0 AS ps,
+                ROUND(sfcWind, 4) + 0 AS sfcWind
+         FROM std""",
+    "c13_asos_clean" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  CAST(abs(round(value)) AS BIGINT) AS d,
+                  date_trunc('minute', ts - INTERVAL 10 YEAR) AS tm
+           FROM events),
+         parsed AS (
+           SELECT 'ASOSAWOS_' || lpad(CAST(user_id AS VARCHAR), 11, '0') AS station,
+                  tm,
+                  d / 10.0 + 273.15 AS tas,
+                  (95000 + d) * 10.0 AS psl,
+                  CASE WHEN event_id % 3 = 0 THEN (9000 + d) * 10.0 END AS ps,
+                  CASE WHEN event_id % 5 = 0 THEN d / 10.0 END AS pr,
+                  d / 10.0 AS sfcWind
+           FROM e
+           WHERE tm > TIMESTAMP '1979-12-31' AND tm < TIMESTAMP '2022-09-01')
+         SELECT station, CAST(epoch(tm) AS BIGINT) AS time_s,
+                ROUND(tas, 4) + 0 AS tas, ROUND(psl, 4) + 0 AS psl,
+                ROUND(ps, 4) + 0 AS ps, ROUND(pr, 4) + 0 AS pr,
+                ROUND(sfcWind, 4) + 0 AS sfcWind
+         FROM parsed""",
+    "s13_stnlist_qaqc" ->
+      """WITH st AS (
+           SELECT DISTINCT 'NET_' || CAST(user_id AS VARCHAR) AS era_id
+           FROM events WHERE user_id % 29 <> 0),
+         cl AS (
+           SELECT 'NET_' || CAST(user_id AS VARCHAR) AS id,
+                  date_trunc('second', min(ts)) AS time_qaqc
+           FROM events WHERE user_id % 3 <> 0 GROUP BY user_id),
+         er AS (
+           SELECT 'raw_' || CAST(user_id AS VARCHAR) || '_x.csv' AS file,
+                  date_trunc('second', min(ts)) AS time, event_type AS error
+           FROM events WHERE event_id % 101 = 0 GROUP BY user_id, event_type),
+         base AS (
+           SELECT st.era_id,
+                  CASE WHEN cl.id IS NULL THEN 'N' ELSE 'Y' END AS qaqc,
+                  cl.time_qaqc
+           FROM st LEFT JOIN cl ON st.era_id = cl.id),
+         cand AS (
+           SELECT er.file, er.error, er.time, b.era_id AS m_era_id,
+                  b.time_qaqc AS m_tq,
+                  row_number() OVER (PARTITION BY er.file, er.error
+                                     ORDER BY b.era_id DESC) AS rn
+           FROM er JOIN base b
+             ON er.file LIKE '%' || regexp_extract(b.era_id, '([^_]+)$', 1) || '%'),
+         att AS (
+           SELECT * FROM cand
+           WHERE rn = 1 AND (m_tq IS NULL OR time IS NULL OR time >= m_tq)),
+         per AS (
+           SELECT m_era_id AS era_id,
+                  CASE WHEN COUNT(*) = 1 THEN MIN(error)
+                       ELSE string_agg(file || ': ' || error, ' '
+                                       ORDER BY file, error) END AS errors_str
+           FROM att GROUP BY m_era_id)
+         SELECT b.era_id, b.qaqc,
+                CAST(epoch(b.time_qaqc) AS BIGINT) AS tq_s, p.errors_str
+         FROM base b LEFT JOIN per p USING (era_id)""",
     "s12_stnlist_status" ->
       """WITH st AS (
            SELECT DISTINCT 'NET_' || CAST(user_id AS VARCHAR) AS era_id

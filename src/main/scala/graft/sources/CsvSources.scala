@@ -27,7 +27,7 @@ object CsvSources {
       .select(col("path"), col("length"))
   }
 
-  private def perFileLines(spark: SparkSession, globPath: String): DataFrame =
+  private[sources] def perFileLines(spark: SparkSession, globPath: String): DataFrame =
     spark.read.option("wholetext", "true").text(globPath)
       .select(input_file_name().as("file"),
         split(regexp_replace(col("value"), "\r\n", "\n"), "\n").as("lines"))

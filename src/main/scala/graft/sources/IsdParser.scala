@@ -36,6 +36,11 @@ object IsdParser {
     val rsdsSec = regexp_extract(s, "(?<=GM1)([0-9a-zA-Z]{11})", 1)
     val psSec = regexp_extract(s, "(?<=MA1)([0-9a-zA-Z]{12})", 1)
     lines.select(
+      // control section station identifiers: USAF [4:10] + WBAN [10:15] — the
+      // reference keys stations off the same ids via the file name
+      // (`ASOSAWOS_clean.py:254-280`); parsing them keeps the id with the record
+      slice(s, 4, 10).as("usaf"),
+      slice(s, 10, 15).as("wban"),
       to_timestamp(slice(s, 15, 27), "yyyyMMddHHmm").as("time"),
       (num(slice(s, 28, 34), "+99999") / 1000).as("lat"),
       (num(slice(s, 34, 41), "+999999") / 1000).as("lon"),

@@ -46,7 +46,8 @@ object NetworkCatalogs {
                            sentinels: Seq[Double] = Seq.empty,
                            dropCols: Seq[String] = Seq.empty,
                            timeLoEx: String = "1979-12-31 00:00:00",
-                           timeHiEx: String = "2022-09-01 00:00:00") {
+                           timeHiEx: String = "2022-09-01 00:00:00",
+                           qcNorm: Column => Column = identity) {
     def stationId(raw: Column): Column = concat(lit(network + "_"), raw.cast("string"))
   }
 
@@ -67,11 +68,14 @@ object NetworkCatalogs {
     else when(base.isin(cat.sentinels: _*), lit(null)).otherwise(base)
   }
 
-  /** Raw-QC column: kept verbatim as string, NA tokens → null
-    * (`SCANSNOTEL_clean.py:236-260` coerces flags to string). */
-  private def qcCol(name: String): Column = {
-    val tr = trim(col(name).cast("string"))
-    when(tr.isin("nan", "NaN", "") || tr.isNull, lit(null)).otherwise(tr)
+  /** Raw-QC column: kept verbatim as string, catalog QC normalization applied
+    * (e.g. MADIS's float-suffix strip), catalog + pandas NA tokens → null
+    * (`SCANSNOTEL_clean.py:236-260` coerces flags to string;
+    * `MADIS_clean.py:650-688` stringifies then strips the `.0` float residue). */
+  private def qcCol(cat: Catalog, name: String): Column = {
+    val tr = cat.qcNorm(trim(col(name).cast("string")))
+    val na = (cat.naStrings ++ Seq("nan", "NaN", "")).distinct
+    when(tr.isin(na: _*) || tr.isNull, lit(null)).otherwise(tr)
   }
 
   /** The shared standardization plan: project raw columns to canonical names with
@@ -90,7 +94,7 @@ object NetworkCatalogs {
     val present = raw.columns.toSet -- cat.dropCols
     val canonical = cat.vars.filter(v => present(v.raw)).flatMap { v =>
       v.convert(obsCol(raw, cat, v.raw)).as(v.canonical) ::
-        v.qcRaw.filter(present).map(q => qcCol(q).as(v.canonical + "_qc")).toList
+        v.qcRaw.filter(present).map(q => qcCol(cat, q).as(v.canonical + "_qc")).toList
     }
     val projected = raw
       .select(station.as("station") +: time.as("time") +: canonical: _*)
@@ -329,7 +333,7 @@ object NetworkCatalogs {
       .select(stationId.as("station"),
         to_timestamp(col("ISO 8601 UTC")).as("time"),
         obsCol(raw, vw, "Value").as("v"),
-        qcCol("Approval Level").as("raw_qc"))
+        qcCol(vw, "Approval Level").as("raw_qc"))
       .filter(col("time") > lit(vw.timeLoEx).cast("timestamp") &&
         col("time") < lit(vw.timeHiEx).cast("timestamp"))
     CleanOps.infillFixedCadence(typed, Seq("station"), "time", "pr_15min_eraqc")
@@ -394,6 +398,103 @@ object NetworkCatalogs {
   def maritimeTime(df: DataFrame): Column =
     make_timestamp(col("YYYY").cast("int"), col("MO").cast("int"), col("DD").cast("int"),
       col("hh").cast("int"), col("mi").cast("int"), lit(0))
+
+  // ------------------------------------------------------------- MADIS/CWOP
+
+  /** MADIS/CWOP essential columns (`MADIS_clean.py:349-381` `coltokeep`): Synoptic
+    * `<var>_set_1[d]` value columns with `_qc` string shadows. Everything outside
+    * this list is dropped and recorded as a removed variable (`:382-388`). */
+  private val madisVarDefs: Seq[VarMap] = Seq(
+    VarMap("air_temp_set_1", "tas", Units.degCtoK, Some("air_temp_set_1_qc")),
+    VarMap("dew_point_temperature_set_1", "tdps", Units.degCtoK,
+      Some("dew_point_temperature_set_1_qc")),
+    VarMap("dew_point_temperature_set_1d", "tdps_derived", Units.degCtoK),
+    VarMap("pressure_set_1", "ps", qcRaw = Some("pressure_set_1_qc")),
+    VarMap("pressure_set_1d", "ps_derived"),
+    VarMap("altimeter_set_1", "ps_altimeter", qcRaw = Some("altimeter_set_1_qc")),
+    VarMap("relative_humidity_set_1", "hurs", qcRaw = Some("relative_humidity_set_1_qc")),
+    VarMap("solar_radiation_set_1", "rsds", qcRaw = Some("solar_radiation_set_1_qc")),
+    VarMap("wind_speed_set_1", "sfcWind", qcRaw = Some("wind_speed_set_1_qc")),
+    VarMap("wind_direction_set_1", "sfcWind_dir", qcRaw = Some("wind_direction_set_1_qc")),
+    VarMap("precip_accum_set_1", "pr", qcRaw = Some("precip_accum_set_1_qc")),
+    VarMap("precip_accum_one_hour_set_1", "pr_1h",
+      qcRaw = Some("precip_accum_one_hour_set_1_qc")),
+    VarMap("precip_accum_five_minute_set_1", "pr_5min",
+      qcRaw = Some("precip_accum_five_minute_set_1_qc")),
+    VarMap("precip_accum_24_hour_set_1", "pr_24h",
+      qcRaw = Some("precip_accum_24_hour_set_1_qc")),
+    VarMap("precip_accum_since_local_midnight_set_1", "pr_localmid",
+      qcRaw = Some("precip_accum_since_local_midnight_set_1_qc")))
+
+  /** MADIS/CWOP clean catalog (`MADIS_clean.py:404-1702` rename block): Synoptic
+    * units are already metric (the reference hard-exits on Fahrenheit, `:644-647`)
+    * so temperatures are the only conversions (°C → K); pressures arrive in Pa,
+    * wind in m/s, precip in mm. NA tokens: literal `"None"` (`:391`) plus the
+    * pandas `"nan"` residue (`:688`). QC flags are `;`-separated lists whose
+    * float-coerced `.0` suffixes the reference strips (`:650-662`) — mirrored as
+    * [[Catalog.qcNorm]] so `"2.0;3.0"` → `"2;3"`. */
+  val madis: Catalog = Catalog(
+    network = "MADIS",
+    rawSchema = StructType(StructField("Station_ID", StringType) +:
+      StructField("Date_Time", StringType) +:
+      madisVarDefs.flatMap(v => StructField(v.raw, StringType) +:
+        v.qcRaw.map(StructField(_, StringType)).toList)),
+    vars = madisVarDefs,
+    naStrings = Seq("None", "nan", "NaN"),
+    qcNorm = c => regexp_replace(c, "\\.0", ""))
+
+  /** MADIS per-file header attributes (`parse_madis_headers`,
+    * `MADIS_clean.py:113-235`): `KEY: value` lines before the CSV body. One row per
+    * file: station id/name, lat/lon, elevation (ft → m, `:782`), state, and the
+    * in-file column-header line (MADIS schemas vary per station). Fully distributed
+    * — one task per file, no driver loop over stations. */
+  def madisHeaders(spark: SparkSession, glob: String): DataFrame = {
+    def meta(key: String): Column = {
+      val line = element_at(filter(col("lines"), l => instr(l, key) > 0), 1)
+      trim(regexp_replace(regexp_replace(line, "^[^:]*:\\s*", ""), "['\\]\\)]", ""))
+    }
+    CsvSources.perFileLines(spark, glob).select(
+      col("file"),
+      meta("STATION:").as("station_id"),
+      meta("STATION NAME:").as("station_name"),
+      meta("LATITUDE").cast("double").as("latitude"),
+      meta("LONGITUDE").cast("double").as("longitude"),
+      when(meta("ELEVATION") =!= "None",
+        Units.ftToM(meta("ELEVATION").cast("double"))).as("elevation_m"),
+      meta("STATE").as("state"),
+      split(element_at(filter(col("lines"),
+        l => l.startsWith("Station_ID")), 1), ",").as("columns"))
+  }
+
+  /** MADIS/CWOP end-to-end read: header-sniffed station CSVs → canonical obs.
+    *
+    * Per-file schemas differ (stations carry different sensor sets, occasionally
+    * DUPLICATED column names, `MADIS_clean.py:207-217`), so the body is parsed
+    * positionally against the file's own header line: data rows are the lines
+    * starting with the file's station id (exactly the reference's first-data-row
+    * scan, `:196-199`), each wanted column is looked up with `array_position`
+    * (first occurrence — the reference keeps the first of an identical duplicate
+    * pair). All array ops, fully codegen'd, one task per file. */
+  def readMadis(spark: SparkSession, glob: String): DataFrame = {
+    val hdr = madisHeaders(spark, glob)
+    val body = CsvSources.perFileLines(spark, glob)
+      .join(broadcast(hdr), "file")
+      .select(col("file"), col("station_id"), col("columns"),
+        explode(filter(col("lines"),
+          l => l.startsWith(concat(col("station_id"), lit(","))))).as("line"))
+      .withColumn("cells", split(col("line"), ","))
+    def cell(name: String): Column = {
+      val idx = array_position(col("columns"), name)
+      // size guard: ragged data rows (trailing sensors absent) read as null, and
+      // element_at never sees an out-of-range index (ANSI-safe)
+      when(idx > 0 && size(col("cells")) >= idx, element_at(col("cells"), idx.cast("int")))
+    }
+    val rawCols = madis.rawSchema.fieldNames.filter(_ != "Station_ID").toSeq
+    val raw = body.select(
+      col("station_id").as("Station_ID") +: rawCols.map(c => cell(c).as(c)): _*)
+    standardize(raw, madis, madis.stationId(col("Station_ID")),
+      to_timestamp(col("Date_Time")), dropEmptyColumns = true)
+  }
 
   /** MARITIME end-to-end read: whitespace-separated NDBC text (station id from the
     * `<id><yyyy>.txt`-style filename). Space-delimited runs are collapsed to single

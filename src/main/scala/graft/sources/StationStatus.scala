@@ -46,14 +46,43 @@ object StationStatus {
     * @return stations ∪ unlisted-cleaned, with `cleaned` ("Y"/"N"), `time_cleaned`,
     *         and nullable `errors_str` appended */
   def updateStationList(stations: DataFrame, cleaned: DataFrame,
-                        errors: DataFrame): DataFrame = {
+                        errors: DataFrame): DataFrame =
+    stageUpdate(stations, cleaned, errors, "cleaned", "time_cleaned",
+      appendUnlisted = true)
+
+  /** QAQC-stage ledger (`/root/reference/scripts/3_qaqc_data/stnlist_update_qaqc.py`,
+    * `qaqc_qa`): same shape as the clean ledger with two deltas — concatenated-
+    * station output ids carry a `_c` suffix that is normalized back to the original
+    * id (`:131-137`, everything before the first `"_c"`), and stage outputs missing
+    * from the station list are DROPPED, not appended (`stations.loc[stations
+    * ["ERA-ID"].notnull()]`, `:253`). `passed` columns: `id`, `time_qaqc`. */
+  def updateStationListQaqc(stations: DataFrame, passed: DataFrame,
+                            errors: DataFrame): DataFrame =
+    stageUpdate(stations,
+      passed.withColumn("id", substring_index(col("id"), "_c", 1)),
+      errors, "qaqc", "time_qaqc", appendUnlisted = false)
+
+  /** Merge-stage ledger (`/root/reference/scripts/4_merge_data/
+    * stnlist_update_merge.py`, `merge_qa`): identical to the QAQC ledger minus the
+    * `_c` normalization. `passed` columns: `id`, `time_merge`. */
+  def updateStationListMerge(stations: DataFrame, passed: DataFrame,
+                             errors: DataFrame): DataFrame =
+    stageUpdate(stations, passed, errors, "merged", "time_merge",
+      appendUnlisted = false)
+
+  private def stageUpdate(stations: DataFrame, passed: DataFrame, errors: DataFrame,
+                          statusCol: String, timeCol: String,
+                          appendUnlisted: Boolean): DataFrame = {
     val passthrough = stations.columns.filter(_ != "era_id").toSeq
 
-    val base = stations.join(cleaned, stations("era_id") === cleaned("id"), "full_outer")
-      .select(coalesce(stations("era_id"), cleaned("id")).as("era_id") +:
-        when(cleaned("id").isNull, "N").otherwise("Y").as("cleaned") +:
-        cleaned("time_cleaned") +:
+    val joined = stations.join(passed, stations("era_id") === passed("id"), "full_outer")
+      .select(coalesce(stations("era_id"), passed("id")).as("era_id") +:
+        when(passed("id").isNull, "N").otherwise("Y").as(statusCol) +:
+        passed(timeCol) +:
+        (stations("era_id").isNotNull).as("_listed") +:
         passthrough.map(stations(_)): _*)
+    val base = (if (appendUnlisted) joined else joined.filter(col("_listed")))
+      .drop("_listed")
 
     val errs = errors
       .filter(col("file") =!= "Whole network")
@@ -63,7 +92,7 @@ object StationStatus {
     // side is metadata-sized -> broadcast, so the LIKE theta-join never shuffles the
     // error table and never becomes a cross product at scale
     val stationSide = broadcast(base.select(col("era_id").as("m_era_id"),
-      col("time_cleaned").as("m_time_cleaned"),
+      col(timeCol).as("m_time_cleaned"),
       substring_index(col("era_id"), "_", -1).as("bare_id")))
 
     val lastMatch = Window.partitionBy("file", "error").orderBy(col("m_era_id").desc)

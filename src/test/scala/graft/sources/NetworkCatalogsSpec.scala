@@ -170,6 +170,52 @@ class NetworkCatalogsSpec extends SparkSpec {
 
   // --------------------------------------------------------------- MARITIME
 
+  test("MADIS/CWOP: header-sniffed per-file columns -> canonical obs (None NA, ;-flag .0 strip, C->K)") {
+    val dir = tmpDir("madis")
+    // real MADIS file shape (`MADIS_clean.py:113-235`): KEY: value header lines,
+    // an in-file column-name row, a units row, then data rows keyed by station id.
+    // The second air_temp_set_1 is an identical DUPLICATE column (`:207-217`) —
+    // first occurrence wins.
+    write(dir, "AP123.csv",
+      """STATION: AP123
+        |STATION NAME: TESTSITE)
+        |LATITUDE: 37.5']
+        |LONGITUDE: -121.25']
+        |ELEVATION [ft]: 100']
+        |STATE: CA']
+        |Station_ID,Date_Time,air_temp_set_1,air_temp_set_1_qc,wind_speed_set_1,pressure_set_1,solar_radiation_set_1,air_temp_set_1
+        |,,Celsius,QC_type,m/s,Pascals,W/m**2,Celsius
+        |AP123,2014-06-01 10:00:00,20.5,2.0;3.0,3.1,98000,None,20.5
+        |AP123,2014-06-01 11:00:00,None,,3.2,98100,None,None
+        |AP123,2014-06-01 11:00:00,None,,3.2,98100,None,None
+        |""".stripMargin)
+    val got = NetworkCatalogs.readMadis(spark, s"${dir.getAbsolutePath}/*.csv")
+      .orderBy("time")
+    assert(got.count() == 2) // exact duplicate row dropped
+    val rows = got.collect()
+    assert(rows(0).getAs[String]("station") == "MADIS_AP123")
+    assert(rows(0).getAs[java.sql.Timestamp]("time").toString == "2014-06-01 10:00:00.0")
+    // Synoptic metric units: only the temperature converts (C -> K)
+    assert(approx(rows(0).getAs[Double]("tas"), 20.5 + 273.15))
+    assert(approx(rows(0).getAs[Double]("sfcWind"), 3.1))
+    assert(approx(rows(0).getAs[Double]("ps"), 98000.0))
+    // ;-separated float-coerced flags lose the .0 residue (`:650-662`)
+    assert(rows(0).getAs[String]("tas_qc") == "2;3")
+    // "None" NA token (`:391`); blank QC -> null
+    assert(rows(1).isNullAt(rows(1).fieldIndex("tas")))
+    assert(rows(1).getAs[String]("tas_qc") == null)
+    // all-null rsds dropped (dropna(axis=1, how='all'), `:312`)
+    assert(!got.columns.contains("rsds"))
+    // header attributes: one row per file, elevation ft -> m (`:782`)
+    val hdr = NetworkCatalogs.madisHeaders(spark, s"${dir.getAbsolutePath}/*.csv").head()
+    assert(hdr.getAs[String]("station_id") == "AP123")
+    assert(hdr.getAs[String]("station_name") == "TESTSITE")
+    assert(approx(hdr.getAs[Double]("latitude"), 37.5))
+    assert(approx(hdr.getAs[Double]("longitude"), -121.25))
+    assert(approx(hdr.getAs[Double]("elevation_m"), 100 * 0.3048))
+    assert(hdr.getAs[String]("state") == "CA")
+  }
+
   test("MARITIME: NDBC whitespace text -> canonical obs (MM na, 999/99/9999 codes, hPa->Pa)") {
     val dir = tmpDir("ndbc")
     write(dir, "46042h2014.txt",

@@ -51,6 +51,45 @@ class StationStatusSpec extends SparkSpec {
       "raw_7_x.csv: bad units raw_7_y.csv: io error")
   }
 
+  test("qaqc ledger: _c suffix normalization, unlisted outputs dropped") {
+    import spark.implicits._
+    val stations = Seq("NET_1", "NET_2", "NET_3").toDF("era_id")
+    val passed = Seq(
+      // concatenated-station output renamed with _c -> normalizes back to NET_2
+      // (`stnlist_update_qaqc.py:131-137`)
+      ("NET_2_c", ts("2021-01-10 00:00:00")),
+      // unlisted stage output: DROPPED, not appended (`:253`)
+      ("NET_9", ts("2021-02-01 00:00:00"))).toDF("id", "time_qaqc")
+    val errors = Seq.empty[(String, Timestamp, String)].toDF("file", "time", "error")
+
+    val got = StationStatus.updateStationListQaqc(stations, passed, errors)
+      .orderBy("era_id").collect()
+    assert(got.map(_.getAs[String]("era_id")).toSeq == Seq("NET_1", "NET_2", "NET_3"))
+    assert(got.map(_.getAs[String]("qaqc")).toSeq == Seq("N", "Y", "N"))
+    assert(got.find(_.getAs[String]("era_id") == "NET_2").get
+      .getAs[Timestamp]("time_qaqc") == ts("2021-01-10 00:00:00"))
+  }
+
+  test("merge ledger: no _c rule, time-gated error attach") {
+    import spark.implicits._
+    val stations = Seq("NET_4", "NET_5").toDF("era_id")
+    val passed = Seq(("NET_4", ts("2021-05-01 00:00:00"))).toDF("id", "time_merge")
+    val errors = Seq(
+      // at/after merge time -> kept (`stnlist_update_merge.py:316-323`)
+      ("raw_4_x.csv", ts("2021-05-02 00:00:00"), "gap check"),
+      // before merge time -> gated out
+      ("raw_4_y.csv", ts("2021-04-01 00:00:00"), "stale")).toDF("file", "time", "error")
+    val got = StationStatus.updateStationListMerge(stations, passed, errors)
+      .orderBy("era_id").collect()
+    assert(got.map(_.getAs[String]("merged")).toSeq == Seq("Y", "N"))
+    assert(got.head.getAs[String]("errors_str") == "gap check")
+    // a merge id with _c must NOT normalize here (no _c rule in the merge stage)
+    val passedC = Seq(("NET_5_c", ts("2021-05-01 00:00:00"))).toDF("id", "time_merge")
+    val got2 = StationStatus.updateStationListMerge(stations, passedC,
+      errors.limit(0)).orderBy("era_id").collect()
+    assert(got2.map(_.getAs[String]("merged")).toSeq == Seq("N", "N"))
+  }
+
   test("single error reports its text verbatim; uncleaned keeps all errors") {
     import spark.implicits._
     val stations = Seq("NET_5").toDF("era_id")
