@@ -617,4 +617,41 @@ object DedupOps {
       .agg(min(col("_id1")).as("kept_as"), count(lit(1)).as("n_matches"),
         round(max(col("_cos")), 6).as("max_cos"))
   }
+
+  /** Production SemDeDup entry — closes the fixed-k scale caveat: k is sized from
+    * the corpus (`k = ceil(sqrt(n))`, SemDeDup's own rule: E[cell] = sqrt(n), so
+    * total pair work is ~n^1.5 / k = n — linear — and GROWS WITH THE CORPUS instead
+    * of letting cells fatten toward the cap), centroids are kmeansTrain'd from a
+    * deterministic lowest-id init (collect is k x dim doubles — centroid-sized,
+    * never data), and cap violations are REPORTED, not silently dropped.
+    *
+    * Returns (dropped, stats): `dropped` as [[semanticDedup]]; `stats` is one row
+    * (n, k, n_cells_capped, n_vecs_excluded) — a nonzero n_vecs_excluded means the
+    * embedding distribution is collapsing into few directions and those vectors
+    * were NOT deduplicated (route them to a re-trained sub-index or raise the cap;
+    * at 100 TB this is the signal that k must grow faster than sqrt(n)). */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, trainIters: Int = 3,
+                        cellOverflowFactor: Double = 20.0): (DataFrame, DataFrame) = {
+    val vecs = df.select(col(idCol), col(vecCol))
+    val n = vecs.count()
+    val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val init = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val centroids = graft.ann.AnnOps.kmeansTrain(
+      vecs.select(col(vecCol).cast("array<double>").as(vecCol)), vecCol, init, trainIters)
+    // cap = overflow x the expected sqrt(n) cell size: generous enough that a
+    // healthy distribution never trips it, tight enough to confine the quadratic
+    val cap = math.max(64, (cellOverflowFactor * math.sqrt(n.toDouble)).toInt)
+    val sized = vecs
+      .withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids))
+      .withColumn("_csz", count(lit(1)).over(Window.partitionBy(col("_cell"))))
+    val stats = sized
+      .agg(count(lit(1)).as("n"),
+        count_distinct(when(col("_csz") > cap, col("_cell"))).as("n_cells_capped"),
+        sum(when(col("_csz") > cap, 1L).otherwise(0L)).as("n_vecs_excluded"))
+      .withColumn("k", lit(k))
+    (semanticDedup(df, idCol, vecCol, centroids, threshold, cap), stats)
+  }
 }

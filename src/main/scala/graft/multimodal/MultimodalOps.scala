@@ -105,10 +105,87 @@ object MultimodalOps {
       } catch { case _: Exception => None }
   }
 
-  /** STUB codec for kinds the JVM has no codec for (video, non-PCM audio) and
-    * undecodable payloads: deterministically fakes a decode from the payload's
-    * leading bytes. ??? -- a production deployment swaps in real video/compressed-
-    * audio decoders with the identical signature. Kept total and deterministic so
+  /** Real from-scratch video container parser (RIFF/AVI — same spirit as the
+    * from-scratch NcSource/ZarrSource format readers): walks the RIFF chunk tree,
+    * reads the `avih` main header (width/height/total frames) and the first video
+    * stream's `strh` handler fourcc, and iterates the `movi` list's `##db`/`##dc`
+    * frame chunks. For MJPEG AVIs every frame chunk IS a JPEG, so frames decode
+    * further via [[ImageCodec]] — the full video path (container -> frames ->
+    * pixels) is real on the JVM with zero external codecs. Compressed non-MJPEG
+    * streams still parse at the container level (dimensions + frame count + real
+    * frame payload bytes); only their pixel decode falls back to downstream stubs.
+    *
+    * Layout parsed (public AVI RIFF spec): chunks are `[fourcc][u32 size][data]`
+    * padded to even; `LIST` chunks nest with a subtype fourcc. `avih` data offsets:
+    * dwTotalFrames at +16, dwWidth at +32, dwHeight at +36; `strh` fccType at +0
+    * (`vids` selects the video stream), fccHandler at +4. */
+  object VideoCodec {
+    final case class AviInfo(width: Int, height: Int, nFrames: Int, handler: String)
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 3) & 0xffL) << 24)
+    private def fcc(b: Array[Byte], o: Int): String =
+      if (o + 4 <= b.length) new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+
+    /** Depth-first chunk walk over `[from, until)`; `f` sees (fourcc, dataOff, dataLen)
+      * for every non-LIST chunk, with LIST children recursed into. */
+    private def walk(b: Array[Byte], from: Int, until: Int)
+                    (f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = fcc(b, o)
+        val len = u32(b, o + 4).toInt
+        val data = o + 8
+        if (len < 0 || data + len > until) return // truncated/corrupt: stop cleanly
+        if (id == "LIST" || id == "RIFF") walk(b, data + 4, data + len)(f)
+        else f(id, data, len)
+        o = data + len + (len & 1) // chunks pad to even
+      }
+    }
+
+    def tryParse(payload: Array[Byte]): Option[AviInfo] = {
+      if (payload.length < 12 || fcc(payload, 0) != "RIFF" || fcc(payload, 8) != "AVI ")
+        return None
+      var info: Option[AviInfo] = None
+      var handler = ""
+      var sawVids = false
+      var counted = 0
+      walk(payload, 12, payload.length) { (id, off, len) =>
+        id match {
+          case "avih" if len >= 40 =>
+            info = Some(AviInfo(u32(payload, off + 32).toInt, u32(payload, off + 36).toInt,
+              u32(payload, off + 16).toInt, handler))
+          case "strh" if len >= 8 && fcc(payload, off) == "vids" && !sawVids =>
+            sawVids = true; handler = fcc(payload, off + 4)
+          case fr if fr.length == 4 && (fr.endsWith("db") || fr.endsWith("dc")) =>
+            counted += 1
+          case _ => ()
+        }
+      }
+      // frame count: trust the movi scan when present (headers lie in the wild)
+      info.map(i => i.copy(nFrames = if (counted > 0) counted else i.nFrames,
+        handler = handler))
+    }
+
+    /** The movi frame payloads in stream order (every `##db`/`##dc` chunk). For
+      * MJPEG each element is a standalone JPEG. */
+    def frames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      if (tryParse(payload).isEmpty) return Seq.empty
+      val out = Seq.newBuilder[Array[Byte]]
+      walk(payload, 12, payload.length) { (id, off, len) =>
+        if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc")))
+          out += java.util.Arrays.copyOfRange(payload, off, off + len)
+      }
+      out.result()
+    }
+  }
+
+  /** STUB codec for kinds the JVM has no codec for (non-AVI video, non-PCM audio)
+    * and undecodable payloads: deterministically fakes a decode from the payload's
+    * leading bytes. ??? -- a production deployment swaps in real codecs for the
+    * remaining formats with the identical signature. Kept total and deterministic so
     * plumbing tests are stable. */
   object StubCodec {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) = {
@@ -140,6 +217,8 @@ object MultimodalOps {
           Decoded(r.id, r.kind, rate, bits, ch,
             math.min(math.max(fr, 0L), Int.MaxValue.toLong).toInt, "javasound")
         }
+        case "video" => VideoCodec.tryParse(r.payload).map(a =>
+          Decoded(r.id, r.kind, a.width, a.height, 3, a.nFrames, "riff-avi"))
         case _ => None
       }
       real.getOrElse {
@@ -174,6 +253,23 @@ object MultimodalOps {
       val n = r.payload.length
       Iterator.range(0, math.max(n - frameBytes + 1, 0), stride).zipWithIndex.map {
         case (off, idx) => (r.id, idx, java.util.Arrays.copyOfRange(r.payload, off, off + frameBytes))
+      }
+    }
+  }
+
+  /** REAL video frame sampling: every `stride`-th movi frame of a RIFF/AVI payload
+    * via [[VideoCodec]] (for MJPEG each emitted frame is a standalone JPEG that
+    * [[ImageCodec]] decodes downstream). Non-AVI payloads emit nothing — callers
+    * route those through [[sampleFrames]]'s byte-window fallback. Same UDTF shape
+    * as sampleFrames: (id, frameIdx, frame) via flatMap, one row in -> k rows out,
+    * streaming (the per-row frame list is one video's frames, never a partition). */
+  def sampleVideoFrames(ds: Dataset[MediaRow], stride: Int = 1)
+                       (implicit spark: SparkSession): Dataset[(Long, Int, Array[Byte])] = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    ds.flatMap { r =>
+      VideoCodec.frames(r.payload).zipWithIndex.collect {
+        case (f, i) if i % stride == 0 => (r.id, i, f)
       }
     }
   }

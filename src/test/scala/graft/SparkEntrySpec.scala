@@ -41,6 +41,18 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("events ts predicates push to the parquet scan (µs-native read, no adapter expr)") {
+    // With timestamp[us] testdata read natively there is no conversion expression
+    // on ts, so the p2 time-bounds filter must reach the scan as PushedFilters —
+    // the plan improvement the r8 verdict predicted; pinned so a loader change
+    // can't silently regress it back to a post-scan filter.
+    val df = SparkEntry.queries("p2_time_filter")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("every query has an oracle except the documented rows-only entries") {
     // w13/clim1: libm-exp 1-ulp parity (golden-pinned in KernelsSpec);
     // d2x: Spark-seeded xxhash64 has no cross-engine replica BY DESIGN — pair-parity

@@ -458,4 +458,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.forall { case (vid, kept) => kept == vid - 1000L },
       "each twin must resolve to its original")
   }
+
+  test("semanticDedupAuto: sqrt(n) k-sizing, trained cells, cap-violation metric") {
+    val rng = new scala.util.Random(91)
+    val base = (1L to 256L).map(i => (i, Seq.fill(16)(rng.nextGaussian())))
+    val twins = base.take(25).map { case (i, v) => (i + 1000L, v.map(_ * 1.0005)) }
+    val df = (base ++ twins).toDF("vid", "v")
+    val (dropped, stats) = DedupOps.semanticDedupAuto(df, "vid", "v", threshold = 0.999)
+    val s = stats.collect().head
+    // k = ceil(sqrt(281)) = 17; healthy Gaussian corpus -> no capped cells
+    assert(s.getAs[Long]("n") == 281L)
+    assert(s.getAs[Int]("k") == 17)
+    assert(s.getAs[Long]("n_cells_capped") == 0L)
+    assert(s.getAs[Long]("n_vecs_excluded") == 0L)
+    val out = dropped.select(col("vid"), col("kept_as")).as[(Long, Long)].collect().toMap
+    assert(out.keySet == twins.map(_._1).toSet,
+      s"exactly the planted twins must drop, got ${out.keySet}")
+    // pathological distribution (all vectors one direction) -> the overflow metric
+    // fires instead of silently confining the quadratic
+    val collapsed = (1L to 300L).map(i => (i, Seq(1.0, 1e-6 * i, 0.0, 0.0)))
+      .toDF("vid", "v")
+    val (_, stats2) = DedupOps.semanticDedupAuto(collapsed, "vid", "v",
+      threshold = 0.999, cellOverflowFactor = 0.001)
+    val s2 = stats2.collect().head
+    assert(s2.getAs[Long]("n_vecs_excluded") > 0L)
+    assert(s2.getAs[Long]("n_cells_capped") > 0L)
+  }
 }

@@ -66,6 +66,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).codec == "stub") // non-PCM payload keeps the documented fallback
   }
 
+  // a real MJPEG AVI generated in-test: RIFF/AVI container with JPEG frame chunks
+  // (jpeg encode via ImageIO — JVM-native), per the public AVI RIFF layout
+  private def aviBytes(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(subtype: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(subtype) ++ children)
+    val avih = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(frames.size) ++
+      le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ Array.fill(48)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++
+      fcc("MJPG") ++ Array.fill(20)(0.toByte)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x886644)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("real AVI decode: riff-avi path reports true dimensions and movi frame count") {
+    val avi = aviBytes(32, 20, Seq(jpegBytes(32, 20), jpegBytes(32, 20), jpegBytes(32, 20)))
+    val ds = Seq(media(1, "video", avi),
+      media(2, "video", Array[Byte](1, 2, 3, 4))).toDS() // non-AVI -> stub
+    val out = decodeBatch(ds).collect().sortBy(_.id)
+    assert(out(0).codec == "riff-avi", out(0))
+    assert(out(0).width == 32 && out(0).height == 20 && out(0).nFrames == 3)
+    assert(out(1).codec == "stub")
+  }
+
+  test("real AVI frame sampling: MJPEG frames round-trip through the image codec") {
+    val avi = aviBytes(16, 12, Seq(jpegBytes(16, 12), jpegBytes(16, 12),
+      jpegBytes(16, 12), jpegBytes(16, 12)))
+    val ds = Seq(media(7, "video", avi)).toDS()
+    val frames = sampleVideoFrames(ds, stride = 2).collect().sortBy(_._2)
+    assert(frames.map(f => (f._1, f._2)).toSeq == Seq((7L, 0), (7L, 2)))
+    // each sampled frame is a standalone JPEG the image codec really decodes
+    val img = ImageCodec.tryDecode(frames.head._3)
+    assert(img.exists(i => i.getWidth == 16 && i.getHeight == 12))
+    // non-AVI payloads emit nothing on the video path
+    assert(sampleVideoFrames(Seq(media(8, "video", Array[Byte](9, 9))).toDS()).count() == 0)
+  }
+
   test("box filter averages blocks deterministically") {
     // 2x1 black+white -> stride 2 -> single mid-gray pixel
     val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)

@@ -14,7 +14,8 @@ Replication is perturbed so the workload SHAPE scales the way real data would:
    threshold in the suite (d5 uses 0.8);
  - events: user_id/event_id shifted per copy — series count scales N x, series
    LENGTH stays constant (the production shape: more stations, same record span).
-   ts stays timestamp[ns] so SparkEntry.loadTable's nanos adapter is exercised.
+   ts keeps the source encoding verbatim (timestamp[us] since the r8 testdata
+   regeneration), so SparkEntry.loadTable's type-probing branch is exercised.
 
 Usage: python3 tools/make_scale_slice.py <copies> <outdir>
 """
