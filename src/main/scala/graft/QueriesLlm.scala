@@ -501,6 +501,29 @@ object QueriesLlm {
         .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.*"))),
 
+    // t13: unigram-LM quality score (CCNet-style) — self-trained MLE unigram
+    // model, mean -ln p per token instance; 6dp-rounded logs + decimal sums so
+    // the score is bit-portable (the t11 rule)
+    "t13_lm_quality" -> ((s, dir) =>
+      TextOps.unigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // d14: URL-level keep-first dedup — messy URL variants (case, www, default
+    // port, trailing slash, tracking params, param order, fragments) encoded
+    // from doc_id, collapsed by the canonical form; doc_id ≡ k (mod 50) share a
+    // canonical URL, so 500 docs -> 50 groups of 10
+    "d14_url_dedup" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 3 === 0, "HTTPS").otherwise("https"), lit("://"),
+        when(col("doc_id") % 2 === 0, "WWW.").otherwise(""),
+        lit("example-"), (col("doc_id") % 50).cast("string"), lit(".com"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/path/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0, "?utm_source=feed&b=2&a=1").otherwise("?a=1&b=2"),
+        when(col("doc_id") % 7 === 0, "#section-3").otherwise("")).as("url"))
+      TextOps.urlDedup(urls, "doc_id", "url")
+    }),
+
     // d12: SemDeDup semantic near-dup removal — the d5 planted corpus (0.9v +
     // 0.1 shifted twins of vec_id < 50), basis-vector cells (e4's centroid set;
     // kmeansTrain supplies real centroids in production), cosine >= 0.85
@@ -1035,6 +1058,57 @@ object QueriesLlm {
                                  ORDER BY tfidf DESC, term ASC) AS rn
             FROM scored)
           SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5""",
+    "t13_lm_quality" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+            GROUP BY 1, 2),
+          n AS (SELECT SUM(tf) AS total FROM tf),
+          tc AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+          scored AS (
+            SELECT tf.doc_id, tf.tf,
+              CAST(ROUND(-ln(CAST(tc.c AS DOUBLE) / CAST(n.total AS DOUBLE)), 6)
+                   AS DECIMAL(12,6)) AS nlogp
+            FROM tf CROSS JOIN n JOIN tc ON tf.term = tc.term)
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(SUM(nlogp * tf) AS DOUBLE) / SUM(tf), 4) + 0 AS lm_score
+          FROM scored GROUP BY 1""",
+    "d14_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+             'example-' || CAST(doc_id % 50 AS VARCHAR) || '.com' ||
+             (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+             '/path/' || CAST(doc_id % 50 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                   ELSE '?a=1&b=2' END) ||
+             (CASE WHEN doc_id % 7 = 0 THEN '#section-3' ELSE '' END) AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+           FROM u),
+         canon AS (
+           SELECT doc_id,
+             scheme || '://' ||
+             (CASE WHEN scheme = 'http' THEN
+                regexp_replace(regexp_replace(lower(regexp_extract(after, '^([^/?#]*)', 1)), '^www\.', ''), ':80$', '')
+              WHEN scheme = 'https' THEN
+                regexp_replace(regexp_replace(lower(regexp_extract(after, '^([^/?#]*)', 1)), '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(lower(regexp_extract(after, '^([^/?#]*)', 1)), '^www\.', '') END) ||
+             regexp_replace(regexp_extract(after, '^[^/?#]*([^?#]*)', 1), '/+$', '') ||
+             (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+           FROM (
+             SELECT doc_id, scheme, after,
+               array_to_string(list_sort(list_filter(str_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS q
+             FROM parts))
+         SELECT canonical_url, MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+         FROM canon GROUP BY 1""",
     // every ratio is an integer-count division (bit-identical IEEE op on both
     // engines); pass thresholds compare the UNROUNDED doubles, as the Spark side
     "t12_gopher_rules" ->

@@ -345,4 +345,71 @@ object TextOps {
     capPerGroup(scored, col(idCol), kTerms, col("tfidf"), col("term"))
       .select(col(idCol), col("term"), col("tfidf"))
   }
+
+  /** Unigram-LM document quality score (the CCNet recipe, Wenzek et al. 2020,
+    * reduced to its order statistics): train a unigram LM on the corpus ITSELF
+    * (MLE — the scored corpus is the training corpus, so every token is
+    * in-vocabulary and no smoothing mass is needed) and score each document by its
+    * mean negative log-probability per token instance. Low = common-token fluent
+    * text; high = rare-token-dense (noise, codey, or genuinely exotic). Curation
+    * pipelines bucket on this score for keep/drop/routing decisions.
+    *
+    * Numeric portability: per-token `-ln(c/N)` is rounded to 6 decimals and cast
+    * to DECIMAL(12,6) BEFORE any cross-row arithmetic (t11's rule — 1-ulp libm
+    * differences die in the rounding), so the weighted sum is exact decimal
+    * addition (order-independent) and the op carries an exact SQL oracle.
+    *
+    * Scale shape = t11's: explode → (doc,term) partial-agg → term-count table
+    * joined back on term (shuffle join — a web corpus vocabulary is not
+    * broadcastable at 100 TB; AQE skew-join splits the stopword keys), one
+    * groupBy(doc). The corpus total N comes from the SAME persisted pair table,
+    * not a second scan. Returns (id, n_tokens, lm_score). */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalN = pairs.agg(sum(col("tf"))).head().getLong(0)
+    val termCounts = pairs.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    pairs.join(termCounts, "term")
+      .withColumn("_nlogp",
+        round(-log(col("c").cast("double") / lit(totalN.toDouble)), 6)
+          .cast("decimal(12,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("_nlogp") * col("tf")).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("_s").cast("double") / col("n_tokens"), 4).as("lm_score"))
+  }
+
+  /** Canonical URL form for URL-level dedup (the standard Common-Crawl curation
+    * key): lower-cased scheme and host, `www.` and scheme-default port stripped,
+    * trailing path slashes trimmed, tracking parameters (`utm_*`, `fbclid`,
+    * `gclid`, `ref`) removed, surviving query params SORTED (param order is not
+    * semantic), fragment dropped. Pure regexp/HOF column expression — canonicalize
+    * at scan speed, no UDF; every step has an exact DuckDB twin so URL-dedup
+    * queries carry a SQL oracle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val after = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(after, "^([^/?#]*)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path = regexp_replace(regexp_extract(after, "^[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** URL-level keep-first dedup over [[canonicalizeUrl]]: one row per canonical
+    * URL with the smallest source id kept and the duplicate count — one
+    * fingerprint-grade groupBy shuffle, the d1 shape on the URL key. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 }

@@ -176,4 +176,46 @@ class TextOpsSpec extends SparkSpec {
     // doc 3: only banana, score 0, still returned (k caps, never pads)
     assert(out(3L) == Seq(("banana", 0.0)))
   }
+
+  test("unigram LM score: rare-token docs score higher, common-token docs lower") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the the the the"),           // only the commonest token
+      (2L, "the zyxwvut"),               // one rare token
+      (3L, "zyxwvut qponmlk")            // only rare tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramLmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 2 && out(3L)._1 == 2)
+    // corpus: the x5, zyxwvut x2, qponmlk x1 (N=8)
+    val nl = (c: Double) => math.rint(-math.log(c / 8.0) * 1e6) / 1e6
+    assert(math.abs(out(1L)._2 - math.rint(nl(5) * 1e4) / 1e4) < 1e-9)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    // exact decimal mean: (nl(5) + nl(2)) / 2 rounded to 4
+    val expected2 = math.rint((nl(5) + nl(2)) / 2 * 1e4) / 1e4
+    assert(math.abs(out(2L)._2 - expected2) < 1e-9)
+  }
+
+  test("canonical URL: case, www, default port, slash, tracking params, order, fragment") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.com:443/a/b/?b=2&utm_source=x&a=1#frag"),
+      (2L, "https://example.com/a/b?a=1&b=2"),
+      (3L, "http://example.com:80/a/b?b=2&a=1&fbclid=zz"),
+      (4L, "https://example.com:8443/a/b"),   // non-default port KEPT
+      (5L, "https://example.com/a/b?ref=nav") // all params tracking -> no query
+    ).toDF("id", "url")
+    val got = urls.select(col("id"), TextOps.canonicalizeUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "https://example.com/a/b?a=1&b=2")
+    assert(got(2L) == "https://example.com/a/b?a=1&b=2")
+    assert(got(3L) == "http://example.com/a/b?a=1&b=2")
+    assert(got(4L) == "https://example.com:8443/a/b")
+    assert(got(5L) == "https://example.com/a/b")
+    // dedup collapses 1 and 2 (keep-first), leaves the rest singleton
+    val d = TextOps.urlDedup(urls, "id", "url")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d("https://example.com/a/b?a=1&b=2") == ((1L, 2L)))
+  }
 }
