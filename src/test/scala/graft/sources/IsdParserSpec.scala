@@ -54,6 +54,34 @@ class IsdParserSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("pr")))
   }
 
+  test("AA1 9999-depth falls back to the second precip report (reference :356-379)") {
+    // first report "019999xx" has the missing-depth sentinel; the 16-char read
+    // exposes the second report "03002315" -> duration 03, depth 2.3 mm, qc "1","5"
+    val df = Seq(isdLine(extra = "ADDAA101999912" + "03002315"),
+      isdLine(extra = "ADDAA101999912")).toDF("value")
+    val rows = IsdParser.parse(df).collect()
+    val fb = rows(0)
+    assert(fb.getAs[Int]("pr_duration") == 3)
+    assert(approx(fb.getAs[Double]("pr"), 2.3))
+    assert(fb.getAs[String]("pr_depth_qc") == "1")
+    assert(fb.getAs[String]("pr_qc") == "5")
+    // no second report -> pr stays null, first report's qc kept
+    assert(rows(1).isNullAt(rows(1).fieldIndex("pr")))
+    assert(rows(1).getAs[String]("pr_depth_qc") == "1")
+  }
+
+  test("CH2 humidity section parses like CH1 with qc/flag fields") {
+    // 15 chars after CH2 (alnum only — the reference regex excludes '+'):
+    // dur "60", temp "00215" qc "1" flag "0", hurs "0755" qc "1" flag "0"
+    val df = Seq(isdLine(extra = "ADDCH2600021510075510")).toDF("value")
+    val r = IsdParser.parse(df).head()
+    assert(r.getAs[Int]("hurs_duration") == 60)
+    assert(approx(r.getAs[Double]("hurs_temp"), 21.5))
+    assert(r.getAs[String]("hurs_temp_qc") == "1")
+    assert(approx(r.getAs[Double]("hurs"), 75.5))
+    assert(r.getAs[String]("hurs_qc") == "1")
+  }
+
   test("GM1 solar and MA1 pressure sections extracted when present") {
     // GM1 "00600450051": 0060 min, 0450 W/m2, flag "05", qc "1";
     // MA1 "101395101251": altimeter 10139/10 qc "5", station 10125/10 qc "1"
