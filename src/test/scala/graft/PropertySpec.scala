@@ -130,4 +130,36 @@ class PropertySpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("property: URL canonicalization is idempotent over generated messy URLs") {
+    forAllSeeded { rnd =>
+      (0 until 20).map { i =>
+        val scheme = Seq("http", "HTTP", "https", "HTTPS")(rnd.nextInt(4))
+        val www = if (rnd.nextBoolean()) "www." else ""
+        val host = s"Host${rnd.nextInt(5)}.Example.com"
+        val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+        val path = Seq("", "/a", "/a/b", "/a/b/", "/a//")(rnd.nextInt(5))
+        val params = scala.util.Random.shuffle(Seq("a=1", "b=2", "utm_source=x",
+          "fbclid=y", "z=9").take(rnd.nextInt(5))).mkString("&")
+        val query = if (params.isEmpty) "" else s"?$params"
+        val frag = if (rnd.nextBoolean()) "#frag" else ""
+        (i.toLong, s"$scheme://$www$host$port$path$query$frag")
+      }
+    } { urls =>
+      val df = urls.toDF("id", "url")
+      val once = df.select(col("id"),
+        graft.text.TextOps.canonicalizeUrl(col("url")).as("c1"))
+      val twice = once.select(col("id"),
+        col("c1"), graft.text.TextOps.canonicalizeUrl(col("c1")).as("c2"))
+        .as[(Long, String, String)].collect()
+      // canonical form is a fixed point: re-canonicalizing changes nothing
+      twice.foreach { case (id, c1, c2) => assert(c1 == c2, s"id=$id: $c1 != $c2") }
+      // and never retains tracking params, fragments, or a www prefix (a non-
+      // default port like https://h:80 is legitimately kept, so no port check)
+      twice.foreach { case (_, c1, _) =>
+        assert(!c1.contains("utm_") && !c1.contains("fbclid") && !c1.contains("#"))
+        assert(!c1.contains("://www."))
+      }
+    }
+  }
 }
