@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.{NetworkCatalogs, StationStatus}
 
 /** Batch C2 query instantiations — per-network clean catalogs (SURVEY §2.1 S4,
-  * data half): the CIMIS and SCAN/SNOTEL standardization plans run over CSV-shaped
-  * projections of `events`, oracle-checked end-to-end (local-time convention
+  * data half): the CIMIS / SCAN-SNOTEL / CW3E / VALLEYWATER / MARITIME / MADIS
+  * standardization plans plus the ISD fixed-width clean (c13) and the
+  * clean/qaqc-stage station ledgers (s12/s13), each run over raw-shaped
+  * projections of `events` and oracle-checked end-to-end (local-time convention
   * inversion, sentinel/NA nulling, unit conversion, QC shadow columns, platform
   * time filter, exact-duplicate drop).
   *

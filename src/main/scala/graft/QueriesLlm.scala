@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.AnnOps
@@ -109,6 +110,31 @@ object QueriesLlm {
           when(col("event_type") === "click" && col("user_id") % 2 =!= 0,
             col("value") + 50.0).otherwise(col("value")))
       graft.ops.AggOps.ksStatistic(e, Seq("event_type"), "v", "side", "a", "b")
+    }),
+
+    // a19 / flag 31: frequent-precip check — the day's total rides on the day's
+    // first obs (rest zero), so daily sums are exact planted values: uid%7==0
+    // gets a 6-day run of 20.5 (flagged), uid%7==3 a 3-day run of 25.0 (below
+    // dayThresh), zeros exercise the non-zero-day sequence, the rest are distinct
+    "a19_frequent_precip" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val day = to_date(col("ts"))
+      val di = dayofmonth(col("ts"))
+      val rn = row_number().over(Window.partitionBy(col("user_id"), day)
+        .orderBy(col("ts"), col("event_id")))
+      val tot = when(col("user_id") % 7 === 0 && di.between(10, 15), 20.5)
+        .when(col("user_id") % 7 === 3 && di.between(10, 12), 25.0)
+        .when(col("user_id") % 7 === 0 || col("user_id") % 7 === 3, di + 0.5)
+        .when(di % 5 === 0, 0.0)
+        .otherwise(di * 1.5)
+      val obs = e.select(col("user_id"), col("event_id"), col("ts"),
+          when(rn === 1, tot).otherwise(0.0).as("pr"),
+          lit(null).cast("int").as("pr_eraqc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.AggOps.frequentPrecipFlag(obs, Seq("user_id"), "ts", "pr", "pr_eraqc")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("time_s"),
+          round(col("pr"), 4).as("pr"), col("pr_eraqc").as("flag"))
     }),
 
     // d11: paragraph-level boilerplate removal — a constant banner paragraph planted
@@ -1276,6 +1302,44 @@ object QueriesLlm {
                           - CAST(cb AS DOUBLE) / GREATEST(nb, 1)) END), 6) AS ks,
            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
          FROM c GROUP BY event_type""",
+    "a19_frequent_precip" ->
+      """WITH base AS (
+           SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d,
+                  day(CAST(ts AS DATE)) AS di,
+                  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         obs AS (
+           SELECT user_id, event_id, ts, d,
+             CASE WHEN rn = 1 THEN
+               CASE WHEN user_id % 7 = 0 AND di BETWEEN 10 AND 15 THEN 20.5
+                    WHEN user_id % 7 = 3 AND di BETWEEN 10 AND 12 THEN 25.0
+                    WHEN user_id % 7 = 0 OR user_id % 7 = 3 THEN di + 0.5
+                    WHEN di % 5 = 0 THEN 0.0
+                    ELSE di * 1.5 END
+             ELSE 0.0 END AS pr
+           FROM base),
+         daily AS (
+           SELECT user_id, d,
+                  CAST(SUM(CAST(pr AS DECIMAL(18,2))) AS DOUBLE) AS dtot
+           FROM obs GROUP BY 1, 2),
+         nz AS (
+           SELECT user_id, d, dtot,
+             SUM(CASE WHEN prev IS NULL OR prev <> dtot THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS rid
+           FROM (SELECT user_id, d, dtot,
+                   lag(dtot) OVER (PARTITION BY user_id ORDER BY d) AS prev
+                 FROM daily WHERE dtot > 0)),
+         runs AS (
+           SELECT user_id, d, dtot,
+                  COUNT(*) OVER (PARTITION BY user_id, rid) AS rsz
+           FROM nz),
+         fd AS (SELECT user_id, d FROM runs WHERE rsz >= 5 AND dtot > 18)
+         SELECT o.user_id, o.event_id,
+                CAST(epoch(date_trunc('second', o.ts)) AS BIGINT) AS time_s,
+                ROUND(o.pr, 4) + 0 AS pr,
+                CASE WHEN fd.user_id IS NOT NULL THEN 31 END AS flag
+         FROM obs o LEFT JOIN fd ON o.user_id = fd.user_id AND o.d = fd.d""",
     // d11: lockstep unnest pairs each paragraph with its position; keep-first is a
     // row_number over the normalized-paragraph fingerprint ordered by (doc, pos)
     "d11_paragraph_dedup" ->

@@ -230,6 +230,60 @@ object AggOps {
     * Groups missing one side entirely yield ks = 1.0 (maximal drift) by the CDF
     * definition. At 100 TB scale the same shape applies per group; a keyless
     * whole-corpus KS should sub-key first (e.g. by hash bucket) and take the max. */
+  /** A19 / QAQC flag 31 — frequent-precip check (`/root/reference/scripts/
+    * 3_qaqc_data/qaqc_frequent.py:566-645`, `qaqc_frequent_precip`; a
+    * HadISD/GHCN-daily modification): aggregate unflagged obs to daily totals,
+    * keep the non-zero days, find runs of IDENTICAL consecutive daily totals in
+    * that non-zero-day sequence (the reference's shift-cumsum grouping), and stamp
+    * `flagCol = 31` on every observation of a day inside a run of >= `dayThresh`
+    * days whose total exceeds `moderateThresh` (default 18 mm / 5 days).
+    *
+    * Documented divergence (the W14 pattern, BASELINE.md): the reference applies
+    * the flag through three INDEPENDENT year/month/day `isin` masks (`:629-637`),
+    * which also hits the cartesian combinations of the flagged days' date
+    * components (flagged 2020-01-05 + 2021-03-07 would flag 2020-03-07 too — a
+    * pandas accident); we flag exactly the flagged days via a date equi-join,
+    * the documented intent.
+    *
+    * Daily totals are summed through DECIMAL(18,`exactSumScale`) and cast back to
+    * double, so the run-equality compare is addition-order independent — identical
+    * across partitionings and engines (the kmeansStep convention; run grouping on
+    * a naive double sum would be partition-order dependent).
+    *
+    * Scale shape: one partial-aggregated groupBy to days (obs → days is ~3 orders
+    * of magnitude), a station-keyed window over DAYS for the run ids, and the
+    * flagged-day join back is broadcast-sized (flagged days are a tiny subset). */
+  def frequentPrecipFlag(df: DataFrame, keys: Seq[String], timeCol: String,
+                         valueCol: String, flagCol: String,
+                         moderateThresh: Double = 18.0, dayThresh: Int = 5,
+                         exactSumScale: Int = 2): DataFrame = {
+    val kc = keys.map(col)
+    val day = to_date(col(timeCol))
+    val daily = df
+      .filter(col(valueCol).isNotNull && col(flagCol).isNull)
+      .groupBy(kc :+ day.as("_day"): _*)
+      .agg(sum(col(valueCol).cast(s"decimal(18,$exactSumScale)"))
+        .cast("double").as("_dtot"))
+      .filter(col("_dtot") > 0)
+    val byKey = Window.partitionBy(kc: _*).orderBy(col("_day"))
+    val changed = when(lag(col("_dtot"), 1).over(byKey).isNull ||
+      lag(col("_dtot"), 1).over(byKey) =!= col("_dtot"), 1).otherwise(0)
+    val runs = daily.withColumn("_rid",
+      sum(changed).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+    val flaggedDays = runs
+      .withColumn("_rsz", count(lit(1)).over(Window.partitionBy(kc :+ col("_rid"): _*)))
+      .filter(col("_rsz") >= dayThresh && col("_dtot") > moderateThresh)
+      // keys renamed so the join-back to df (their common ancestor) is unambiguous
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"_fk$i") } :+
+        col("_day").as("_fday"): _*)
+    val joinCond = keys.zipWithIndex.map { case (k, i) => col(k) === col(s"_fk$i") }
+      .reduce(_ && _) && (day === col("_fday"))
+    df.join(broadcast(flaggedDays), joinCond, "left")
+      .select(df.columns.filter(_ != flagCol).map(df(_)) :+
+        when(col("_fday").isNotNull, lit(graft.core.Flags.PrecipDailyFrequent))
+          .otherwise(df(flagCol)).as(flagCol): _*)
+  }
+
   def ksStatistic(df: DataFrame, keys: Seq[String], valueCol: String,
                   sideCol: String, sideA: String, sideB: String): DataFrame = {
     val kc = keys.map(col)

@@ -138,6 +138,29 @@ class GoldenFlagsSpec extends SparkSpec {
     assert(out.filter(col("v_eraqc").isNotNull && col("v").isNotNull).count() == 0)
   }
 
+  test("flag 31: frequent identical moderate daily precip totals") {
+    // station s1: 5 consecutive non-zero days at 20.0 (> 18) -> all their obs flag;
+    // a zero day inside would break nothing because zeros leave the non-zero-day
+    // sequence; station s2: only a 3-day run (below dayThresh) -> untouched;
+    // station s3: 5-day run at 10.0 (<= moderate) -> untouched
+    def obsOf(st: String, day: Int, v: Double) = Seq(
+      (st, ts(f"2024-02-$day%02d 06:00:00"), v / 2),
+      (st, ts(f"2024-02-$day%02d 18:00:00"), v / 2))
+    val rows =
+      (1 to 5).flatMap(d => obsOf("s1", d, 20.0)) ++
+      obsOf("s1", 6, 3.0) ++                      // different total after the run
+      (1 to 3).flatMap(d => obsOf("s2", d, 20.0)) ++
+      (1 to 5).flatMap(d => obsOf("s3", d, 10.0))
+    val df = rows.toDF("station", "time", "pr")
+      .withColumn("pr_eraqc", lit(null).cast("int"))
+    val out = AggOps.frequentPrecipFlag(df, Seq("station"), "time", "pr", "pr_eraqc")
+    assert(flagsOf(out, "pr_eraqc") == Set(Flags.PrecipDailyFrequent))
+    val flagged = out.filter(col("pr_eraqc").isNotNull)
+      .select("station", "time").as[(String, Timestamp)].collect()
+    assert(flagged.forall(_._1 == "s1") && flagged.length == 10)
+    assert(flagged.forall(_._2.before(ts("2024-02-06 00:00:00"))))
+  }
+
   test("flag 36: elevation span inconsistency flags rows off the distinct-value median") {
     val obs = (Seq.fill(5)(100.0) ++ Seq.fill(5)(120.0) ++ Seq(400.0)).zipWithIndex
       .map { case (e, i) => ("s1", i.toLong, e) }
