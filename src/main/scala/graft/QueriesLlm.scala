@@ -137,6 +137,53 @@ object QueriesLlm {
           round(col("pr"), 4).as("pr"), col("pr_eraqc").as("flag"))
     }),
 
+    // a20 / flag 32: daily-precip climatological outlier — ordinary days (1..5 mm)
+    // anchor the monthly nonzero p95 at <= 5 (>= 21 ordinaries per user at sf0.01),
+    // so 9*p95 <= 45 and the planted 100 mm day flags; di%7==3 zero days exercise
+    // the nonzero-population filter
+    "a20_clim_precip" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val day = to_date(col("ts"))
+      val di = dayofmonth(col("ts"))
+      val rn = row_number().over(Window.partitionBy(col("user_id"), day)
+        .orderBy(col("ts"), col("event_id")))
+      val tot = when(col("user_id") % 6 === 0 && di === 14, 100.0)
+        .when(di % 7 === 3, 0.0)
+        .otherwise((di % 5).cast("double") + 1.0)
+      val obs = e.select(col("user_id"), col("event_id"), col("ts"),
+          when(rn === 1, tot).otherwise(0.0).as("pr"),
+          lit(null).cast("int").as("pr_eraqc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.AggOps.climOutlierPrecipFlag(obs, Seq("user_id"), "ts", "pr", "pr_eraqc")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("time_s"),
+          round(col("pr"), 4).as("pr"), col("pr_eraqc").as("flag"))
+    }),
+
+    // a21 / flag 33: daily-precip unusual gap — the planted lone 500 mm day is
+    // > 200 from every other daily total (incl. the zero grid days) and flags;
+    // uid%11==5 plants TWO 500 days whose mutual gap is 0, so neither flags
+    // (the all-others-differ rule); the op's sorted-neighbor window replaces the
+    // reference's O(n^2) difference matrix
+    "a21_gap_precip" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val day = to_date(col("ts"))
+      val di = dayofmonth(col("ts"))
+      val rn = row_number().over(Window.partitionBy(col("user_id"), day)
+        .orderBy(col("ts"), col("event_id")))
+      val tot = when(col("user_id") % 11 === 0 && di === 25, 500.0)
+        .when(col("user_id") % 11 === 5 && (di === 24 || di === 25), 500.0)
+        .otherwise(((di % 9) * 4).cast("double"))
+      val obs = e.select(col("user_id"), col("event_id"), col("ts"),
+          when(rn === 1, tot).otherwise(0.0).as("pr"),
+          lit(null).cast("int").as("pr_eraqc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.AggOps.unusualGapsPrecipFlag(obs, Seq("user_id"), "ts", "pr", "pr_eraqc")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("time_s"),
+          round(col("pr"), 4).as("pr"), col("pr_eraqc").as("flag"))
+    }),
+
     // d11: paragraph-level boilerplate removal — a constant banner paragraph planted
     // on every third doc survives only in its first corpus-wide occurrence
     "d11_paragraph_dedup" -> ((s, dir) => {
@@ -1339,6 +1386,82 @@ object QueriesLlm {
                 CAST(epoch(date_trunc('second', o.ts)) AS BIGINT) AS time_s,
                 ROUND(o.pr, 4) + 0 AS pr,
                 CASE WHEN fd.user_id IS NOT NULL THEN 31 END AS flag
+         FROM obs o LEFT JOIN fd ON o.user_id = fd.user_id AND o.d = fd.d""",
+    "a20_clim_precip" ->
+      """WITH base AS (
+           SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d,
+                  day(CAST(ts AS DATE)) AS di,
+                  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         obs AS (
+           SELECT user_id, event_id, ts, d,
+             CASE WHEN rn = 1 THEN
+               CASE WHEN user_id % 6 = 0 AND di = 14 THEN 100.0
+                    WHEN di % 7 = 3 THEN 0.0
+                    ELSE CAST(di % 5 AS DOUBLE) + 1.0 END
+             ELSE 0.0 END AS pr
+           FROM base),
+         daily AS (
+           SELECT user_id, d,
+                  CAST(SUM(CAST(pr AS DECIMAL(18,2))) AS DOUBLE) AS dtot
+           FROM obs GROUP BY 1, 2),
+         nz AS (SELECT user_id, d, dtot, month(d) AS mon FROM daily WHERE dtot > 0),
+         p AS (
+           SELECT user_id, mon, quantile_cont(dtot, 0.95) AS p95
+           FROM nz GROUP BY 1, 2),
+         fd AS (
+           SELECT nz.user_id, nz.d
+           FROM nz JOIN p USING (user_id, mon)
+           WHERE CASE WHEN p95 > 442.0 THEN dtot > 442.0
+                      WHEN p95 <> 0 THEN dtot > p95 * 9.0
+                      ELSE dtot > 9.0 END)
+         SELECT o.user_id, o.event_id,
+                CAST(epoch(date_trunc('second', o.ts)) AS BIGINT) AS time_s,
+                ROUND(o.pr, 4) + 0 AS pr,
+                CASE WHEN fd.user_id IS NOT NULL THEN 32 END AS flag
+         FROM obs o LEFT JOIN fd ON o.user_id = fd.user_id AND o.d = fd.d""",
+    "a21_gap_precip" ->
+      """WITH base AS (
+           SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d,
+                  day(CAST(ts AS DATE)) AS di,
+                  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         obs AS (
+           SELECT user_id, event_id, ts, d,
+             CASE WHEN rn = 1 THEN
+               CASE WHEN user_id % 11 = 0 AND di = 25 THEN 500.0
+                    WHEN user_id % 11 = 5 AND di IN (24, 25) THEN 500.0
+                    ELSE CAST((di % 9) * 4 AS DOUBLE) END
+             ELSE 0.0 END AS pr
+           FROM base),
+         daily AS (
+           SELECT user_id, d,
+                  CAST(SUM(CAST(pr AS DECIMAL(18,2))) AS DOUBLE) AS dtot
+           FROM obs GROUP BY 1, 2),
+         bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+         grid AS (
+           SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                  CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+           FROM bounds),
+         filled AS (
+           SELECT g.user_id, g.d, COALESCE(dl.dtot, 0.0) AS dtot, month(g.d) AS mon
+           FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d),
+         nb AS (
+           SELECT user_id, d, dtot, mon,
+                  dtot - lag(dtot) OVER w AS pg,
+                  lead(dtot) OVER w - dtot AS ng,
+                  COUNT(*) OVER (PARTITION BY user_id, mon) AS n
+           FROM filled
+           WINDOW w AS (PARTITION BY user_id, mon ORDER BY dtot)),
+         fd AS (
+           SELECT user_id, d FROM nb
+           WHERE n > 1 AND least(COALESCE(pg, 1e308), COALESCE(ng, 1e308)) > 200.0)
+         SELECT o.user_id, o.event_id,
+                CAST(epoch(date_trunc('second', o.ts)) AS BIGINT) AS time_s,
+                ROUND(o.pr, 4) + 0 AS pr,
+                CASE WHEN fd.user_id IS NOT NULL THEN 33 END AS flag
          FROM obs o LEFT JOIN fd ON o.user_id = fd.user_id AND o.d = fd.d""",
     // d11: lockstep unnest pairs each paragraph with its position; keep-first is a
     // row_number over the normalized-paragraph fingerprint ordered by (doc, pos)

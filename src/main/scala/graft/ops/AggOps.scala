@@ -253,17 +253,40 @@ object AggOps {
     * Scale shape: one partial-aggregated groupBy to days (obs → days is ~3 orders
     * of magnitude), a station-keyed window over DAYS for the run ids, and the
     * flagged-day join back is broadcast-sized (flagged days are a tiny subset). */
+  /** Decimal-exact daily totals of unflagged, non-null observations — shared by the
+    * daily-precip family (flags 31/32/33). Addition-order independent (the
+    * kmeansStep convention), so downstream equality/percentile logic is identical
+    * across partitionings and engines. */
+  private def dailyTotals(df: DataFrame, keys: Seq[String], timeCol: String,
+                          valueCol: String, flagCol: String,
+                          exactSumScale: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(flagCol).isNull)
+      .groupBy(keys.map(col) :+ to_date(col(timeCol)).as("_day"): _*)
+      .agg(sum(col(valueCol).cast(s"decimal(18,$exactSumScale)"))
+        .cast("double").as("_dtot"))
+
+  /** Stamp `code` into `flagCol` for every obs falling on a flagged (keys, day) —
+    * flagged days are day-grained (broadcast-sized), and the day sides are renamed
+    * so the join back to `df` (their common ancestor) is unambiguous. */
+  private def backflagDays(df: DataFrame, keys: Seq[String], timeCol: String,
+                           flagCol: String, flaggedDays: DataFrame,
+                           code: Int): DataFrame = {
+    val fd = flaggedDays.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"_fk$i") } :+
+        col("_day").as("_fday"): _*)
+    val joinCond = keys.zipWithIndex.map { case (k, i) => col(k) === col(s"_fk$i") }
+      .reduce(_ && _) && (to_date(col(timeCol)) === col("_fday"))
+    df.join(broadcast(fd), joinCond, "left")
+      .select(df.columns.filter(_ != flagCol).map(df(_)) :+
+        when(col("_fday").isNotNull, lit(code)).otherwise(df(flagCol)).as(flagCol): _*)
+  }
+
   def frequentPrecipFlag(df: DataFrame, keys: Seq[String], timeCol: String,
                          valueCol: String, flagCol: String,
                          moderateThresh: Double = 18.0, dayThresh: Int = 5,
                          exactSumScale: Int = 2): DataFrame = {
     val kc = keys.map(col)
-    val day = to_date(col(timeCol))
-    val daily = df
-      .filter(col(valueCol).isNotNull && col(flagCol).isNull)
-      .groupBy(kc :+ day.as("_day"): _*)
-      .agg(sum(col(valueCol).cast(s"decimal(18,$exactSumScale)"))
-        .cast("double").as("_dtot"))
+    val daily = dailyTotals(df, keys, timeCol, valueCol, flagCol, exactSumScale)
       .filter(col("_dtot") > 0)
     val byKey = Window.partitionBy(kc: _*).orderBy(col("_day"))
     val changed = when(lag(col("_dtot"), 1).over(byKey).isNull ||
@@ -273,15 +296,90 @@ object AggOps {
     val flaggedDays = runs
       .withColumn("_rsz", count(lit(1)).over(Window.partitionBy(kc :+ col("_rid"): _*)))
       .filter(col("_rsz") >= dayThresh && col("_dtot") > moderateThresh)
-      // keys renamed so the join-back to df (their common ancestor) is unambiguous
-      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"_fk$i") } :+
-        col("_day").as("_fday"): _*)
-    val joinCond = keys.zipWithIndex.map { case (k, i) => col(k) === col(s"_fk$i") }
-      .reduce(_ && _) && (day === col("_fday"))
-    df.join(broadcast(flaggedDays), joinCond, "left")
-      .select(df.columns.filter(_ != flagCol).map(df(_)) :+
-        when(col("_fday").isNotNull, lit(graft.core.Flags.PrecipDailyFrequent))
-          .otherwise(df(flagCol)).as(flagCol): _*)
+    backflagDays(df, keys, timeCol, flagCol, flaggedDays,
+      graft.core.Flags.PrecipDailyFrequent)
+  }
+
+  /** A20 / QAQC flag 32 — daily-precip climatological outlier
+    * (`qaqc_climatological_outlier.py:463-589`, `qaqc_climatological_outlier_precip`,
+    * GHCN-daily modification): per calendar month across the whole record, the 95th
+    * percentile of the month's NON-ZERO daily totals sets the scale; a day is
+    * flagged when its total exceeds `factor` × p95 (default 9) — or the 442 mm
+    * world-record day directly when p95 itself exceeds it, the reference's
+    * low-sample guard. Daily totals are decimal-exact; the percentile is the same
+    * linear-interpolation statistic in Spark (`percentile`), pandas (`quantile`)
+    * and DuckDB (`quantile_cont`), so the op carries an exact SQL oracle.
+    *
+    * Backflag divergence as [[frequentPrecipFlag]] (exact-date join, not the
+    * year/month/day isin cartesian). One groupBy to days, one percentile agg on
+    * ~12 rows per station-month, broadcast flag-back. */
+  def climOutlierPrecipFlag(df: DataFrame, keys: Seq[String], timeCol: String,
+                            valueCol: String, flagCol: String,
+                            factor: Double = 9.0, worldRecord: Double = 442.0,
+                            exactSumScale: Int = 2): DataFrame = {
+    val kc = keys.map(col)
+    val nz = dailyTotals(df, keys, timeCol, valueCol, flagCol, exactSumScale)
+      .filter(col("_dtot") > 0)
+      .withColumn("_mon", month(col("_day")))
+    val p95 = nz.groupBy(kc :+ col("_mon"): _*)
+      .agg(expr("percentile(_dtot, 0.95)").as("_p95"))
+    val flaggedDays = nz.join(p95, keys :+ "_mon")
+      .filter(
+        when(col("_p95") > worldRecord, col("_dtot") > worldRecord)
+          .when(col("_p95") =!= 0, col("_dtot") > col("_p95") * factor)
+          .otherwise(col("_dtot") > factor))
+    backflagDays(df, keys, timeCol, flagCol, flaggedDays,
+      graft.core.Flags.PrecipDailyOutlier)
+  }
+
+  /** A21 / QAQC flag 33 — daily-precip unusual gap (`qaqc_unusual_gaps.py:449-553`,
+    * `qaqc_unusual_gaps_precip`, HadISD modification): per calendar month across
+    * the record, a day whose total differs by more than `threshold` (default
+    * 200 mm) from EVERY other daily total of that month is flagged. The reference
+    * materializes the full O(n²) pairwise |difference| matrix per month
+    * (`check_differences`, `:449-480`); the predicate "all others differ by more
+    * than t" is equivalent to "the NEAREST other value is more than t away", and
+    * in sorted order the nearest other value is the predecessor or successor — so
+    * this runs as one sort window with lag/lead (O(n log n), and distributable).
+    * The month grid includes empty calendar days as zero totals (pandas
+    * `resample("1D")` semantics), which is load-bearing: a giant value is only
+    * "gapped" if nothing — including dry days — comes near it.
+    *
+    * Backflag divergence, documented: the reference's write-back (`:545-552`)
+    * maps dates through a RangeIndex-keyed series and OVERWRITES the whole eraqc
+    * column (flagged days land NaN — a broken no-op in practice); we implement
+    * the documented intent — flag 33 on the flagged days' obs, existing flags
+    * preserved. Single-day months never flag (the matrix row is vacuously false
+    * in the reference). */
+  def unusualGapsPrecipFlag(df: DataFrame, keys: Seq[String], timeCol: String,
+                            valueCol: String, flagCol: String,
+                            threshold: Double = 200.0,
+                            exactSumScale: Int = 2): DataFrame = {
+    val kc = keys.map(col)
+    val daily = dailyTotals(df, keys, timeCol, valueCol, flagCol, exactSumScale)
+    // per-station full-day grid (resample semantics: empty days count as 0)
+    val grid = daily.groupBy(kc: _*)
+      .agg(min(col("_day")).as("_d0"), max(col("_day")).as("_d1"))
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"_gk$i") } :+
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("_gday"): _*)
+    val gridCond = keys.zipWithIndex.map { case (k, i) => col(s"_gk$i") === col(k) }
+      .reduce(_ && _) && (col("_gday") === col("_day"))
+    val full = grid.join(daily, gridCond, "left")
+      .select(keys.indices.map(i => col(s"_gk$i").as(keys(i))) :+
+        col("_gday").as("_day") :+
+        coalesce(col("_dtot"), lit(0.0)).as("_dtot"): _*)
+      .withColumn("_mon", month(col("_day")))
+    val byVal = Window.partitionBy(kc :+ col("_mon"): _*).orderBy(col("_dtot"))
+    val prevGap = col("_dtot") - lag(col("_dtot"), 1).over(byVal)
+    val nextGap = lead(col("_dtot"), 1).over(byVal) - col("_dtot")
+    val flaggedDays = full
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(kc :+ col("_mon"): _*)))
+      .withColumn("_minGap", least(
+        coalesce(prevGap, lit(Double.MaxValue)),
+        coalesce(nextGap, lit(Double.MaxValue))))
+      .filter(col("_n") > 1 && col("_minGap") > threshold)
+    backflagDays(df, keys, timeCol, flagCol, flaggedDays,
+      graft.core.Flags.PrecipDailyGap)
   }
 
   def ksStatistic(df: DataFrame, keys: Seq[String], valueCol: String,

@@ -161,6 +161,43 @@ class GoldenFlagsSpec extends SparkSpec {
     assert(flagged.forall(_._2.before(ts("2024-02-06 00:00:00"))))
   }
 
+  test("flag 32: daily-precip climatological outlier vs monthly nonzero p95") {
+    // s1: 25 ordinary days (1..5 mm) dominate the sorted order, so the nonzero
+    // p95 interpolates between two ordinaries (= 5) -> 9*p95 = 45; day 28 = 100
+    // exceeds it -> flagged; the zero day never enters the p95 population
+    val rows =
+      (1 to 25).flatMap(d =>
+        Seq(("s1", ts(f"2024-03-$d%02d 06:00:00"), 1.0 + d % 5))) ++
+      Seq(("s1", ts("2024-03-27 06:00:00"), 0.0),
+          ("s1", ts("2024-03-28 06:00:00"), 100.0))
+    val df = rows.toDF("station", "time", "pr")
+      .withColumn("pr_eraqc", lit(null).cast("int"))
+    val out = AggOps.climOutlierPrecipFlag(df, Seq("station"), "time", "pr", "pr_eraqc")
+    assert(flagsOf(out, "pr_eraqc") == Set(Flags.PrecipDailyOutlier))
+    val flagged = out.filter(col("pr_eraqc").isNotNull)
+      .select("time").as[Timestamp].collect().toSet
+    assert(flagged == Set(ts("2024-03-28 06:00:00")))
+  }
+
+  test("flag 33: daily-precip unusual gap via sorted-neighbor min-gap") {
+    // s1: ordinary days 0..40 mm; day 25 = 500 is > 200 from EVERY other total
+    // (including the zero grid days) -> flagged. s2: two 500s on adjacent days
+    // are 0 apart from each other -> neither flags (the all-others rule).
+    val rows =
+      (1 to 10).flatMap(d => Seq(("s1", ts(f"2024-04-$d%02d 06:00:00"), d * 4.0))) ++
+      Seq(("s1", ts("2024-04-25 06:00:00"), 500.0)) ++
+      (1 to 10).flatMap(d => Seq(("s2", ts(f"2024-04-$d%02d 06:00:00"), d * 4.0))) ++
+      Seq(("s2", ts("2024-04-24 06:00:00"), 500.0),
+          ("s2", ts("2024-04-25 06:00:00"), 500.0))
+    val df = rows.toDF("station", "time", "pr")
+      .withColumn("pr_eraqc", lit(null).cast("int"))
+    val out = AggOps.unusualGapsPrecipFlag(df, Seq("station"), "time", "pr", "pr_eraqc")
+    assert(flagsOf(out, "pr_eraqc") == Set(Flags.PrecipDailyGap))
+    val flagged = out.filter(col("pr_eraqc").isNotNull)
+      .select("station", "time").as[(String, Timestamp)].collect().toSet
+    assert(flagged == Set(("s1", ts("2024-04-25 06:00:00"))))
+  }
+
   test("flag 36: elevation span inconsistency flags rows off the distinct-value median") {
     val obs = (Seq.fill(5)(100.0) ++ Seq.fill(5)(120.0) ++ Seq(400.0)).zipWithIndex
       .map { case (e, i) => ("s1", i.toLong, e) }
