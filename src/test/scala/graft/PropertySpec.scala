@@ -131,6 +131,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: flag-33 sorted-neighbor min-gap == the reference's all-pairs rule") {
+    // the op replaces an O(n^2) pairwise |difference| matrix with one sorted
+    // window; this pins the equivalence on generated daily-total sets, including
+    // duplicates and a planted far value
+    forAllSeeded { rnd =>
+      val n = 2 + rnd.nextInt(26) // <= 29 days, all inside one calendar month
+      List.fill(n)((rnd.nextInt(12) * 4).toDouble) ++
+        (if (rnd.nextBoolean()) List(500.0) else Nil) ++
+        (if (rnd.nextInt(4) == 0) List(500.0) else Nil) // sometimes a twin far value
+    } { totals =>
+      val threshold = 200.0
+      // reference semantics: day i flagged iff |v_i - v_j| > t for ALL j != i
+      val brute = totals.zipWithIndex.collect { case (v, i)
+        if totals.zipWithIndex.forall { case (o, j) => j == i || math.abs(v - o) > threshold } => i
+      }.toSet
+      val df = totals.zipWithIndex.map { case (v, i) =>
+        // one obs per consecutive January day carries the total (grid = the days)
+        ("s", Timestamp.valueOf(f"2024-01-${i + 1}%02d 06:00:00"), v)
+      }.toDF("station", "time", "pr")
+        .withColumn("pr_eraqc", org.apache.spark.sql.functions.lit(null).cast("int"))
+      val got = AggOps.unusualGapsPrecipFlag(df, Seq("station"), "time", "pr", "pr_eraqc",
+          threshold = threshold)
+        .filter(col("pr_eraqc").isNotNull)
+        .select("time").as[Timestamp].collect()
+        .map(t => t.toLocalDateTime.getDayOfMonth - 1).toSet
+      assert(got == brute, s"totals=$totals got=$got brute=$brute")
+    }
+  }
+
   test("property: URL canonicalization is idempotent over generated messy URLs") {
     forAllSeeded { rnd =>
       (0 until 20).map { i =>
