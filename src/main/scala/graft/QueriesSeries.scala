@@ -85,6 +85,26 @@ object QueriesSeries {
           sum(col("deacc_flagged").cast("int")).as("n_flagged"))
     }),
 
+    // Flags 34/35 stage: autocorr-gated de-accumulation (`qaqc_deaccumulate.py:296-365`).
+    // Even users get a rising gauge with one small negative glitch at rn=10 (flag 34
+    // on that row, provenance 35 on the whole accum column); odd users alternate
+    // high/low (negative autocorr) and pass through untouched
+    "c34_deaccum_stage" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("ts")))
+      val v = when(col("user_id") % 2 === 0,
+          rn * 3.0 + 5.0 - when(rn === 10, 4.0).otherwise(0.0))
+        .otherwise(lit(5.0) + (rn % 2) * 50.0 + pmod(col("event_id"), lit(5)))
+      val obs = e.select(col("user_id"), col("event_id"), col("ts"), v.as("pr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SeriesOps.deaccumulatePrecipStage(obs, Seq("user_id"), "ts", "pr")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("time_s"),
+          round(col("pr"), 4).as("pr"), col("pr_eraqc").as("flag"),
+          round(col("accum_pr"), 4).as("accum"),
+          col("accum_pr_eraqc").as("accum_flag"))
+    }),
+
     // W12: linear interpolation of interior gaps (SURVEY §2.5 W12)
     "w12_interpolate" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -412,6 +432,50 @@ object QueriesSeries {
                               ELSE d END AS DECIMAL(18,2))) AS DOUBLE) AS total_deacc,
            CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          FROM fl GROUP BY user_id""",
+    "c34_deaccum_stage" ->
+      """WITH base AS (
+           SELECT user_id, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         v0 AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN user_id % 2 = 0
+               THEN rn * 3.0 + 5.0 - (CASE WHEN rn = 10 THEN 4.0 ELSE 0.0 END)
+               ELSE 5.0 + (rn % 2) * 50.0 + (event_id % 5) END AS v
+           FROM base),
+         det AS (
+           SELECT user_id, corr(v, pv) AS ac
+           FROM (SELECT user_id, v,
+                   lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+                 FROM v0 WHERE v > 0)
+           WHERE pv IS NOT NULL GROUP BY 1),
+         d0 AS (
+           SELECT user_id, event_id, ts, v,
+                  v - lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS d
+           FROM v0),
+         sc AS (
+           SELECT user_id, event_id, ts, v, d,
+                  COALESCE(abs(sign(d) - sign(lag(d) OVER (PARTITION BY user_id ORDER BY ts))), 0) AS s
+           FROM d0),
+         r AS (
+           SELECT user_id, event_id, ts, v, d,
+                  (COUNT(*) OVER w3 = 3 AND SUM(s) OVER w3 > 2 AND abs(d) > 10.0) AS ring
+           FROM sc
+           WINDOW w3 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+         fl AS (
+           SELECT r.user_id, r.event_id, r.ts, r.v,
+                  COALESCE((((ring OR d < 0) AND v <> 0.0) OR (d < 0 AND NOT (d < -50.0))), false) AS flagged,
+                  CASE WHEN d IS NULL THEN 0.0 WHEN d < -50.0 THEN 0.0 ELSE d END AS deacc,
+                  COALESCE(det.ac, 0.0) > 0.8 AS acc
+           FROM r LEFT JOIN det ON r.user_id = det.user_id)
+         SELECT user_id, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS time_s,
+                ROUND(CASE WHEN acc THEN (CASE WHEN flagged THEN NULL ELSE deacc END)
+                           ELSE v END, 4) + 0 AS pr,
+                CASE WHEN acc AND flagged THEN 34 END AS flag,
+                ROUND(CASE WHEN acc THEN v END, 4) + 0 AS accum,
+                CASE WHEN acc THEN 35 END AS accum_flag
+         FROM fl""",
     "w12_interpolate" ->
       """WITH v0 AS (SELECT user_id, ts, epoch(ts) AS et,
                  CASE WHEN value BETWEEN 100 AND 400 THEN NULL ELSE value END AS v

@@ -48,8 +48,10 @@ object Flags {
   val PrecipDailyFrequent = 31
   val PrecipDailyOutlier = 32
   val PrecipDailyGap = 33
-  val DeaccumReset = 34
-  val DeaccumRinging = 35
+  // 34 = ambiguous oscillation in the ACCUMULATED series (deacc value nulled);
+  // 35 = whole-column provenance marker on accum_<var> ("deaccumulation applied")
+  val DeaccumAmbiguous = 34
+  val DeaccumProvenance = 35
   val ElevInconsistent = 36
   val ValleywaterLonePeak = 37 // catalogued only; no implementation in reference
   val DerivedSynergistic = 38

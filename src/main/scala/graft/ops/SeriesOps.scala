@@ -126,6 +126,50 @@ object SeriesOps {
     computed.unionByName(untouched).drop("_valid")
   }
 
+  /** Flags 34/35 end-to-end — the deaccumulate QAQC stage
+    * (`qaqc_deaccumulate.py:296-365`, `qaqc_deaccumulate_precip`): each series is
+    * gated on the accumulation detector (lag-1 Pearson autocorrelation of its
+    * POSITIVE subseries > `autocorrThreshold`, `is_precip_accumulated`,
+    * `:28-71`). For an accumulated series, `valueCol` is REPLACED by the
+    * de-accumulated values ([[deaccumulate]]; flagged rows null + flag 34 in
+    * `<var>_eraqc` — the reference re-initializes that column for the stage), the
+    * original gauge moves to `accum_<var>`, and `accum_<var>_eraqc` carries the
+    * whole-column provenance flag 35 ("deaccumulation applied"). Non-accumulated
+    * series pass through untouched with null accum columns.
+    *
+    * Scale shape: the detector is one filtered window+corr agg producing ONE row
+    * per series (broadcast back); the deacc computation is the W9 station-keyed
+    * window. A NaN autocorr (constant/short series) reads as not-accumulated,
+    * exactly the reference's early-False. */
+  def deaccumulatePrecipStage(df: DataFrame, keys: Seq[String], timeCol: String,
+                              valueCol: String,
+                              resetThreshold: Double = 50.0,
+                              ringingThreshold: Option[Double] = Some(10.0),
+                              autocorrThreshold: Double = 0.8): DataFrame = {
+    val flagCol = valueCol + "_eraqc"
+    val accCol = "accum_" + valueCol
+    val accFlagCol = accCol + "_eraqc"
+    val detector = lag1Autocorr(df.filter(col(valueCol) > 0), keys, timeCol, valueCol)
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ak$i") } :+
+        (coalesce(col("autocorr"), lit(0.0)) > autocorrThreshold).as("_isAccum"): _*)
+    val cond = keys.zipWithIndex.map { case (k, i) => col(k) === col(s"_ak$i") }
+      .reduce(_ && _)
+    val existingFlag =
+      if (df.columns.contains(flagCol)) col(flagCol) else lit(null).cast("int")
+    val passthrough = df.columns
+      .filterNot(c => c == valueCol || c == flagCol).map(col).toSeq
+    deaccumulate(df, keys, timeCol, valueCol, resetThreshold, ringingThreshold)
+      .join(broadcast(detector), cond, "left")
+      .withColumn("_acc", coalesce(col("_isAccum"), lit(false)))
+      .select(passthrough ++ Seq(
+        when(col("_acc"), col("deacc")).otherwise(col(valueCol)).as(valueCol),
+        when(col("_acc"),
+          when(col("deacc_flagged"), lit(graft.core.Flags.DeaccumAmbiguous)))
+          .otherwise(existingFlag).as(flagCol),
+        when(col("_acc"), col(valueCol)).as(accCol),
+        when(col("_acc"), lit(graft.core.Flags.DeaccumProvenance)).as(accFlagCol)): _*)
+  }
+
   /** W10 — lag-1 autocorrelation per series (accumulated-gauge detector,
     * `qaqc_deaccumulate.py:28-71`). Returns one row per key with `autocorr`. */
   def lag1Autocorr(df: DataFrame, keys: Seq[String], timeCol: String, valueCol: String): DataFrame = {

@@ -198,6 +198,42 @@ class GoldenFlagsSpec extends SparkSpec {
     assert(flagged == Set(("s1", ts("2024-04-25 06:00:00"))))
   }
 
+  test("flags 34/35: de-accumulation stage replaces the gauge and stamps provenance") {
+    import graft.ops.SeriesOps
+    // s1: rising gauge (positive-subseries autocorr ~1 -> accumulated) with one
+    // SMALL negative non-reset glitch at t5 (28 -> 25; neighbor diffs stay at or
+    // under the ringing magnitude threshold so only the negative-diff rule fires):
+    // that row's deacc nulls + flag 34, the original gauge moves to accum_pr with
+    // whole-column flag 35
+    val s1 = Seq(0.0, 10, 20, 20, 28, 25, 33, 43, 53, 63).zipWithIndex.map {
+      case (v, i) => ("s1", ts(f"2024-05-01 ${i}%02d:00:00"), v)
+    }
+    // s2: alternating high-low (negative autocorr -> instantaneous) passes through
+    val s2 = Seq(5.0, 1, 7, 2, 6, 1, 8, 2, 5, 1).zipWithIndex.map {
+      case (v, i) => ("s2", ts(f"2024-05-01 ${i}%02d:00:00"), v)
+    }
+    val df = (s1 ++ s2).toDF("station", "time", "pr")
+      .withColumn("pr_eraqc", lit(null).cast("int"))
+    val out = SeriesOps.deaccumulatePrecipStage(df, Seq("station"), "time", "pr")
+    val r1 = out.filter(col("station") === "s1").orderBy("time").collect()
+    // flag 34 on exactly the glitch row; its pr (deacc) is null
+    val glitch = r1(5)
+    assert(glitch.getAs[Int]("pr_eraqc") == Flags.DeaccumAmbiguous)
+    assert(glitch.isNullAt(glitch.fieldIndex("pr")))
+    assert(r1.count(!_.isNullAt(r1.head.fieldIndex("pr_eraqc"))) == 1)
+    // accum_pr keeps the original gauge, provenance 35 on the whole column
+    assert(r1.map(_.getAs[Double]("accum_pr")).toSeq ==
+      Seq(0.0, 10, 20, 20, 28, 25, 33, 43, 53, 63))
+    assert(r1.forall(_.getAs[Int]("accum_pr_eraqc") == Flags.DeaccumProvenance))
+    // de-accumulated values: first diff 0, then diffs
+    assert(r1(1).getAs[Double]("pr") == 10.0 && r1(3).getAs[Double]("pr") == 0.0)
+    // s2 untouched: original values, null flags, null accum columns
+    val r2 = out.filter(col("station") === "s2").orderBy("time").collect()
+    assert(r2.map(_.getAs[Double]("pr")).toSeq == Seq(5.0, 1, 7, 2, 6, 1, 8, 2, 5, 1))
+    assert(r2.forall(r => r.isNullAt(r.fieldIndex("accum_pr")) &&
+      r.isNullAt(r.fieldIndex("accum_pr_eraqc"))))
+  }
+
   test("flag 36: elevation span inconsistency flags rows off the distinct-value median") {
     val obs = (Seq.fill(5)(100.0) ++ Seq.fill(5)(120.0) ++ Seq(400.0)).zipWithIndex
       .map { case (e, i) => ("s1", i.toLong, e) }
