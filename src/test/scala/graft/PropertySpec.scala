@@ -160,6 +160,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: flag-31 run detection == brute nonzero-sequence grouping") {
+    // generated daily totals with deliberate repeats/zeros; brute model mirrors the
+    // reference's shift-cumsum run grouping over the NONZERO-day subsequence
+    forAllSeeded { rnd =>
+      List.fill(2 + rnd.nextInt(27))(
+        Seq(0.0, 2.0, 20.0, 20.0, 25.0)(rnd.nextInt(5)))
+    } { totals =>
+      val (mod, dayT) = (18.0, 3)
+      val nz = totals.zipWithIndex.filter(_._1 > 0)
+      val brute = scala.collection.mutable.Set.empty[Int]
+      var i = 0
+      while (i < nz.length) {
+        var j = i
+        while (j < nz.length && nz(j)._1 == nz(i)._1) j += 1
+        if (j - i >= dayT && nz(i)._1 > mod) nz.slice(i, j).foreach(b => brute += b._2)
+        i = j
+      }
+      val df = totals.zipWithIndex.map { case (v, d) =>
+        ("s", Timestamp.valueOf(f"2024-01-${d + 1}%02d 06:00:00"), v)
+      }.toDF("station", "time", "pr")
+        .withColumn("pr_eraqc", org.apache.spark.sql.functions.lit(null).cast("int"))
+      val got = AggOps.frequentPrecipFlag(df, Seq("station"), "time", "pr", "pr_eraqc",
+          moderateThresh = mod, dayThresh = dayT)
+        .filter(col("pr_eraqc").isNotNull)
+        .select("time").as[Timestamp].collect()
+        .map(_.toLocalDateTime.getDayOfMonth - 1).toSet
+      assert(got == brute.toSet, s"totals=$totals got=$got brute=$brute")
+    }
+  }
+
   test("property: URL canonicalization is idempotent over generated messy URLs") {
     forAllSeeded { rnd =>
       (0 until 20).map { i =>
