@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{NetworkCatalogs, StationStatus}
+import graft.sources.{NetworkCatalogs, StationLists, StationStatus}
 
 /** Batch C2 query instantiations — per-network clean catalogs (SURVEY §2.1 S4,
   * data half): the CIMIS / SCAN-SNOTEL / CW3E / VALLEYWATER / MARITIME / MADIS
@@ -295,6 +295,129 @@ object QueriesClean {
       StationStatus.updateStationListQaqc(stations, passed, errors)
         .select(col("era_id"), col("qaqc"),
           unix_timestamp(col("time_qaqc")).as("tq_s"), col("errors_str"))
+    }),
+
+    // All-network station-list generation (`stationlist_generator.py:144-529`):
+    // three network frames with deliberately hostile schemas exercise every fuzzy
+    // column-resolution rule — start_time preferred over begin, disconnect removed
+    // from start candidates (it matches via "connect") but used as the end date,
+    // elev(m)/elev_dem sensor-height decoys removed, "Active" end dates replaced
+    // by the as-of stamp, absent fields null-filled, whole-row duplicates dropped.
+    "s14_stationlist_gen" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val uid = col("user_id")
+      val base = e.groupBy(uid.as("uid")).agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("mn"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("mx"),
+        count(lit(1)).as("nobs"))
+      val u = col("uid")
+      val a = base.select(
+        concat(lit("CIMIS_"), u.cast("string")).as("era-id"),
+        (u % 10 + 32.5).as("lat"),
+        (lit(-120.0) + (u % 7)).as("lon"),
+        (u * 3).cast("double").as("elev"),
+        col("mn").as("start_time"),
+        lit("2001-01-01 00:00:00").as("begin"),
+        col("mx").as("disconnect"),
+        when(u % 4 === 0, "N").otherwise("Y").as("merged"),
+        col("nobs").cast("double").as("total_nobs"))
+      val b = base.filter(u % 2 === 0).select(
+        concat(lit("MARITIME_"), u.cast("string")).as("era-id"),
+        (lit(30.0) + (u % 5)).as("latitude"),
+        (lit(-125.0) + (u % 9) / lit(2.0)).as("longitude"),
+        u.cast("double").as("elev(m)"),
+        (u * 2).cast("double").as("elevation"),
+        (u * 7).cast("double").as("elev_dem"),
+        col("mn").as("start"),
+        when(u % 3 === 0, "Active").otherwise(col("mx")).as("end"),
+        lit("Y").as("merged"),
+        col("nobs").cast("double").as("total_nobs"))
+      val c = e.filter(uid % 3 === 0).select(
+        concat(lit("CW3E_S"), uid.cast("string")).as("era-id"),
+        (uid * 5).cast("double").as("elevation"),
+        when(uid % 2 === 0, "Y").otherwise("N").as("merged"))
+      StationLists.generateStationList(
+        Seq("CIMIS" -> a, "MARITIME" -> b, "CW3E" -> c), "merge",
+        "2022-09-01 00:00:00")
+        .select(col("era_id"), r4(col("latitude")).as("lat"),
+          r4(col("longitude")).as("lon"), r4(col("elevation")).as("elev"),
+          unix_timestamp(col("start_date")).as("start_s"),
+          unix_timestamp(col("end_date")).as("end_s"),
+          col("merged"), col("network"), col("total_nobs").cast("long").as("nobs"))
+    }),
+
+    // Public-facing station list (`public_facing_stationlist_cleanup.py:36-130`):
+    // merged-only filter, ASOSAWOS elevation correction (null / -30479.6952
+    // sentinel, fixed only where a raw ISD row exists), source-id derivation
+    // (ICAO for ASOSAWOS, network-prefix strip otherwise), WKT geometry, and the
+    // state point-in-polygon assignment over two triangles whose shared edge
+    // avoids the coordinate lattice (the p4 construction).
+    "s15_public_stationlist" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val uid = col("user_id")
+      val u = col("uid")
+      val m = e.groupBy(uid.as("uid")).agg(
+          date_trunc("SECOND", min(col("ts"))).as("start_date"),
+          date_trunc("SECOND", max(col("ts"))).as("end_date"),
+          count(lit(1)).as("total_nobs"))
+        .select(
+          when(u % 2 === 0,
+            concat(lit("ASOSAWOS_"), lpad(u.cast("string"), 6, "0")))
+            .otherwise(concat(lit("CIMIS_"), u.cast("string"))).as("era_id"),
+          when(u % 2 === 0, "ASOSAWOS").otherwise(lit("CIMIS")).as("network"),
+          (lit(32.0) + (u % 80) / lit(10.0)).as("latitude"),
+          (lit(-124.0) + (u % 100) / lit(20.0)).as("longitude"),
+          when(u % 7 === 0, lit(null).cast("double"))
+            .when(u % 11 === 0, lit(StationLists.BadElevation))
+            .otherwise(u.cast("double") * 2).as("elevation"),
+          when(u % 13 === 0, "N").otherwise("Y").as("merged"),
+          col("start_date"), col("end_date"), col("total_nobs"))
+      val lp = lpad(u.cast("string"), 6, "0")
+      val asosRaw = e.select(uid.as("uid")).distinct().filter(u % 4 === 0)
+        .select(
+          concat(substring(lp, 1, 3), lit("-"), substring(lp, 4, 3)).as("isd_id"),
+          concat(lit("K"), u.cast("string")).as("icao"),
+          (u.cast("double") * 100).as("elevation"))
+      val states = Seq(
+        "CA" -> Seq((-125.0, 31.9), (-118.9, 31.9), (-125.0, 40.1)),
+        "NV" -> Seq((-118.9, 31.9), (-125.0, 40.1), (-118.9, 40.1)))
+      StationLists.publicStationList(m, asosRaw, states)
+        .select(col("era_id"), col("source_id"), col("network"), col("state"),
+          r4(col("elevation")).as("elev"),
+          unix_timestamp(col("start_date")).as("start_s"),
+          col("total_nobs").cast("long").as("nobs"), col("geometry"))
+    }),
+
+    // Published-listing count comparison (`compare_zarr_counts.py`): per-network
+    // counts on each side plus both missing directions — b drops uid%3 stations
+    // and adds T-prefixed stations absent from a.
+    "s16_count_compare" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val uid = col("user_id")
+      val net = when(uid % 2 === 0, "NETA").otherwise(lit("NETB"))
+      val a = e.select(net.as("network"),
+        concat(lit("S"), uid.cast("string")).as("station"))
+      val b = e.filter(uid % 3 =!= 0)
+        .select(net.as("network"),
+          concat(lit("S"), uid.cast("string")).as("station"))
+        .union(e.filter(uid % 7 === 0)
+          .select(net.as("network"),
+            concat(lit("T"), uid.cast("string")).as("station")))
+      StationLists.compareStationCounts(a, b)
+    }),
+
+    // HDP station-id lookup (`asosawos_station_id_lookup.py:41-105`): the
+    // case-insensitive city-substring path ("city7 municipal" hits exactly the
+    // uid%50==7 class — the trailing context excludes CITY17/CITY27/…).
+    "s17_station_lookup" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val u = col("uid")
+      val stations = e.select(col("user_id").as("uid")).distinct().select(
+        concat(lit("ASOSAWOS_"), u.cast("string")).as("era_id"),
+        concat(lit("K"), u.cast("string")).as("icao"),
+        concat(lit("City"), (u % 50).cast("string"),
+          lit(" Municipal Airport")).as("station_name"))
+      StationLists.asosStationLookup(stations, city = Some("city7 municipal"))
     })
   )
 
@@ -522,6 +645,110 @@ object QueriesClean {
            FROM att GROUP BY m_era_id)
          SELECT b.era_id, b.cleaned,
                 CAST(epoch(b.time_cleaned) AS BIGINT) AS tc_s, p.errors_str
-         FROM base b LEFT JOIN per p USING (era_id)"""
+         FROM base b LEFT JOIN per p USING (era_id)""",
+    "s14_stationlist_gen" ->
+      """WITH base AS (
+           SELECT user_id AS uid,
+                  date_trunc('second', min(ts)) AS mn,
+                  date_trunc('second', max(ts)) AS mx,
+                  count(*) AS nobs
+           FROM events GROUP BY user_id),
+         a AS (SELECT 'CIMIS_' || CAST(uid AS VARCHAR) AS era_id,
+                      uid % 10 + 32.5 AS lat,
+                      -120.0 + (uid % 7) AS lon,
+                      CAST(uid * 3 AS DOUBLE) AS elev,
+                      mn AS start_d, mx AS end_d,
+                      CASE WHEN uid % 4 = 0 THEN 'N' ELSE 'Y' END AS merged,
+                      'CIMIS' AS network, nobs
+               FROM base),
+         b AS (SELECT 'MARITIME_' || CAST(uid AS VARCHAR),
+                      30.0 + (uid % 5),
+                      -125.0 + (uid % 9) / 2.0,
+                      CAST(uid * 2 AS DOUBLE),
+                      mn,
+                      CASE WHEN uid % 3 = 0 THEN TIMESTAMP '2022-09-01 00:00:00'
+                           ELSE mx END,
+                      'Y', 'MARITIME', nobs
+               FROM base WHERE uid % 2 = 0),
+         c AS (SELECT DISTINCT 'CW3E_S' || CAST(user_id AS VARCHAR),
+                      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                      CAST(user_id * 5 AS DOUBLE),
+                      CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+                      CASE WHEN user_id % 2 = 0 THEN 'Y' ELSE 'N' END,
+                      'CW3E', CAST(NULL AS BIGINT)
+               FROM events WHERE user_id % 3 = 0),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+         SELECT era_id, ROUND(lat, 4) + 0 AS lat, ROUND(lon, 4) + 0 AS lon,
+                ROUND(elev, 4) + 0 AS elev,
+                CAST(epoch(start_d) AS BIGINT) AS start_s,
+                CAST(epoch(end_d) AS BIGINT) AS end_s,
+                merged, network, nobs
+         FROM u""",
+    "s15_public_stationlist" ->
+      """WITH base AS (
+           SELECT user_id AS uid,
+                  date_trunc('second', min(ts)) AS mn,
+                  count(*) AS nobs
+           FROM events GROUP BY user_id),
+         m AS (SELECT uid,
+                      CASE WHEN uid % 2 = 0
+                           THEN 'ASOSAWOS_' || lpad(CAST(uid AS VARCHAR), 6, '0')
+                           ELSE 'CIMIS_' || CAST(uid AS VARCHAR) END AS era_id,
+                      CASE WHEN uid % 2 = 0 THEN 'ASOSAWOS' ELSE 'CIMIS' END AS network,
+                      32.0 + (uid % 80) / 10.0 AS latitude,
+                      -124.0 + (uid % 100) / 20.0 AS longitude,
+                      CASE WHEN uid % 7 = 0 THEN NULL
+                           WHEN uid % 11 = 0 THEN -30479.6952
+                           ELSE CAST(uid AS DOUBLE) * 2 END AS elevation,
+                      CASE WHEN uid % 13 = 0 THEN 'N' ELSE 'Y' END AS merged,
+                      mn, nobs
+               FROM base),
+         fixed AS (
+           SELECT m.*,
+                  CASE WHEN network = 'ASOSAWOS'
+                            AND (elevation IS NULL OR elevation = -30479.6952)
+                            AND uid % 4 = 0
+                       THEN CAST(uid AS DOUBLE) * 100 ELSE elevation END AS elev2,
+                  CASE WHEN network = 'ASOSAWOS'
+                       THEN CASE WHEN uid % 4 = 0 THEN 'K' || CAST(uid AS VARCHAR) END
+                       ELSE CAST(uid AS VARCHAR) END AS source_id
+           FROM m WHERE merged = 'Y')
+         SELECT era_id, source_id, network,
+                CASE WHEN latitude < 31.9 + 8.2 * (longitude + 118.9) / (-6.1)
+                     THEN 'CA' ELSE 'NV' END AS state,
+                ROUND(elev2, 4) + 0 AS elev,
+                CAST(epoch(mn) AS BIGINT) AS start_s,
+                nobs,
+                'POINT (' || CAST(CAST(longitude AS DECIMAL(9,4)) AS VARCHAR) || ' ' ||
+                  CAST(CAST(latitude AS DECIMAL(9,4)) AS VARCHAR) || ')' AS geometry
+         FROM fixed""",
+    "s16_count_compare" ->
+      """WITH a AS (
+           SELECT DISTINCT
+                  CASE WHEN user_id % 2 = 0 THEN 'NETA' ELSE 'NETB' END AS network,
+                  'S' || CAST(user_id AS VARCHAR) AS station
+           FROM events),
+         b AS (
+           SELECT DISTINCT network, station FROM (
+             SELECT CASE WHEN user_id % 2 = 0 THEN 'NETA' ELSE 'NETB' END AS network,
+                    'S' || CAST(user_id AS VARCHAR) AS station
+             FROM events WHERE user_id % 3 <> 0
+             UNION ALL
+             SELECT CASE WHEN user_id % 2 = 0 THEN 'NETA' ELSE 'NETB' END,
+                    'T' || CAST(user_id AS VARCHAR)
+             FROM events WHERE user_id % 7 = 0)),
+         j AS (SELECT coalesce(a.network, b.network) AS network,
+                      a.station AS sa, b.station AS sb
+               FROM a FULL OUTER JOIN b
+                 ON a.network = b.network AND a.station = b.station)
+         SELECT network, count(sa) AS n_a, count(sb) AS n_b,
+                CAST(SUM(CASE WHEN sb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS missing_in_b,
+                CAST(SUM(CASE WHEN sa IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS missing_in_a
+         FROM j GROUP BY network""",
+    "s17_station_lookup" ->
+      """SELECT DISTINCT 'ASOSAWOS_' || CAST(user_id AS VARCHAR) AS era_id
+         FROM events WHERE user_id % 50 = 7"""
   )
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.AttrsTable
@@ -125,4 +125,17 @@ object Sinks {
       fs.delete(renamed, false)
     }
   }
+
+  /** Catalog-wide attribute update (`/root/reference/scripts/misc/
+    * update_zarr_attributes.py:42-104`): add or overwrite one GLOBAL attr on every
+    * published obs table, re-consolidating each sidecar. The reference walks an
+    * intake catalog and rewrites each zarr store's `.zattrs`; here each table's
+    * `_graft_attrs` sidecar is kilobytes, so this is a driver-side loop over
+    * sidecar-only I/O — no data file is touched, regardless of table size. */
+  def updateAttr(spark: SparkSession, dataPaths: Seq[String],
+                 key: String, value: String): Unit =
+    dataPaths.foreach { p =>
+      val a = AttrsTable.read(spark, p)
+      AttrsTable(a.global + (key -> value), a.perVar).write(spark, p)
+    }
 }
