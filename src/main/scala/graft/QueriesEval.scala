@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.CaseStudyOps
+
+/** Case-study evaluation query instantiations
+  * (`notebooks/case_study_eval_utils.py`): event-window subsetting, flag
+  * enumeration, record-coverage station search, and the event station subset —
+  * run over `events`-derived obs/station fixtures, oracle-checked. The
+  * `"alternative"` event path carries the windows (the named events predate the
+  * synthetic data's 2024 span). */
+object QueriesEval {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.loadTable(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // event_subset + flags_during_event: range predicate (pushes to the scan)
+    // then one distinct over the flag column, null no-flag row included.
+    "ev1_event_flags" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(col("ts").as("time"),
+        when(col("value") > 300, 25).when(col("value") > 150, 10).as("tas_eraqc"))
+      val sub = CaseStudyOps.eventSubset(obs, "time", "alternative",
+        bufferDays = 2, altStart = Some("2024-01-10"), altEnd = Some("2024-01-12"))
+      CaseStudyOps.flagsDuringEvent(sub, "tas")
+        .select(col("flag").cast("long").as("flag"))
+    }),
+
+    // find_other_events: stations whose record covers the buffered window.
+    "ev2_other_events" -> ((s, dir) => {
+      val stns = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("start_date"), max(col("ts")).as("end_date"))
+        .select(concat(lit("NET_"), col("user_id").cast("string")).as("era_id"),
+          col("start_date"), col("end_date"))
+      CaseStudyOps.findOtherEvents(stns, "2024-01-10", "2024-01-12", bufferDays = 2)
+        .select(col("era_id"), unix_timestamp(col("start_date")).as("start_s"),
+          unix_timestamp(col("end_date")).as("end_s"))
+    }),
+
+    // subset_eval_stns: event-type membership, SNOTEL notes exclusion, county
+    // point-in-polygon (the s15 lattice-safe triangles).
+    "ev3_eval_stns" -> ((s, dir) => {
+      val uid = col("user_id")
+      val u = col("uid")
+      val stns = t(s, dir, "events").select(uid.as("uid")).distinct().select(
+        concat(lit("NET_"), u.cast("string")).as("era_id"),
+        (lit(32.0) + (u % 80) / lit(10.0)).as("latitude"),
+        (lit(-124.0) + (u % 100) / lit(20.0)).as("longitude"),
+        when(u % 4 === 0, "all").when(u % 4 === 1, "santa_ana_wind")
+          .when(u % 4 === 2, "AR").otherwise(lit("none")).as("event_type"),
+        when(u % 10 === 0, "manual check on end date").as("notes"))
+      val counties = Seq(
+        "CA" -> Seq((-125.0, 31.9), (-118.9, 31.9), (-125.0, 40.1)),
+        "NV" -> Seq((-118.9, 31.9), (-125.0, 40.1), (-118.9, 40.1)))
+      CaseStudyOps.subsetEvalStns(stns, "santa_ana_wind", counties, Seq("CA"))
+        .select("era_id", "event_type")
+    }),
+
+    // id_all_flags: every _eraqc variable's distinct values in ONE stacked pass.
+    "ev4_id_flags" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        when(col("value") > 300, 25).when(col("value") > 150, 10).as("tas_eraqc"),
+        when(col("event_id") % 97 === 0, 31).when(col("event_id") % 89 === 0, 34)
+          .as("pr_eraqc"))
+      CaseStudyOps.idAllFlags(obs)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ev1_event_flags" ->
+      """SELECT DISTINCT CAST(CASE WHEN value > 300 THEN 25
+                                   WHEN value > 150 THEN 10 END AS BIGINT) AS flag
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-14 00:00:00'""",
+    "ev2_other_events" ->
+      """SELECT 'NET_' || CAST(user_id AS VARCHAR) AS era_id,
+                CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_s,
+                CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS end_s
+         FROM events GROUP BY user_id
+         HAVING min(ts) <= TIMESTAMP '2024-01-08 00:00:00'
+            AND max(ts) >= TIMESTAMP '2024-01-14 00:00:00'""",
+    "ev3_eval_stns" ->
+      """WITH stns AS (
+           SELECT DISTINCT user_id AS uid,
+                  32.0 + (user_id % 80) / 10.0 AS latitude,
+                  -124.0 + (user_id % 100) / 20.0 AS longitude
+           FROM events)
+         SELECT 'NET_' || CAST(uid AS VARCHAR) AS era_id,
+                CASE WHEN uid % 4 = 0 THEN 'all'
+                     WHEN uid % 4 = 1 THEN 'santa_ana_wind'
+                     WHEN uid % 4 = 2 THEN 'AR' ELSE 'none' END AS event_type
+         FROM stns
+         WHERE uid % 4 IN (0, 1)
+           AND uid % 10 <> 0
+           AND latitude < 31.9 + 8.2 * (longitude + 118.9) / (-6.1)""",
+    "ev4_id_flags" ->
+      """SELECT DISTINCT 'tas_eraqc' AS variable,
+                CAST(CAST(CASE WHEN value > 300 THEN 25
+                               WHEN value > 150 THEN 10 END AS INTEGER) AS VARCHAR)
+                  AS flag
+         FROM events
+         UNION
+         SELECT DISTINCT 'pr_eraqc',
+                CAST(CAST(CASE WHEN event_id % 97 = 0 THEN 31
+                               WHEN event_id % 89 = 0 THEN 34 END AS INTEGER)
+                     AS VARCHAR)
+         FROM events"""
+  )
+}

@@ -71,7 +71,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesSeries.queries ++ QueriesLlm.queries ++
-      QueriesPipeline.queries ++ QueriesClean.queries ++ base
+      QueriesPipeline.queries ++ QueriesClean.queries ++ QueriesEval.queries ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: star-schema equi-join with broadcast dims (SURVEY §2.3 J1)
@@ -177,7 +177,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesSeries.oracles ++ QueriesLlm.oracles ++
-      QueriesPipeline.oracles ++ QueriesClean.oracles ++ baseOracles
+      QueriesPipeline.oracles ++ QueriesClean.oracles ++ QueriesEval.oracles ++
+      baseOracles
 
   private def baseOracles: Map[String, String] = Map(
     "j1_revenue_by_nation" ->
