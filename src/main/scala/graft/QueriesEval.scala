@@ -65,6 +65,22 @@ object QueriesEval {
         when(col("event_id") % 97 === 0, 31).when(col("event_id") % 89 === 0, 34)
           .as("pr_eraqc"))
       CaseStudyOps.idAllFlags(obs)
+    }),
+
+    // data-confidence ranking: per-station flag counts in one stacked pass, then
+    // qc_percent = 1 - no_flag/total — the notebook's ~30-min per-station CSV
+    // loop as two aggregations.
+    "ev5_station_confidence" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        concat(lit("NET_"), col("user_id").cast("string")).as("station"),
+        when(col("value") > 300, 25).when(col("value") > 150, 10).as("tas_eraqc"),
+        when(col("event_id") % 97 === 0, 31).when(col("event_id") % 89 === 0, 34)
+          .as("pr_eraqc"))
+      val counts = graft.pipeline.QaqcPipeline.flagCountReportByStation(
+        obs, "station", Seq("tas_eraqc", "pr_eraqc"))
+      graft.pipeline.QaqcPipeline.stationConfidence(counts)
+        .select(col("station"), col("no_flag"), col("total_obs_count"),
+          round(col("qc_percent"), 4).as("qc_percent"))
     })
   )
 
@@ -107,6 +123,25 @@ object QueriesEval {
                 CAST(CAST(CASE WHEN event_id % 97 = 0 THEN 31
                                WHEN event_id % 89 = 0 THEN 34 END AS INTEGER)
                      AS VARCHAR)
-         FROM events"""
+         FROM events""",
+    "ev5_station_confidence" ->
+      """WITH obs AS (
+           SELECT 'NET_' || CAST(user_id AS VARCHAR) AS station,
+                  CASE WHEN value > 300 THEN '25'
+                       WHEN value > 150 THEN '10' ELSE 'no_flag' END AS tflag,
+                  CASE WHEN event_id % 97 = 0 THEN '31'
+                       WHEN event_id % 89 = 0 THEN '34' ELSE 'no_flag' END AS pflag
+           FROM events),
+         per AS (
+           SELECT station,
+                  SUM(CASE WHEN tflag = 'no_flag' THEN 1 ELSE 0 END) +
+                    SUM(CASE WHEN pflag = 'no_flag' THEN 1 ELSE 0 END) AS no_flag,
+                  2 * COUNT(*) AS total_obs_count
+           FROM obs GROUP BY station)
+         SELECT station, CAST(no_flag AS BIGINT) AS no_flag,
+                CAST(total_obs_count AS BIGINT) AS total_obs_count,
+                ROUND(1 - CAST(no_flag AS DOUBLE) / total_obs_count, 4) + 0
+                  AS qc_percent
+         FROM per"""
   )
 }

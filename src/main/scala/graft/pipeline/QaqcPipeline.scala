@@ -138,4 +138,42 @@ object QaqcPipeline {
     df.withColumn("flag", explode(split(col(flagsColName), ",")))
       .filter(col("flag") =!= "nan")
       .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-station long-format flag counts across all flag columns — the corpus-wide
+    * generalization of [[flagCountReport]] that feeds [[stationConfidence]]:
+    * (station, variable, flag, cnt) rows including each variable's `no_flag` and
+    * `total_obs_count` rows. One stacked pass over the obs table, two partial-agg
+    * groupBys — where the reference writes one `eraqc_counts` CSV per station
+    * (`merge_eraqc_counts.py` called per SLURM task). */
+  def flagCountReportByStation(df: DataFrame, stationCol: String,
+                               flagCols: Seq[String]): DataFrame = {
+    val stacked = df.select(col(stationCol).as("station"),
+      explode(array(flagCols.map(v => struct(lit(v).as("variable"),
+        coalesce(col(v).cast("string"), lit("no_flag")).as("flag"))): _*)).as("vf"))
+      .select(col("station"), col("vf.variable").as("variable"),
+        col("vf.flag").as("flag"))
+    val counts = stacked.groupBy("station", "variable", "flag")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = stacked.groupBy("station", "variable")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("flag", lit("total_obs_count"))
+      .select("station", "variable", "flag", "cnt")
+    counts.unionByName(totals)
+  }
+
+  /** Data-confidence ranking (`notebooks/data_confidence_calculation.ipynb`,
+    * `_pairwise_count`/`station_counts_table`): per station, sum the `no_flag` and
+    * `total_obs_count` rows across variables and rank by
+    * `qc_percent = 1 − no_flag / total_obs_count` (high = heavily flagged). The
+    * reference loops ~15k per-station CSVs through pandas in ~30 minutes; over the
+    * long-format counts table this is ONE groupBy. */
+  def stationConfidence(flagCounts: DataFrame): DataFrame =
+    flagCounts.groupBy("station").agg(
+        sum(when(col("flag") === "no_flag", col("cnt")).otherwise(0L))
+          .as("no_flag"),
+        sum(when(col("flag") === "total_obs_count", col("cnt")).otherwise(0L))
+          .as("total_obs_count"))
+      .withColumn("qc_percent",
+        lit(1.0) - col("no_flag") / col("total_obs_count"))
+      .orderBy(col("qc_percent").desc)
 }

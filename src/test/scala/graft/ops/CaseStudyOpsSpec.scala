@@ -84,6 +84,25 @@ class CaseStudyOpsSpec extends SparkSpec {
     assert(sp.select("era_id").as[String].collect().toSeq == Seq("s5"))
   }
 
+  test("stationConfidence: qc_percent ranks stations by flagged fraction") {
+    import graft.pipeline.QaqcPipeline
+    val obs = Seq(
+      ("s1", Some(25), None), ("s1", None, None),       // 1 of 4 slots flagged
+      ("s2", Some(25), Some(31)), ("s2", Some(10), None) // 3 of 4 slots flagged
+    ).toDF("station", "tas_eraqc", "pr_eraqc")
+    val counts = QaqcPipeline.flagCountReportByStation(
+      obs, "station", Seq("tas_eraqc", "pr_eraqc"))
+    // long-format counts: per (variable) no_flag + flag + total rows
+    val s1tas = counts.filter($"station" === "s1" && $"variable" === "tas_eraqc")
+      .select("flag", "cnt").as[(String, Long)].collect().toMap
+    assert(s1tas == Map("25" -> 1L, "no_flag" -> 1L, "total_obs_count" -> 2L))
+    val conf = QaqcPipeline.stationConfidence(counts)
+      .select("station", "no_flag", "total_obs_count", "qc_percent")
+      .as[(String, Long, Long, Double)].collect()
+    // ordered worst-first: s2 (0.75) before s1 (0.25)
+    assert(conf.toSeq == Seq(("s2", 1L, 4L, 0.75), ("s1", 3L, 4L, 0.25)))
+  }
+
   test("knownIssueCheck: wildcard matching mirrors the reference's conditionals") {
     assert(CaseStudyOps.knownIssueCheck("RAWS", "pr", "RAWS_X").size == 1)
     assert(CaseStudyOps.knownIssueCheck("SNOTEL", "tas", "S_1").size == 2)
