@@ -81,6 +81,21 @@ object QueriesEval {
       graft.pipeline.QaqcPipeline.stationConfidence(counts)
         .select(col("station"), col("no_flag"), col("total_obs_count"),
           round(col("qc_percent"), 4).as("qc_percent"))
+    }),
+
+    // per-(station, variable) flag-rate table off the same long-format counts —
+    // the reference's ~37-min per-station CSV loop as one groupBy.
+    "ev6_flag_rates" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        concat(lit("NET_"), col("user_id").cast("string")).as("station"),
+        when(col("value") > 300, 25).when(col("value") > 150, 10).as("tas_eraqc"),
+        when(col("event_id") % 97 === 0, 31).when(col("event_id") % 89 === 0, 34)
+          .as("pr_eraqc"))
+      val counts = graft.pipeline.QaqcPipeline.flagCountReportByStation(
+        obs, "station", Seq("tas_eraqc", "pr_eraqc"))
+      graft.pipeline.QaqcPipeline.flagRateTable(counts)
+        .select(col("station"), col("variable"), col("total_flag"),
+          col("total_obs_count"), round(col("flag_rate"), 4).as("flag_rate"))
     })
   )
 
@@ -142,6 +157,29 @@ object QueriesEval {
                 CAST(total_obs_count AS BIGINT) AS total_obs_count,
                 ROUND(1 - CAST(no_flag AS DOUBLE) / total_obs_count, 4) + 0
                   AS qc_percent
+         FROM per""",
+    "ev6_flag_rates" ->
+      """WITH obs AS (
+           SELECT 'NET_' || CAST(user_id AS VARCHAR) AS station,
+                  CASE WHEN value > 300 THEN '25'
+                       WHEN value > 150 THEN '10' ELSE 'no_flag' END AS tflag,
+                  CASE WHEN event_id % 97 = 0 THEN '31'
+                       WHEN event_id % 89 = 0 THEN '34' ELSE 'no_flag' END AS pflag
+           FROM events),
+         per AS (
+           SELECT station, 'tas_eraqc' AS variable,
+                  SUM(CASE WHEN tflag <> 'no_flag' THEN 1 ELSE 0 END) AS total_flag,
+                  COUNT(*) AS total_obs_count
+           FROM obs GROUP BY station
+           UNION ALL
+           SELECT station, 'pr_eraqc',
+                  SUM(CASE WHEN pflag <> 'no_flag' THEN 1 ELSE 0 END),
+                  COUNT(*)
+           FROM obs GROUP BY station)
+         SELECT station, variable, CAST(total_flag AS BIGINT) AS total_flag,
+                total_obs_count,
+                ROUND(CAST(total_flag AS DOUBLE) / total_obs_count, 4) + 0
+                  AS flag_rate
          FROM per"""
   )
 }

@@ -161,6 +161,22 @@ object QaqcPipeline {
     counts.unionByName(totals)
   }
 
+  /** Flag-rate table (`qaqc_generate_flag_rates.py:46-230`,
+    * `_pairwise_rate`/`station_rates_table`/`network_rates_table`): per
+    * (station, variable), `flag_rate = Σ real-flag counts / total_obs_count` plus
+    * the total-obs column. The reference loops per-station CSVs (~37 min native,
+    * ~24 min hourly per its own logged timings); over the long-format counts this
+    * is one groupBy. Output stays long-format — the reference's variable-pivoted
+    * CSV is a presentation detail (`writeReport` + pivot serves it). The same op
+    * keyed on a `network` station column is the network table. */
+  def flagRateTable(flagCounts: DataFrame): DataFrame =
+    flagCounts.groupBy("station", "variable").agg(
+        sum(when(col("flag") =!= "no_flag" && col("flag") =!= "total_obs_count",
+          col("cnt")).otherwise(0L)).as("total_flag"),
+        sum(when(col("flag") === "total_obs_count", col("cnt")).otherwise(0L))
+          .as("total_obs_count"))
+      .withColumn("flag_rate", col("total_flag") / col("total_obs_count"))
+
   /** Data-confidence ranking (`notebooks/data_confidence_calculation.ipynb`,
     * `_pairwise_count`/`station_counts_table`): per station, sum the `no_flag` and
     * `total_obs_count` rows across variables and rank by

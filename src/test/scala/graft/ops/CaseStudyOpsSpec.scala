@@ -101,6 +101,13 @@ class CaseStudyOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     // ordered worst-first: s2 (0.75) before s1 (0.25)
     assert(conf.toSeq == Seq(("s2", 1L, 4L, 0.75), ("s1", 3L, 4L, 0.25)))
+    // per-variable rate table off the same counts
+    val rates = QaqcPipeline.flagRateTable(counts)
+      .select("station", "variable", "total_flag", "total_obs_count", "flag_rate")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(rates == Set(
+      ("s1", "tas_eraqc", 1L, 2L, 0.5), ("s1", "pr_eraqc", 0L, 2L, 0.0),
+      ("s2", "tas_eraqc", 2L, 2L, 1.0), ("s2", "pr_eraqc", 1L, 2L, 0.5)))
   }
 
   test("knownIssueCheck: wildcard matching mirrors the reference's conditionals") {
