@@ -96,6 +96,40 @@ object QueriesEval {
       graft.pipeline.QaqcPipeline.flagRateTable(counts)
         .select(col("station"), col("variable"), col("total_flag"),
           col("total_obs_count"), round(col("flag_rate"), 4).as("flag_rate"))
+    }),
+
+    // corpus-level flag-count roll-up with meanings join: never-fired flag 99
+    // surfaces with count 0, unknown flags fill meaning "0" (fillna parity).
+    "ev7_flag_count_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val obs = t(s, dir, "events").select(
+        concat(lit("NET_"), col("user_id").cast("string")).as("station"),
+        when(col("value") > 300, 25).when(col("value") > 150, 10).as("tas_eraqc"),
+        when(col("event_id") % 97 === 0, 31).when(col("event_id") % 89 === 0, 34)
+          .as("pr_eraqc"))
+      val counts = graft.pipeline.QaqcPipeline.flagCountReportByStation(
+        obs, "station", Seq("tas_eraqc", "pr_eraqc"))
+      val meanings = Seq((25, "unusual_large"), (31, "frequent_values"),
+        (99, "never_fires")).toDF("flag_value", "qaqc_function")
+      graft.pipeline.QaqcPipeline.sumFlagCounts(counts, meanings)
+    }),
+
+    // stations-over-time chart data: record spans (spread over several months by
+    // uid-dependent offsets) clamp to the chart window, explode per month, one
+    // count — the pandas period_range-per-row + pivot_table as a single agg.
+    "ev8_stations_over_time" -> ((s, dir) => {
+      val uid = col("user_id")
+      val u = col("uid")
+      val stns = SparkEntry.loadTable(s, dir, "events").groupBy(uid.as("uid"))
+        .agg(min(col("ts")).cast("date").as("mn"),
+          max(col("ts")).cast("date").as("mx"))
+        .select(
+          when(u % 2 === 0, "NETA").otherwise(lit("NETB")).as("network"),
+          add_months(col("mn"), -(u % 5)).as("start_date"),
+          add_months(col("mx"), u % 3).as("end_date"))
+      graft.sources.StationLists.stationsOverTime(stns, "2023-10-01", "2024-03-15")
+        .select(col("network"), col("month").cast("string").as("month"),
+          col("n_stations"))
     })
   )
 
@@ -180,6 +214,53 @@ object QueriesEval {
                 total_obs_count,
                 ROUND(CAST(total_flag AS DOUBLE) / total_obs_count, 4) + 0
                   AS flag_rate
-         FROM per"""
+         FROM per""",
+    "ev7_flag_count_rollup" ->
+      """WITH obs AS (
+           SELECT user_id,
+                  CASE WHEN value > 300 THEN '25'
+                       WHEN value > 150 THEN '10' ELSE 'no_flag' END AS tflag,
+                  CASE WHEN event_id % 97 = 0 THEN '31'
+                       WHEN event_id % 89 = 0 THEN '34' ELSE 'no_flag' END AS pflag
+           FROM events),
+         stacked AS (
+           SELECT tflag AS flag FROM obs
+           UNION ALL SELECT pflag FROM obs),
+         counts AS (
+           SELECT flag, COUNT(*) AS cnt FROM stacked GROUP BY flag
+           UNION ALL
+           SELECT 'total_obs_count', 2 * COUNT(*) FROM obs),
+         m(flag_value, qaqc_function) AS (
+           VALUES (25, 'unusual_large'), (31, 'frequent_values'),
+                  (99, 'never_fires'))
+         SELECT coalesce(c.flag, CAST(m.flag_value AS VARCHAR)) AS flag,
+                CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+                coalesce(m.qaqc_function, '0') AS qaqc_function
+         FROM counts c FULL OUTER JOIN m
+           ON c.flag = CAST(m.flag_value AS VARCHAR)""",
+    "ev8_stations_over_time" ->
+      """WITH base AS (
+           SELECT user_id AS uid, CAST(min(ts) AS DATE) AS mn,
+                  CAST(max(ts) AS DATE) AS mx
+           FROM events GROUP BY user_id),
+         stns AS (
+           SELECT CASE WHEN uid % 2 = 0 THEN 'NETA' ELSE 'NETB' END AS network,
+                  mn - to_months(CAST(uid % 5 AS INTEGER)) AS sd,
+                  mx + to_months(CAST(uid % 3 AS INTEGER)) AS ed
+           FROM base),
+         cl AS (
+           SELECT network,
+                  date_trunc('month', greatest(sd, DATE '2023-10-01')) AS s0,
+                  date_trunc('month', least(ed, DATE '2024-03-15')) AS e0
+           FROM stns),
+         ex AS (
+           SELECT network,
+                  unnest(generate_series(CAST(s0 AS TIMESTAMP),
+                                         CAST(e0 AS TIMESTAMP),
+                                         INTERVAL 1 MONTH)) AS m
+           FROM cl WHERE s0 <= e0)
+         SELECT network, CAST(CAST(m AS DATE) AS VARCHAR) AS month,
+                COUNT(*) AS n_stations
+         FROM ex GROUP BY network, month"""
   )
 }

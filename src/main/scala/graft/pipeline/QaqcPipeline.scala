@@ -177,6 +177,29 @@ object QaqcPipeline {
           .as("total_obs_count"))
       .withColumn("flag_rate", col("total_flag") / col("total_obs_count"))
 
+  /** Network/total flag-count roll-up (`qaqc_success_report_tables.py:49-270`,
+    * `_pairwise_sum`/`_format_table`/`network_sum_flag_counts`): sum the
+    * long-format per-station counts per flag (the reference's pairwise-concat
+    * loop as one groupBy), normalize float-string flag labels (`"25.0"` → `"25"`,
+    * the `:108-111` strip), and FULL-OUTER join the flag-meanings catalog so
+    * never-fired flags surface with count 0; absent meanings fill with `"0"`
+    * exactly like the reference's `fillna(0)`. The special `no_flag` /
+    * `total_obs_count` rows ride through as string-labeled rows. Meanings are
+    * catalog-sized → broadcast. */
+  def sumFlagCounts(flagCounts: DataFrame, meanings: DataFrame): DataFrame = {
+    val summed = flagCounts
+      .withColumn("flag", regexp_replace(col("flag"), "\\.0$", ""))
+      .groupBy("flag").agg(sum(col("cnt")).as("cnt"))
+    val m = broadcast(meanings
+      .select(col("flag_value").cast("string").as("m_flag"),
+        col("qaqc_function")))
+    summed.join(m, summed("flag") === m("m_flag"), "full_outer")
+      .select(coalesce(col("flag"), col("m_flag")).as("flag"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("qaqc_function"), lit("0")).as("qaqc_function"))
+      .orderBy(expr("try_cast(flag AS int)").asc_nulls_last, col("flag"))
+  }
+
   /** Data-confidence ranking (`notebooks/data_confidence_calculation.ipynb`,
     * `_pairwise_count`/`station_counts_table`): per station, sum the `no_flag` and
     * `total_obs_count` rows across variables and rank by

@@ -231,6 +231,32 @@ object StationLists {
       .join(b.select("network", "station").distinct(),
         Seq("network", "station"), "left_anti")
 
+  /** Stations-over-time chart data (`notebooks/figure_utils.py:106-190`,
+    * `get_station_chart`): per (network, month), the count of stations whose
+    * [start_date, end_date] record covers the month. Start dates clamp up to
+    * `floorDate`, end dates clamp down to `asOf` (the reference's "until
+    * present" assumption for open records — null dates take the clamp bound,
+    * matching its NaT comparison fallthrough); each station then explodes into
+    * its month range (bounded: ≤ ~512 months for 1980–2022) and one groupBy
+    * counts — the pandas `period_range`-per-row + pivot_table as a single
+    * explode + agg. */
+  def stationsOverTime(stnList: DataFrame, floorDate: String,
+                       asOf: String): DataFrame = {
+    val lo = to_date(lit(floorDate))
+    val hi = to_date(lit(asOf))
+    stnList
+      .withColumn("_s",
+        trunc(greatest(coalesce(col("start_date").cast("date"), lo), lo), "MONTH"))
+      .withColumn("_e",
+        trunc(least(coalesce(col("end_date").cast("date"), hi), hi), "MONTH"))
+      .filter(col("_s") <= col("_e"))
+      .select(col("network"),
+        explode(sequence(col("_s"), col("_e"), expr("INTERVAL 1 MONTH")))
+          .as("month"))
+      .groupBy("network", "month")
+      .agg(count(lit(1)).as("n_stations"))
+  }
+
   /** HDP station-id lookup (`asosawos_station_id_lookup.py:41-105`): by exact
     * ICAO airport code, or by case-insensitive substring of the station name
     * (city or full airport name). Returns the matching rows — 0, 1, or many,

@@ -110,6 +110,23 @@ class CaseStudyOpsSpec extends SparkSpec {
       ("s2", "tas_eraqc", 2L, 2L, 1.0), ("s2", "pr_eraqc", 1L, 2L, 0.5)))
   }
 
+  test("sumFlagCounts: .0-strip, meanings outer join, fillna-0 parity") {
+    import graft.pipeline.QaqcPipeline
+    val counts = Seq(
+      ("s1", "tas_eraqc", "25.0", 3L), ("s2", "tas_eraqc", "25", 2L),
+      ("s1", "tas_eraqc", "no_flag", 7L),
+      ("s1", "tas_eraqc", "total_obs_count", 10L))
+      .toDF("station", "variable", "flag", "cnt")
+    val meanings = Seq((25, "unusual_large"), (99, "never_fires"))
+      .toDF("flag_value", "qaqc_function")
+    val r = QaqcPipeline.sumFlagCounts(counts, meanings)
+      .as[(String, Long, String)].collect()
+    // numeric flags ascending first, string rows after; "25.0" merged into "25"
+    assert(r.toSeq == Seq(
+      ("25", 5L, "unusual_large"), ("99", 0L, "never_fires"),
+      ("no_flag", 7L, "0"), ("total_obs_count", 10L, "0")))
+  }
+
   test("knownIssueCheck: wildcard matching mirrors the reference's conditionals") {
     assert(CaseStudyOps.knownIssueCheck("RAWS", "pr", "RAWS_X").size == 1)
     assert(CaseStudyOps.knownIssueCheck("SNOTEL", "tas", "S_1").size == 2)

@@ -94,6 +94,23 @@ class StationListsSpec extends SparkSpec {
       "POINT (-120.0000 39.5000)")))
   }
 
+  test("stationsOverTime: clamps, open records, per-month counts") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val stns = Seq(
+      ("N1", Some(d("2020-01-15")), Some(d("2020-03-02"))), // Jan-Mar
+      ("N1", Some(d("2019-06-01")), Some(d("2020-02-10"))), // clamped Jan-Feb
+      ("N1", Some(d("2020-02-20")), None),                  // open end -> Feb-Apr
+      ("N2", Some(d("2020-05-01")), Some(d("2020-06-01")))  // after asOf -> dropped
+    ).toDF("era_id", "start_date", "end_date")
+      .withColumnRenamed("era_id", "network")
+    val r = StationLists.stationsOverTime(stns, "2020-01-01", "2020-04-10")
+      .collect().map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      ("N1", "2020-01-01", 2L), ("N1", "2020-02-01", 3L),
+      ("N1", "2020-03-01", 2L), ("N1", "2020-04-01", 1L)))
+  }
+
   test("compareStationCounts + missingStations: both directions") {
     val a = Seq(("N1", "s1"), ("N1", "s2"), ("N2", "s3")).toDF("network", "station")
     val b = Seq(("N1", "s1"), ("N1", "s9"), ("N2", "s3")).toDF("network", "station")
