@@ -130,6 +130,21 @@ object QueriesEval {
       graft.sources.StationLists.stationsOverTime(stns, "2023-10-01", "2024-03-15")
         .select(col("network"), col("month").cast("string").as("month"),
           col("n_stations"))
+    }),
+
+    // stations that set any flag in the event window, with their distinct flag
+    // sets — the notebook's one-zarr-open-per-station loop as one scan + groupBy.
+    "ev9_stations_with_flags" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        concat(lit("NET_"), col("user_id").cast("string")).as("station"),
+        col("ts").as("time"),
+        when(col("value") > 300, 25).when(col("value") > 150, 10).as("tas_eraqc"),
+        when(col("event_id") % 97 === 0, 31).when(col("event_id") % 89 === 0, 34)
+          .as("pr_eraqc"))
+      CaseStudyOps.stationsWithFlags(obs, "station",
+          Seq("tas_eraqc", "pr_eraqc"), "time", "2024-01-10", "2024-01-12",
+          bufferDays = 2)
+        .select(col("station"), concat_ws(",", col("flags")).as("flags"))
     })
   )
 
@@ -261,6 +276,23 @@ object QueriesEval {
            FROM cl WHERE s0 <= e0)
          SELECT network, CAST(CAST(m AS DATE) AS VARCHAR) AS month,
                 COUNT(*) AS n_stations
-         FROM ex GROUP BY network, month"""
+         FROM ex GROUP BY network, month""",
+    "ev9_stations_with_flags" ->
+      """WITH obs AS (
+           SELECT 'NET_' || CAST(user_id AS VARCHAR) AS station,
+                  CASE WHEN value > 300 THEN '25'
+                       WHEN value > 150 THEN '10' END AS tflag,
+                  CASE WHEN event_id % 97 = 0 THEN '31'
+                       WHEN event_id % 89 = 0 THEN '34' END AS pflag
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+             AND ts <= TIMESTAMP '2024-01-14 00:00:00'),
+         stacked AS (
+           SELECT station, tflag AS flag FROM obs
+           UNION ALL SELECT station, pflag FROM obs)
+         SELECT station,
+                string_agg(DISTINCT flag, ',' ORDER BY flag) AS flags
+         FROM stacked WHERE flag IS NOT NULL
+         GROUP BY station"""
   )
 }

@@ -124,6 +124,25 @@ object CaseStudyOps {
     }
   }
 
+  /** Stations that set any flag in a time window
+    * (`notebooks/find_station_flags.ipynb`, `find_flags` + its per-station tqdm
+    * loop): subset the obs to the window, stack every `_eraqc` column, keep
+    * non-null flags, and collect each station's distinct flag set — the
+    * notebook's one-xarray-open-per-station loop as a single filtered scan +
+    * one groupBy. Callers wanting the notebook's county restriction first filter
+    * the station dimension with [[subsetEvalStns]] / a semi-join. */
+  def stationsWithFlags(obs: DataFrame, stationCol: String, flagCols: Seq[String],
+                        timeCol: String, start: String, end: String,
+                        bufferDays: Int = 0): DataFrame = {
+    val sub = eventSubset(obs, timeCol, "alternative", bufferDays,
+      Some(start), Some(end))
+    sub.select(col(stationCol).as("station"),
+        explode(array(flagCols.map(c => col(c).cast("string")): _*)).as("flag"))
+      .filter(col("flag").isNotNull)
+      .groupBy("station")
+      .agg(sort_array(collect_set(col("flag"))).as("flags"))
+  }
+
   /** Known per-network instrument issues (`known_issue_check`, `:63-160`) as a
     * queryable catalog: (network, variable or "" = any, station or "" = any,
     * advisory). The reference prints these; a library returns them. */

@@ -110,6 +110,19 @@ class CaseStudyOpsSpec extends SparkSpec {
       ("s2", "tas_eraqc", 2L, 2L, 1.0), ("s2", "pr_eraqc", 1L, 2L, 0.5)))
   }
 
+  test("stationsWithFlags: window filter, stacked columns, distinct flag sets") {
+    val obs = Seq(
+      ("s1", ts("2018-01-06 00:00:00"), Some(25), Some(31)),
+      ("s1", ts("2018-01-07 00:00:00"), Some(25), None),
+      ("s2", ts("2018-01-06 00:00:00"), None, None),          // no flags
+      ("s3", ts("2018-02-01 00:00:00"), Some(10), None)       // outside window
+    ).toDF("station", "time", "tas_eraqc", "pr_eraqc")
+    val r = CaseStudyOps.stationsWithFlags(obs, "station",
+        Seq("tas_eraqc", "pr_eraqc"), "time", "2018-01-05", "2018-01-09")
+      .as[(String, Seq[String])].collect()
+    assert(r.toSeq == Seq(("s1", Seq("25", "31"))))
+  }
+
   test("sumFlagCounts: .0-strip, meanings outer join, fillna-0 parity") {
     import graft.pipeline.QaqcPipeline
     val counts = Seq(
