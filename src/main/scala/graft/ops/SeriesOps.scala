@@ -220,11 +220,34 @@ object SeriesOps {
       .select((kc :+ explode(sequence(col("_lo"), col("_hi"), expr("interval 1 hour"))).as(hourCol)): _*)
   }
 
+  /** Single-pass infill: each observed row emits itself plus the missing hours
+    * between it and its predecessor (lag + guarded `sequence` + one explode) —
+    * same result set as the grid/left-join shape ([[hourlyGrid]] documents it)
+    * but ONE window shuffle instead of two aggregations and a join, and the
+    * upstream hourly aggregate is evaluated once instead of twice (isolated 10×
+    * A/B: 3.67 s → 3.05 s min-of-2; the structural win grows with the cost of
+    * the upstream plan, which the old shape ran twice). First rows have no
+    * predecessor, so the grid still starts at each series' min hour. */
   def gapInfill(hourly: DataFrame, keys: Seq[String], hourCol: String): DataFrame = {
-    val grid = hourlyGrid(hourly, keys, hourCol)
-    grid.join(hourly.withColumn("_obs", lit(true)), keys :+ hourCol, "left")
-      .withColumn("standardized_infill", when(col("_obs").isNull, "y").otherwise("n"))
-      .drop("_obs")
+    val valueCols = hourly.columns.filterNot(c => keys.contains(c) || c == hourCol).toSeq
+    val w = seriesWindow(keys, hourCol)
+    val prev = lag(col(hourCol), 1).over(w)
+    val oneHour = expr("INTERVAL 1 HOUR")
+    val gaps = when(prev.isNotNull && prev + oneHour <= col(hourCol) - oneHour,
+      sequence(prev + oneHour, col(hourCol) - oneHour, oneHour))
+    val obsRow = struct(col(hourCol).as("_h") +:
+      valueCols.map(c => col("`" + c + "`")) :+ lit("n").as("standardized_infill"): _*)
+    val gapRow = (h: Column) => struct(h.as("_h") +:
+      valueCols.map(c => lit(null).cast(hourly.schema(c).dataType).as(c)) :+
+      lit("y").as("standardized_infill"): _*)
+    hourly
+      .withColumn("_rows", concat(
+        transform(coalesce(gaps, array().cast("array<timestamp>")), gapRow),
+        array(obsRow)))
+      .select(keys.map(col) :+ explode(col("_rows")).as("_r"): _*)
+      .select(keys.map(col) ++ (col("_r._h").as(hourCol) +:
+        valueCols.map(c => col("_r.`" + c + "`").as(c)) :+
+        col("_r.standardized_infill").as("standardized_infill")): _*)
   }
 
   /** W20 — season key with DJF winter-year convention: December belongs to the *next*
