@@ -221,4 +221,61 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: single-pass gapInfill equals the grid/left-join model") {
+    forAllSeeded { rng =>
+      // 2 keys, sparse hour indices with gaps of 0-5 hours
+      (for (k <- Seq("a", "b")) yield {
+        var h = rng.nextInt(3)
+        val hours = List.fill(2 + rng.nextInt(10)) { val cur = h; h += 1 + rng.nextInt(5); cur }
+        hours.map(i => (k, new Timestamp(1700000000000L + i * 3600000L), rng.nextDouble()))
+      }).flatten
+    } { rows =>
+      val hourly = rows.toDF("k", "hour_ts", "v")
+      val got = SeriesOps.gapInfill(hourly, Seq("k"), "hour_ts")
+        .select("k", "hour_ts", "v", "standardized_infill")
+        .as[(String, Timestamp, Option[Double], String)].collect().toSet
+      // brute model: full grid per key, left join back
+      val obs = rows.map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val lo = rs.map(_._2.getTime).min; val hi = rs.map(_._2.getTime).max
+        (lo to hi by 3600000L).map { t =>
+          val ts0 = new Timestamp(t)
+          obs.get((k, ts0)) match {
+            case Some(v) => (k, ts0, Some(v), "n")
+            case None    => (k, ts0, None, "y")
+          }
+        }
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("property: stationsOverTime equals the per-station clamped month model") {
+    val floorD = java.time.LocalDate.parse("2020-01-01")
+    val asOfD = java.time.LocalDate.parse("2020-11-20")
+    forAllSeeded { rng =>
+      (0 until (3 + rng.nextInt(8))).map { i =>
+        val net = if (rng.nextBoolean()) "N1" else "N2"
+        val start = java.time.LocalDate.parse("2019-06-01").plusDays(rng.nextInt(500))
+        val end = start.plusDays(rng.nextInt(400))
+        (net, java.sql.Date.valueOf(start),
+          if (rng.nextInt(5) == 0) null else java.sql.Date.valueOf(end))
+      }
+    } { stns =>
+      val df = stns.toDF("network", "start_date", "end_date")
+      val got = graft.sources.StationLists
+        .stationsOverTime(df, "2020-01-01", "2020-11-20")
+        .as[(String, java.sql.Date, Long)].collect()
+        .map(r => (r._1, r._2.toString) -> r._3).toMap
+      val want = stns.flatMap { case (net, sd, ed) =>
+        val s0 = Seq(sd.toLocalDate, floorD).max.withDayOfMonth(1)
+        val e0 = Seq(Option(ed).map(_.toLocalDate).getOrElse(asOfD), asOfD)
+          .min.withDayOfMonth(1)
+        Iterator.iterate(s0)(_.plusMonths(1)).takeWhile(!_.isAfter(e0))
+          .map(m => (net, m.toString))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want)
+    }
+  }
 }
