@@ -548,6 +548,21 @@ object QueriesLlm {
         .select(col("doc_id"))
     }),
 
+    // samp4: CCNet head/middle/tail buckets — per-language score terciles
+    // (quality stands in for the LM perplexity; lowerIsBetter flipped). Narrow
+    // persisted projection: the tercile agg and the bucket probe both consume
+    // the regex-heavy score, computed once (the t9 pattern).
+    "samp4_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      TextOps.perplexityBuckets(docs, Seq("lang"), "q", lowerIsBetter = false)
+        .groupBy(col("lang"), col("ccnet_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("q_sum"))
+    }),
+
     // samp1: deterministic hash-based stratified sampling by language
     "samp1_stratified" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1099,6 +1114,35 @@ object QueriesLlm {
             FROM t),
           thr AS (SELECT lang, quantile_cont(quality, 0.25) AS t FROM m GROUP BY lang)
           SELECT doc_id FROM m JOIN thr USING (lang) WHERE quality >= thr.t""",
+    "samp4_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS tk FROM documents),
+          m AS (SELECT doc_id, lang,
+              ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+                    + (1.0 - least(
+                        (CASE WHEN length(text) = 0 THEN 0.0
+                              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE)
+                                   / length(text) END) * 5.0, 1.0)) * 0.2
+                    + least((CASE WHEN len(tk) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(tk, x -> x IN ($stopwordsSql))) AS DOUBLE)
+                                  / len(tk) END) * 4.0, 1.0) * 0.2
+                    + (CASE WHEN (CASE WHEN len(tk) = 0 THEN 0.0
+                                  ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                                       / len(tk) END) BETWEEN 3.0 AND 10.0
+                            THEN 1.0 ELSE 0.5 END) * 0.3,
+                    6) AS quality
+            FROM t),
+          thr AS (SELECT lang,
+                    quantile_cont(quality, 0.3333333333333333) AS p33,
+                    quantile_cont(quality, 0.6666666666666666) AS p67
+                  FROM m GROUP BY lang)
+          SELECT lang,
+                 CASE WHEN quality >= p67 THEN 'head'
+                      WHEN quality >= p33 THEN 'middle'
+                      ELSE 'tail' END AS ccnet_bucket,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS q_sum
+          FROM m JOIN thr USING (lang)
+          GROUP BY 1, 2""",
     "samp1_stratified" ->
       """WITH k AS (
             SELECT lang,

@@ -174,6 +174,33 @@ object TextOps {
     // O(tokens x k) interpreted allocation per document
     graft.expr.KgramMd5.expr(tokens(lower(text)), k)
 
+  /** CCNet-style head/middle/tail corpus partition (Wenzek et al. 2020, §4.3):
+    * per language, split documents into score terciles and label the best third
+    * `head`, then `middle`, then `tail` — CCNet routes each document by its
+    * Wikipedia-LM perplexity against per-language tercile thresholds; any score
+    * column works (the t13 unigram-LM score is the CCNet-faithful input, the
+    * composite [[qualityScore]] the cheap stand-in). One grouped-percentile agg
+    * (two rows per language, AQE-broadcast back) — no rank shuffle, no sort;
+    * `lowerIsBetter = true` for perplexities, false for quality scores. At
+    * unbounded-cardinality keys pass `exact = false` for the sketch percentile. */
+  def perplexityBuckets(df: DataFrame, keys: Seq[String], scoreCol: String,
+                        lowerIsBetter: Boolean = true, exact: Boolean = true,
+                        out: String = "ccnet_bucket"): DataFrame = {
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val thr = df.groupBy(keys.map(col): _*).agg(
+      expr(s"$fn($scoreCol, 0.3333333333333333)").as("_p33"),
+      expr(s"$fn($scoreCol, 0.6666666666666666)").as("_p67"))
+    val s = col(scoreCol)
+    val bucket =
+      if (lowerIsBetter)
+        when(s <= col("_p33"), "head").when(s <= col("_p67"), "middle")
+          .otherwise("tail")
+      else
+        when(s >= col("_p67"), "head").when(s >= col("_p33"), "middle")
+          .otherwise("tail")
+    df.join(thr, keys).withColumn(out, bucket).drop("_p33", "_p67")
+  }
+
   /** Deterministic split assignment for training-data curation: hash the id (md5,
     * engine-portable) to a uniform value in [0, 1) and carve [train | val | test] by
     * cumulative fractions. Reproducible across runs/engines/shards — membership

@@ -218,4 +218,25 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(d("https://example.com/a/b?a=1&b=2") == ((1L, 2L)))
   }
+
+  test("CCNet buckets: per-key terciles, head/middle/tail, both score directions") {
+    import graft.text.TextOps
+    // 9 docs per lang with scores 1..9: terciles at 3.667/6.333 -> 3/3/3 split
+    val df = (for (l <- Seq("en", "fr"); i <- 1 to 9)
+      yield (s"$l$i", l, i.toDouble)).toDF("doc_id", "lang", "score")
+    val perp = TextOps.perplexityBuckets(df, Seq("lang"), "score")
+      .groupBy("lang", "ccnet_bucket").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(perp == Set(("en","head",3L),("en","middle",3L),("en","tail",3L),
+      ("fr","head",3L),("fr","middle",3L),("fr","tail",3L)))
+    // lowerIsBetter: score 1 (lowest perplexity) is head
+    val h = TextOps.perplexityBuckets(df, Seq("lang"), "score")
+      .filter($"doc_id" === "en1").select("ccnet_bucket").as[String].head()
+    assert(h == "head")
+    // quality direction flipped: score 9 is head
+    val hq = TextOps.perplexityBuckets(df, Seq("lang"), "score",
+      lowerIsBetter = false)
+      .filter($"doc_id" === "en9").select("ccnet_bucket").as[String].head()
+    assert(hq == "head")
+  }
 }
