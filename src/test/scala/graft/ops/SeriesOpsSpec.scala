@@ -99,6 +99,11 @@ class SeriesOpsSpec extends SparkSpec {
     val got = SeriesOps.gapInfill(hourly, Seq("k"), "hour_ts")
     assert(got.count() == 4)
     assert(got.filter(col("standardized_infill") === "y").count() == 2)
+    // structural pin: the single-pass shape has no join and exactly one window —
+    // the upstream plan is consumed once (the r9 rewrite's whole point)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Window").length == 2, plan)
   }
 
   test("W20 season key: December belongs to next winter") {
