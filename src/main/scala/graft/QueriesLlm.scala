@@ -647,6 +647,23 @@ object QueriesLlm {
             lit(" planted tail marker "), col("doc_id").cast("string")).as("text"))
       DedupOps.duplicatedSpans(base.unionByName(planted), "doc_id", "text")
         .filter(col("n_shared_spans") > 0)
+    }),
+
+    // d15: duplicated-span REMOVAL (the Lee et al. second half over d13's planted
+    // fixture). Rows-only BY DESIGN: the positional argmin's rightmost-tie rule
+    // has no portable SQL twin on repetitive token streams (DedupAnnSpec +
+    // WinnowSelectPosSpec pin the semantics; d13 IS the oracle-checked detection
+    // path over the same fingerprints).
+    "d15_span_removal" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 60)),
+            lit(" planted tail marker "), col("doc_id").cast("string")).as("text"))
+      DedupOps.removeDuplicatedSpans(base.unionByName(planted), "doc_id", "text")
+        .filter(col("n_tokens_dropped") > 0)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens_dropped"))
     })
   )
 

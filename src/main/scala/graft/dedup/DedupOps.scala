@@ -577,6 +577,54 @@ object DedupOps {
         sum(col("_shared").cast("long")).as("n_shared_spans"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the second half of Lee et al. 2022
+    * (detection is [[duplicatedSpans]]/d13): for every winnowing fingerprint
+    * shared across documents, keep the occurrence in the LOWEST-id document and
+    * cut the covered k-token grams out of every other document's token stream,
+    * rebuilding the text from the surviving tokens.
+    *
+    * Scale shape mirrors d13: one positional-fingerprint explode, ONE
+    * whole-partition min/max window on the md5-uniform fingerprint (no join, no
+    * all-pairs), then the dropped token indices aggregate per document
+    * (winnowing density ~2/(w+1) × shared fraction — a bounded set) and a
+    * broadcast-size-irrelevant LEFT join back on the document id carries them to
+    * the rebuild, which is a codegen'd indexed `filter` over the token array.
+    *
+    * The operation is on TOKEN STREAMS (exactly Lee et al.'s formulation):
+    * rebuilt text is the surviving tokens joined with single spaces — original
+    * inter-token whitespace is not preserved. Detection marks the k-gram at each
+    * SELECTED position, so removal is conservative: it cuts confirmed-shared
+    * grams (≥ k tokens per hit, merged when selections overlap), not the full
+    * ≥ k+w−1 guaranteed run; tighten by lowering w.
+    *
+    * Returns (id, text — rebuilt, n_tokens_dropped). Keeper documents and
+    * documents with no shared fingerprint pass through unchanged. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 20, w: Int = 31): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(graft.text.TextOps.winnowingFingerprintsPos(col(textCol), k, w))
+        .as("_f"))
+      .select(col(idCol), col("_f.fp").as("_fp"), col("_f.pos").as("_pos"))
+    val byFp = Window.partitionBy(col("_fp"))
+    val drops = fps
+      .withColumn("_minId", min(col(idCol)).over(byFp))
+      .withColumn("_maxId", max(col(idCol)).over(byFp))
+      .filter(col("_minId") =!= col("_maxId") && col(idCol) =!= col("_minId"))
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + lit(k - 1))).as("_ti"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_ti")).as("_drop"))
+    df.join(drops, Seq(idCol), "left")
+      .withColumn("_toks", graft.text.TextOps.tokens(col(textCol)))
+      .select(col(idCol),
+        when(col("_drop").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("_toks"), (t, i) => !array_contains(col("_drop"), i)), " "))
+          .as(textCol),
+        coalesce(size(col("_drop")), lit(0)).cast("long")
+          .as("n_tokens_dropped"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings into cells
     * (IVF argmax-cosine assignment against literal centroids — trained via
     * [[graft.ann.AnnOps.kmeansTrain]] in production, any fixed set here), then

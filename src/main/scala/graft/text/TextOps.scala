@@ -341,6 +341,12 @@ object TextOps {
     // HOF form was O(tokens x w) interpreted allocation, the d13 cost term
     graft.expr.WinnowSelect.expr(kgramHashes(text, k), w)
 
+  /** Positional winnowing fingerprints — `array<struct<fp, pos>>` where `pos` is
+    * the 0-based token index of the selected k-gram; the input span-REMOVAL
+    * needs (detection only needs the values). Same deque selection. */
+  def winnowingFingerprintsPos(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.expr.WinnowSelectPos.expr(kgramHashes(text, k), w)
+
   /** TF-IDF top-`kTerms` keyword extraction per document — the classic corpus-
     * statistics op (topic tagging, keyword-based sampling, index keys). Score =
     * tf * ln(N / df), smoothed by nothing (a term present in every document scores

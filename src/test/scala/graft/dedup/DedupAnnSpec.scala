@@ -424,6 +424,31 @@ class DedupAnnSpec extends SparkSpec {
     assert(out2 == 0, "sub-threshold runs must not collide at k=20")
   }
 
+  test("span removal: keeper and disjoint docs unchanged, dup loses shared grams") {
+    val run = (1 to 55).map(i => s"sharedtok$i").mkString(" ")
+    val filler = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run trailing content here"),
+      (2L, s"$filler $run different tail"),
+      (3L, (1 to 90).map(i => s"unique$i").mkString(" "))).toDF("id", "text")
+    val out = DedupOps.removeDuplicatedSpans(df, "id", "text")
+      .select(col("id"), col("text"), col("n_tokens_dropped"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // keeper (lowest id) and the disjoint doc pass through byte-identical
+    assert(out(1L) == ((s"$run trailing content here", 0L)))
+    assert(out(3L)._2 == 0L)
+    assert(out(3L)._1 == (1 to 90).map(i => s"unique$i").mkString(" "))
+    // the duplicate loses shared grams but keeps its own filler and tail
+    val (t2, dropped2) = out(2L)
+    assert(dropped2 >= 20L, s"dropped $dropped2")
+    assert(t2.contains("pad1") && t2.contains("pad40"))
+    assert(t2.contains("different tail"))
+    assert(!t2.contains(" " + (18 to 42).map(i => s"sharedtok$i").mkString(" ") + " "),
+      "the core of the shared run must be gone")
+    // removal is conservative: never drops more tokens than the shared run holds
+    assert(dropped2 <= 55L)
+  }
+
   test("semantic dedup drops the higher-id twin, keeps singletons, caps cells") {
     val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
     val df = Seq(
