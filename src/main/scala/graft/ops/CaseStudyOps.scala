@@ -35,8 +35,11 @@ object CaseStudyOps {
     * `event = "alternative"` (`event_info`). */
   def eventWindow(event: String, altStart: Option[String] = None,
                   altEnd: Option[String] = None): (String, String) =
-    if (event == "alternative") (altStart.get, altEnd.get)
-    else EventWindows.getOrElse(event,
+    if (event == "alternative") {
+      require(altStart.isDefined && altEnd.isDefined,
+        "event \"alternative\" requires altStart and altEnd (YYYY-MM-DD)")
+      (altStart.get, altEnd.get)
+    } else EventWindows.getOrElse(event,
       throw new IllegalArgumentException(
         s"unknown event $event (options: ${EventWindows.keys.mkString(", ")})"))
 
@@ -111,11 +114,14 @@ object CaseStudyOps {
       case Some(id) => eventStns.filter(col("era_id") === id)
       case None =>
         val polys = counties.filter { case (n, _) => targetCounties.contains(n) }
+        // a requested county absent from the shapefile restricts to the ones
+        // that DO match; all-absent means nothing matches (reduceOption guards
+        // the empty reduce), mirroring the reference's empty-overlay result
         val local =
           if (targetCounties.isEmpty) eventStns
           else eventStns.filter(polys.map { case (_, p) =>
             graft.expr.PointInPolygon.expr(col("longitude"), col("latitude"), p)
-          }.reduce(_ || _))
+          }.reduceOption(_ || _).getOrElse(lit(false)))
         subsetN match {
           case Some(n) => local.withColumn("_h", md5(col("era_id")))
             .orderBy("_h").limit(n).drop("_h")

@@ -227,7 +227,13 @@ object SeriesOps {
     * upstream hourly aggregate is evaluated once instead of twice (isolated 10×
     * A/B: 3.67 s → 3.05 s min-of-2; the structural win grows with the cost of
     * the upstream plan, which the old shape ran twice). First rows have no
-    * predecessor, so the grid still starts at each series' min hour. */
+    * predecessor, so the grid still starts at each series' min hour.
+    *
+    * Precondition (same as the grid shape relied on implicitly): `hourCol` is
+    * hour-truncated — [[hourlyFirst]]/[[hourlySum]] output. Misaligned input
+    * would generate prev+1h off-lattice rows here where the old shape silently
+    * DROPPED the misaligned observation (grid left-join kept only lattice rows);
+    * null hours are filtered, matching the old join's behavior. */
   def gapInfill(hourly: DataFrame, keys: Seq[String], hourCol: String): DataFrame = {
     val valueCols = hourly.columns.filterNot(c => keys.contains(c) || c == hourCol).toSeq
     val w = seriesWindow(keys, hourCol)
@@ -241,6 +247,7 @@ object SeriesOps {
       valueCols.map(c => lit(null).cast(hourly.schema(c).dataType).as(c)) :+
       lit("y").as("standardized_infill"): _*)
     hourly
+      .filter(col(hourCol).isNotNull)
       .withColumn("_rows", concat(
         transform(coalesce(gaps, array().cast("array<timestamp>")), gapRow),
         array(obsRow)))

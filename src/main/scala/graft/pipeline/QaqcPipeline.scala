@@ -154,8 +154,10 @@ object QaqcPipeline {
         col("vf.flag").as("flag"))
     val counts = stacked.groupBy("station", "variable", "flag")
       .agg(count(lit(1)).as("cnt"))
-    val totals = stacked.groupBy("station", "variable")
-      .agg(count(lit(1)).as("cnt"))
+    // totals derive from the aggregated counts, NOT a second pass over the obs
+    // stack — the scan + explode runs once
+    val totals = counts.groupBy("station", "variable")
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("flag", lit("total_obs_count"))
       .select("station", "variable", "flag", "cnt")
     counts.unionByName(totals)
@@ -184,15 +186,17 @@ object QaqcPipeline {
     * the `:108-111` strip), and FULL-OUTER join the flag-meanings catalog so
     * never-fired flags surface with count 0; absent meanings fill with `"0"`
     * exactly like the reference's `fillna(0)`. The special `no_flag` /
-    * `total_obs_count` rows ride through as string-labeled rows. Meanings are
-    * catalog-sized → broadcast. */
+    * `total_obs_count` rows ride through as string-labeled rows. Both join
+    * sides are flag-taxonomy-sized (≤ ~40 rows — the per-flag sums, not the
+    * obs), so the FULL OUTER join (which cannot broadcast) shuffles only
+    * catalog-scale rows. */
   def sumFlagCounts(flagCounts: DataFrame, meanings: DataFrame): DataFrame = {
     val summed = flagCounts
       .withColumn("flag", regexp_replace(col("flag"), "\\.0$", ""))
       .groupBy("flag").agg(sum(col("cnt")).as("cnt"))
-    val m = broadcast(meanings
+    val m = meanings
       .select(col("flag_value").cast("string").as("m_flag"),
-        col("qaqc_function")))
+        col("qaqc_function"))
     summed.join(m, summed("flag") === m("m_flag"), "full_outer")
       .select(coalesce(col("flag"), col("m_flag")).as("flag"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),

@@ -182,14 +182,20 @@ object TextOps {
     * composite [[qualityScore]] the cheap stand-in). One grouped-percentile agg
     * (two rows per language, AQE-broadcast back) — no rank shuffle, no sort;
     * `lowerIsBetter = true` for perplexities, false for quality scores. At
-    * unbounded-cardinality keys pass `exact = false` for the sketch percentile. */
+    * unbounded-cardinality keys pass `exact = false` for the sketch percentile
+    * (`accuracy` as in percentile_approx). A null key forms its own bucket group
+    * (the join-back is null-safe), so no document is silently dropped. */
   def perplexityBuckets(df: DataFrame, keys: Seq[String], scoreCol: String,
                         lowerIsBetter: Boolean = true, exact: Boolean = true,
+                        accuracy: Int = 10000,
                         out: String = "ccnet_bucket"): DataFrame = {
-    val fn = if (exact) "percentile" else "percentile_approx"
+    val fn =
+      if (exact) s"percentile($scoreCol, %s)"
+      else s"percentile_approx($scoreCol, %s, $accuracy)"
     val thr = df.groupBy(keys.map(col): _*).agg(
-      expr(s"$fn($scoreCol, 0.3333333333333333)").as("_p33"),
-      expr(s"$fn($scoreCol, 0.6666666666666666)").as("_p67"))
+      expr(fn.format("0.3333333333333333")).as("_p33"),
+      expr(fn.format("0.6666666666666666")).as("_p67"))
+      .withColumnsRenamed(keys.map(k => k -> s"_k_$k").toMap)
     val s = col(scoreCol)
     val bucket =
       if (lowerIsBetter)
@@ -198,7 +204,9 @@ object TextOps {
       else
         when(s >= col("_p67"), "head").when(s >= col("_p33"), "middle")
           .otherwise("tail")
-    df.join(thr, keys).withColumn(out, bucket).drop("_p33", "_p67")
+    df.join(thr, keys.map(k => col(k) <=> col(s"_k_$k")).reduce(_ && _), "left")
+      .withColumn(out, bucket)
+      .drop((keys.map(k => s"_k_$k") ++ Seq("_p33", "_p67")): _*)
   }
 
   /** Deterministic split assignment for training-data curation: hash the id (md5,

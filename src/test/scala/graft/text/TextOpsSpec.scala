@@ -238,5 +238,11 @@ class TextOpsSpec extends SparkSpec {
       lowerIsBetter = false)
       .filter($"doc_id" === "en9").select("ccnet_bucket").as[String].head()
     assert(hq == "head")
+    // null key forms its own group — nothing is silently dropped
+    val withNull = df.union(Seq(("x1", null, 5.0), ("x2", null, 7.0))
+      .toDF("doc_id", "lang", "score"))
+    val out = TextOps.perplexityBuckets(withNull, Seq("lang"), "score")
+    assert(out.count() == 20L)
+    assert(out.filter($"lang".isNull && $"ccnet_bucket".isNotNull).count() == 2L)
   }
 }
