@@ -58,10 +58,14 @@ class SparkEntrySpec extends SparkSpec {
     // d2x: Spark-seeded xxhash64 has no cross-engine replica BY DESIGN — pair-parity
     // with the md5 path is pinned in DedupAnnSpec (the production-hash bench entry);
     // e8t: multi-round k-means training has no tractable SQL oracle — trained >=
-    // untrained recall pinned in DedupAnnSpec (e8 is the oracle-checked twin).
+    // untrained recall pinned in DedupAnnSpec (e8 is the oracle-checked twin);
+    // d15: positional-argmin rightmost-tie rule has no portable SQL twin —
+    // d13 is the oracle-checked detection path over the same fingerprints
+    // (removal semantics pinned in WinnowSelectPosSpec + DedupAnnSpec).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("w13_gauss_gap", "clim1_outlier_chain",
-      "d2x_minhash_xxhash", "e8t_ivfpq_trained"), s"got $noOracle")
+      "d2x_minhash_xxhash", "e8t_ivfpq_trained", "d15_span_removal"),
+      s"got $noOracle")
     // no orphan oracles either (an oracle without a query never gets checked)
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"orphan oracles: $orphan")
