@@ -390,6 +390,20 @@ object QueriesLlm {
         .select(col("doc_id"))
     }),
 
+    // d16: two-stage Bloom decontamination — result bit-identical to d9 (the
+    // oracle is d9's SQL verbatim); the bloom stage only routes rows around the
+    // anti-join shuffle.
+    "d16_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text10",
+          concat_ws(" ", slice(TextOps.tokens(lower(col("text"))), 1, 10)))
+      DedupOps.decontaminateBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "text10",
+        expectedItems = 10000L, fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+
     // e6: one spherical k-means step; centroid init = the 8 smallest-id embeddings
     // (a k-row driver collect — centroid seeding, not a data collect)
     "e6_kmeans_step" -> ((s, dir) => {
@@ -920,6 +934,17 @@ object QueriesLlm {
             FROM documents)
           SELECT doc_id, ${redactSql("d")} AS red FROM dirty""",
     "d9_decontaminate" ->
+      s"""WITH p AS (
+            SELECT doc_id, source,
+              md5(array_to_string(list_filter(
+                regexp_split_to_array(trim(lower(t10)), '\\s+'), x -> len(x) > 0), ' ')) AS fp
+            FROM (SELECT doc_id, source,
+                    array_to_string(list_slice($toksSql, 1, 10), ' ') AS t10
+                  FROM documents))
+          SELECT doc_id FROM p c
+          WHERE source != 'src0'
+            AND NOT EXISTS (SELECT 1 FROM p r WHERE r.source = 'src0' AND r.fp = c.fp)""",
+    "d16_bloom_decontam" ->
       s"""WITH p AS (
             SELECT doc_id, source,
               md5(array_to_string(list_filter(

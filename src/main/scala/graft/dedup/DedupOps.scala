@@ -298,6 +298,50 @@ object DedupOps {
       fp(corpus(textCol)) === col("_ref_fp"), "left_anti")
   }
 
+  /** Two-stage Bloom decontamination — [[decontaminate]]'s scale path for
+    * reference sets too large to broadcast raw (the 100 TB eval-suite union: at
+    * 1e9 fingerprints the raw 32-hex strings are ~40 GB; the Bloom filter at 1%
+    * fpp is ~1.2 GB of bits). Stage 1 aggregates the reference fingerprints into
+    * a Bloom filter (distributed partial aggregation — executors merge bit
+    * arrays; the driver holds ONE final bit array, `numBits/8` bytes) and tests
+    * every corpus row with the codegen'd `BloomFilterMightContain` over the
+    * literal bits — the exact expression Spark's runtime row-level join
+    * filtering injects, no UDF. Rows the filter rejects are DEFINITELY clean
+    * (no false negatives — both sides hash with the same `xxhash64`); the
+    * ~fpp·N accepted rows exact-verify through the stage-2 anti-join.
+    *
+    * Result is bit-identical to [[decontaminate]] (which IS the oracle): the
+    * Bloom stage only decides which rows must pay the anti-join's shuffle. The
+    * corpus is scanned twice (the clean branch and the verify branch cannot
+    * fork one scan without caching) — the trade is 2× scan for a shuffle that
+    * carries fpp·N rows instead of N, which wins whenever the anti-join would
+    * not broadcast. An empty reference passes the corpus through unchanged. */
+  def decontaminateBloom(corpus: DataFrame, reference: DataFrame, textCol: String,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fp = graft.text.TextOps.fingerprint _
+    val refFps = reference.select(fp(col(textCol)).as("_ref_fp")).distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(col("_ref_fp"))),
+      CLit(expectedItems), CLit(numBits), 0, 0).toAggregateExpression()
+    val bitsRow = refFps.select(GraftSqlBridge.column(agg)).head()
+    if (bitsRow.isNullAt(0)) return corpus // empty reference: nothing to remove
+    val bits = bitsRow.getAs[Array[Byte]](0)
+    val might = GraftSqlBridge.column(BloomFilterMightContain(
+      CLit(bits, org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.expression(xxhash64(fp(col(textCol))))))
+    val marked = corpus.withColumn("_might", might)
+    val clean = marked.filter(!col("_might"))
+    val verified = marked.filter(col("_might"))
+      .join(refFps, fp(col(textCol)) === col("_ref_fp"), "left_anti")
+    clean.unionByName(verified).drop("_might")
+  }
+
   /** Fuzzy decontamination score — the GPT-3/PaLM-style n-gram overlap check that
     * [[decontaminate]]'s exact-fingerprint match cannot express: for each corpus
     * document, the fraction of its distinct word `n`-grams that appear ANYWHERE in

@@ -424,6 +424,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(out2 == 0, "sub-threshold runs must not collide at k=20")
   }
 
+  test("bloom decontamination equals the exact anti-join; empty ref passes through") {
+    val corpus = (1 to 200).map(i => (i.toLong, s"Document body number $i"))
+      .toDF("id", "text")
+    val ref = Seq(7L, 42L, 199L).map(i => (i, s"document   BODY  number $i"))
+      .toDF("rid", "text") // normalization must still match them
+    val exact = DedupOps.decontaminate(corpus, ref, "text")
+      .select("id").as[Long].collect().toSet
+    val bloom = DedupOps.decontaminateBloom(corpus, ref, "text",
+      expectedItems = 100L, fpp = 0.01)
+      .select("id").as[Long].collect().toSet
+    assert(bloom == exact)
+    assert(!bloom.contains(7L) && !bloom.contains(42L) && !bloom.contains(199L))
+    assert(bloom.size == 197)
+    // tight filter (high collision pressure) still yields the exact result —
+    // false positives are verified away, false negatives cannot exist
+    val tight = DedupOps.decontaminateBloom(corpus, ref, "text",
+      expectedItems = 3L, fpp = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(tight == exact)
+    // empty reference: corpus unchanged
+    val none = DedupOps.decontaminateBloom(corpus, ref.limit(0), "text")
+    assert(none.count() == 200L)
+  }
+
   test("span removal: keeper and disjoint docs unchanged, dup loses shared grams") {
     val run = (1 to 55).map(i => s"sharedtok$i").mkString(" ")
     val filler = (1 to 40).map(i => s"pad$i").mkString(" ")
