@@ -406,6 +406,31 @@ object QueriesClean {
       StationLists.compareStationCounts(a, b)
     }),
 
+    // Nested-metadata flattening (`homr_metadata.py:31-78`): an events-derived
+    // HOMR-shaped nested record (struct-of-structs header/location + ragged
+    // per-station updates array) flattens schema-driven — structs to
+    // underscore-joined columns, the array to (row, idx) rows — in one
+    // projection + one posexplode.
+    "s19_homr_flatten" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val nested = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          struct(
+            struct(col("user_id").cast("string").as("ncdcId"),
+              concat(lit("ST"), col("user_id").cast("string")).as("name"))
+              .as("header"),
+            struct((col("user_id") % 50).as("code"), col("n").as("obs"))
+              .as("location")).as("meta"),
+          transform(sequence(lit(0), col("user_id") % 3), i =>
+            struct(i.as("seq"), (col("user_id") + i).as("note"))).as("updates"))
+      val flat = graft.sources.JsonFlatten.flattenStructs(nested)
+      val rows = graft.sources.JsonFlatten.explodeArray(flat, "updates")
+      graft.sources.JsonFlatten.flattenStructs(rows)
+        .select(col("user_id"), col("meta_header_ncdcId").as("ncdc_id"),
+          col("meta_location_code").as("code"), col("meta_location_obs").as("obs"),
+          col("updates_idx"), col("updates_seq"), col("updates_note"))
+    }),
+
     // HDP station-id lookup (`asosawos_station_id_lookup.py:41-105`): the
     // case-insensitive city-substring path ("city7 municipal" hits exactly the
     // uid%50==7 class — the trailing context excludes CITY17/CITY27/…).
@@ -749,6 +774,17 @@ object QueriesClean {
          FROM j GROUP BY network""",
     "s17_station_lookup" ->
       """SELECT DISTINCT 'ASOSAWOS_' || CAST(user_id AS VARCHAR) AS era_id
-         FROM events WHERE user_id % 50 = 7"""
+         FROM events WHERE user_id % 50 = 7""",
+    "s19_homr_flatten" ->
+      """WITH base AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         ex AS (SELECT user_id, n,
+                       unnest(generate_series(0, user_id % 3)) AS i
+                FROM base)
+         SELECT user_id, CAST(user_id AS VARCHAR) AS ncdc_id,
+                user_id % 50 AS code, n AS obs,
+                CAST(i AS INTEGER) AS updates_idx,
+                i AS updates_seq,
+                user_id + i AS updates_note
+         FROM ex"""
   )
 }
