@@ -431,6 +431,19 @@ object QueriesClean {
           col("updates_idx"), col("updates_seq"), col("updates_note"))
     }),
 
+    // Station-concatenation mapping (`qaqc_concatenate_stations.py:87-133`
+    // concatenation_check + the survivor rule): co-located (identical lat/lon)
+    // stations map to their newest member; singletons map to themselves. The
+    // uid%40/uid%25 lattice forces real collision groups.
+    "s20_concat_mapping" -> ((s, dir) => {
+      val stns = t(s, dir, "events").select(col("user_id").as("uid")).distinct()
+        .select(concat(lit("NET_"), col("uid").cast("string")).as("id"),
+          (col("uid") % 40).as("lat"), (col("uid") % 25).as("lon"),
+          col("uid").as("rec"))
+      graft.pipeline.ConcatStations.survivorMapping(stns, "id", "lat", "lon",
+        col("rec"))
+    }),
+
     // HDP station-id lookup (`asosawos_station_id_lookup.py:41-105`): the
     // case-insensitive city-substring path ("city7 municipal" hits exactly the
     // uid%50==7 class — the trailing context excludes CITY17/CITY27/…).
@@ -785,6 +798,14 @@ object QueriesClean {
                 CAST(i AS INTEGER) AS updates_idx,
                 i AS updates_seq,
                 user_id + i AS updates_note
-         FROM ex"""
+         FROM ex""",
+    "s20_concat_mapping" ->
+      """WITH stns AS (SELECT DISTINCT user_id AS uid FROM events),
+         s2 AS (SELECT 'NET_' || CAST(uid AS VARCHAR) AS id,
+                       uid % 40 AS lat, uid % 25 AS lon, uid AS rec
+                FROM stns)
+         SELECT id AS member_id,
+                arg_max(id, rec) OVER (PARTITION BY lat, lon) AS survivor_id
+         FROM s2"""
   )
 }
