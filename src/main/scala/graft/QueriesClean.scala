@@ -431,6 +431,30 @@ object QueriesClean {
           col("updates_idx"), col("updates_seq"), col("updates_note"))
     }),
 
+    // Column gates end-to-end (`qaqc_wholestation.py:56-110` qaqc_eligible_vars,
+    // `merge_clean_vars.py:21-97` filter_columns, dropna(axis=1)): eligibility
+    // and all-null-drop are DATA-dependent (tdps is value<0 — never fires on
+    // this corpus; rsds is literal null), pruning is schema-dependent; the
+    // surviving column names are the query result.
+    "p6_column_gates" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").select(
+        col("value").as("tas"),
+        when(col("value") < 0, col("value")).as("tdps"),
+        when(col("event_id") % 97 === 0, col("value")).as("pr"),
+        lit(null).cast("double").as("rsds"))
+      val eligible = graft.ops.ColumnGates.eligibleVariables(e,
+        Seq("tas", "tdps", "pr", "rsds", "hurs"))
+      val kept = graft.ops.ColumnGates.dropAllNullColumns(e,
+        Seq("tas", "tdps", "pr", "rsds"))
+      val pruned = graft.ops.ColumnGates.pruneColumns(kept,
+        keepSubstrings = Seq("ta", "pr"), dropSubstrings = Seq("qc"))
+      eligible.toDF("var").withColumn("kind", lit("eligible"))
+        .unionByName(kept.columns.toSeq.toDF("var").withColumn("kind", lit("kept")))
+        .unionByName(pruned.columns.toSeq.toDF("var")
+          .withColumn("kind", lit("pruned")))
+    }),
+
     // Station-concatenation mapping (`qaqc_concatenate_stations.py:87-133`
     // concatenation_check + the survivor rule): co-located (identical lat/lon)
     // stations map to their newest member; singletons map to themselves. The
@@ -806,6 +830,20 @@ object QueriesClean {
                 FROM stns)
          SELECT id AS member_id,
                 arg_max(id, rec) OVER (PARTITION BY lat, lon) AS survivor_id
-         FROM s2"""
+         FROM s2""",
+    "p6_column_gates" ->
+      """WITH st AS (
+           SELECT COUNT(value) AS tas_n,
+                  COUNT(CASE WHEN value < 0 THEN value END) AS tdps_n,
+                  COUNT(CASE WHEN event_id % 97 = 0 THEN value END) AS pr_n
+           FROM events)
+         SELECT 'tas' AS var, 'eligible' AS kind FROM st WHERE tas_n > 0
+         UNION ALL SELECT 'tdps', 'eligible' FROM st WHERE tdps_n > 0
+         UNION ALL SELECT 'pr', 'eligible' FROM st WHERE pr_n > 0
+         UNION ALL SELECT 'tas', 'kept' FROM st WHERE tas_n > 0
+         UNION ALL SELECT 'tdps', 'kept' FROM st WHERE tdps_n > 0
+         UNION ALL SELECT 'pr', 'kept' FROM st WHERE pr_n > 0
+         UNION ALL SELECT 'tas', 'pruned' FROM st WHERE tas_n > 0
+         UNION ALL SELECT 'pr', 'pruned' FROM st WHERE pr_n > 0"""
   )
 }
