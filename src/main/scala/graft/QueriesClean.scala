@@ -431,6 +431,56 @@ object QueriesClean {
           col("updates_idx"), col("updates_seq"), col("updates_note"))
     }),
 
+    // Flag 2 — spurious buoy check (`qaqc_buoy_check.py:60-131`): observations
+    // past a station's disestablishment cutoff (bounded by the adrift-window
+    // end_ts where present) flag 2 unless already red-flagged; synthetic cutoff
+    // catalog on uid%3 stations, end-bounded on uid%9, pre-set flag 11 rows
+    // exercise the validObs guard.
+    "c1_buoy_flags" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val obs = e.select(
+        concat(lit("MARITIME_"), col("user_id").cast("string")).as("station"),
+        col("ts").as("time"),
+        when(col("event_id") % 50 === 0, 11).cast("int").as("tas_eraqc"))
+      val cutoffs = e.select(col("user_id").as("uid")).distinct()
+        .filter(col("uid") % 3 === 0)
+        .select(concat(lit("MARITIME_"), col("uid").cast("string")).as("station"),
+          lit("2024-01-15 00:00:00").cast("timestamp").as("cutoff_ts"),
+          when(col("uid") % 9 === 0,
+            lit("2024-01-25 00:00:00").cast("timestamp")).as("end_ts"))
+      graft.ops.CleanOps.flagDisestablished(obs, "station", "time", Seq("tas_eraqc"), cutoffs)
+        .groupBy(col("tas_eraqc").cast("long").as("flag"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Flag 1 — known-issue hour-of-day window (`qaqc_buoy_check.py:133-145`):
+    // affected stations' obs inside the local-hour window flag 1.
+    "c2_buoy_hours" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val obs = e.select(
+        concat(lit("MARITIME_"), col("user_id").cast("string")).as("station"),
+        col("ts").as("time"),
+        when(col("event_id") % 50 === 0, 11).cast("int").as("tas_eraqc"))
+      val issues = e.select(col("user_id").as("uid")).distinct()
+        .filter(col("uid") % 5 === 0)
+        .select(concat(lit("MARITIME_"), col("uid").cast("string")).as("station"),
+          lit(6).as("hour_lo"), lit(20).as("hour_hi"))
+      graft.ops.CleanOps.flagKnownIssueHours(obs, "station", "time", Seq("tas_eraqc"), issues)
+        .groupBy(col("tas_eraqc").cast("long").as("flag"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Sessionization (SURVEY §7 ext; streaming twin in StreamingOps): 30-min
+    // gap rule, per-station session counts.
+    "w21_sessionize" -> ((s, dir) => {
+      graft.ops.SeriesOps.sessionize(
+          t(s, dir, "events").select(col("user_id"), col("ts")),
+          Seq("user_id"), "ts", gapSeconds = 1800)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n"))
+    }),
+
     // Column gates end-to-end (`qaqc_wholestation.py:56-110` qaqc_eligible_vars,
     // `merge_clean_vars.py:21-97` filter_columns, dropna(axis=1)): eligibility
     // and all-null-drop are DATA-dependent (tdps is value<0 — never fires on
@@ -844,6 +894,42 @@ object QueriesClean {
          UNION ALL SELECT 'tdps', 'kept' FROM st WHERE tdps_n > 0
          UNION ALL SELECT 'pr', 'kept' FROM st WHERE pr_n > 0
          UNION ALL SELECT 'tas', 'pruned' FROM st WHERE tas_n > 0
-         UNION ALL SELECT 'pr', 'pruned' FROM st WHERE pr_n > 0"""
+         UNION ALL SELECT 'pr', 'pruned' FROM st WHERE pr_n > 0""",
+    "c1_buoy_flags" ->
+      """WITH obs AS (
+           SELECT user_id AS uid, ts AS time,
+                  CASE WHEN event_id % 50 = 0 THEN 11 END AS flag
+           FROM events)
+         SELECT CAST(CASE WHEN uid % 3 = 0
+                            AND time >= TIMESTAMP '2024-01-15 00:00:00'
+                            AND (uid % 9 <> 0
+                                 OR time <= TIMESTAMP '2024-01-25 00:00:00')
+                            AND flag IS NULL
+                          THEN 2 ELSE flag END AS BIGINT) AS flag,
+                COUNT(*) AS n
+         FROM obs GROUP BY 1""",
+    "c2_buoy_hours" ->
+      """WITH obs AS (
+           SELECT user_id AS uid, ts AS time,
+                  CASE WHEN event_id % 50 = 0 THEN 11 END AS flag
+           FROM events)
+         SELECT CAST(CASE WHEN uid % 5 = 0
+                            AND hour(time) BETWEEN 6 AND 20
+                            AND flag IS NULL
+                          THEN 1 ELSE flag END AS BIGINT) AS flag,
+                COUNT(*) AS n
+         FROM obs GROUP BY 1""",
+    "w21_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tl,
+                  LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         o AS (SELECT user_id,
+                      CASE WHEN prev IS NULL OR tl - prev > 1800 THEN 1 ELSE 0 END
+                        AS op
+               FROM x)
+         SELECT user_id, CAST(SUM(op) AS BIGINT) AS n_sessions, COUNT(*) AS n
+         FROM o GROUP BY user_id"""
   )
 }
