@@ -530,6 +530,57 @@ object QueriesClean {
         concat(lit("City"), (u % 50).cast("string"),
           lit(" Municipal Airport")).as("station_name"))
       StationLists.asosStationLookup(stations, city = Some("city7 municipal"))
+    }),
+
+    // Station-coverage map data (`station_coverage_figure.py:43-117`): the
+    // figure's data half — Web-Mercator reprojection + the network colormap
+    // broadcast join; NET4 is missing from the colormap (null color, the
+    // reference would plot it grey).
+    "s21_coverage_map" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val u = col("uid")
+      val stations = e.select(col("user_id").as("uid")).distinct().select(
+        concat(lit("NET"), (u % 5).cast("string"), lit("_"),
+          u.cast("string")).as("era_id"),
+        concat(lit("NET"), (u % 5).cast("string")).as("network"),
+        (lit(31.0) + (u % 90) / lit(10.0)).as("latitude"),
+        (lit(-124.0) + (u % 120) / lit(12.0)).as("longitude"))
+      val colors = s.createDataFrame(Seq(
+        ("NET0", "1f77b4"), ("NET1", "ff7f0e"), ("NET2", "2ca02c"),
+        ("NET3", "d62728"))).toDF("network", "color")
+      StationLists.coverageMapData(stations, colors)
+        .select(col("station_id"), col("network"),
+          r4(col("x_merc")).as("x_merc"), r4(col("y_merc")).as("y_merc"),
+          col("color"))
+    }),
+
+    // CW3E per-station multi-file combine (`CW3E_combine.py:137-216`): union of
+    // per-file frames gated to ledger-cleaned CW3E stations (uid%4==0 is
+    // uncleaned; the same ids appear cleaned under network OTHER and must stay
+    // excluded — the network filter, not just the id match, is the gate).
+    "s22_cw3e_combine" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val uid = col("user_id")
+      val parts = e.select(
+        concat(lit("CW3E_"), uid.cast("string")).as("era_id"),
+        concat(lit("raw_"), uid.cast("string"), lit("_"),
+          (dayofmonth(col("ts")) % 4).cast("string"), lit(".nc")).as("file"),
+        col("ts").as("time"), col("value"))
+      val ids = e.select(uid.as("uid")).distinct()
+      val u = col("uid")
+      val ledger = ids.select(
+          concat(lit("CW3E_"), u.cast("string")).as("era_id"),
+          lit("CW3E").as("network"),
+          when(u % 4 === 0, "N").otherwise("Y").as("cleaned"))
+        .union(ids.filter(u % 4 === 0).select(
+          concat(lit("CW3E_"), u.cast("string")).as("era_id"),
+          lit("OTHER").as("network"), lit("Y").as("cleaned")))
+      StationLists.combineStationFiles(parts, ledger, "CW3E")
+        .groupBy(col("era_id"))
+        .agg(countDistinct(col("file")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          unix_timestamp(min(col("time"))).as("t0_s"),
+          unix_timestamp(max(col("time"))).as("t1_s"))
     })
   )
 
@@ -881,6 +932,45 @@ object QueriesClean {
          SELECT id AS member_id,
                 arg_max(id, rec) OVER (PARTITION BY lat, lon) AS survivor_id
          FROM s2""",
+    "s21_coverage_map" ->
+      """WITH st AS (SELECT DISTINCT user_id AS uid FROM events),
+         s2 AS (SELECT
+                  'NET' || CAST(uid % 5 AS VARCHAR) || '_' ||
+                    CAST(uid AS VARCHAR) AS station_id,
+                  'NET' || CAST(uid % 5 AS VARCHAR) AS network,
+                  31.0 + (uid % 90) / 10.0 AS lat,
+                  -124.0 + (uid % 120) / 12.0 AS lon
+                FROM st),
+         colors(network, color) AS (VALUES
+           ('NET0', '1f77b4'), ('NET1', 'ff7f0e'),
+           ('NET2', '2ca02c'), ('NET3', 'd62728'))
+         SELECT station_id, s2.network,
+                ROUND(radians(lon) * 6378137, 4) + 0 AS x_merc,
+                ROUND(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137, 4) + 0
+                  AS y_merc,
+                '#' || c.color AS color
+         FROM s2 LEFT JOIN colors c ON s2.network = c.network""",
+    "s22_cw3e_combine" ->
+      """WITH ids AS (SELECT DISTINCT user_id AS uid FROM events),
+         ledg AS (
+           SELECT 'CW3E_' || CAST(uid AS VARCHAR) AS era_id, 'CW3E' AS network,
+                  CASE WHEN uid % 4 = 0 THEN 'N' ELSE 'Y' END AS cleaned
+           FROM ids
+           UNION ALL
+           SELECT 'CW3E_' || CAST(uid AS VARCHAR), 'OTHER', 'Y'
+           FROM ids WHERE uid % 4 = 0),
+         wanted AS (SELECT era_id FROM ledg
+                    WHERE network = 'CW3E' AND cleaned = 'Y'),
+         parts AS (SELECT 'CW3E_' || CAST(user_id AS VARCHAR) AS era_id,
+                          'raw_' || CAST(user_id AS VARCHAR) || '_' ||
+                            CAST(day(ts) % 4 AS VARCHAR) || '.nc' AS file,
+                          ts
+                   FROM events)
+         SELECT p.era_id, COUNT(DISTINCT file) AS n_files, COUNT(*) AS n_rows,
+                CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS t0_s,
+                CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT) AS t1_s
+         FROM parts p JOIN wanted w ON p.era_id = w.era_id
+         GROUP BY p.era_id""",
     "p6_column_gates" ->
       """WITH st AS (
            SELECT COUNT(value) AS tas_n,

@@ -746,4 +746,66 @@ object DedupOps {
       .withColumn("k", lit(k))
     (semanticDedup(df, idCol, vecCol, centroids, threshold, cap), stats)
   }
+
+  /** CCNet-style line-frequency dedup (Wenzek et al. 2020): delete EVERY
+    * occurrence of a line whose normalized fingerprint appears in at least
+    * `minDocFreq` DISTINCT documents. Unlike [[dedupParagraphs]] (keep-first),
+    * a popular line disappears everywhere — nav bars / cookie banners /
+    * "all rights reserved" footers are boilerplate wherever they occur, not
+    * content attributable to the first page crawled. Whitespace-only lines are
+    * document structure, not content: always kept. Documents are returned even
+    * if every content line was removed (empty text, caller filters) so removal
+    * accounting stays complete.
+    *
+    * Scale shape: one posexplode (row per line), one two-stage
+    * groupBy(fingerprint) for document frequencies ((fp, id) distinct first, so
+    * the combiner dedups map-side before the exchange), one fingerprint-keyed
+    * join back (hash-co-partitioned with the agg — no extra exchange under AQE),
+    * one groupBy(id) reassembly. A viral line makes a heavy fingerprint key on
+    * the FREQ side only (one count row); the join back is a broadcast-size
+    * lookup against the frequent-line subset when `minDocFreq` filtering is
+    * pushed, and never all-pairs. */
+  def dedupLinesByFrequency(df: DataFrame, idCol: String, textCol: String,
+                            minDocFreq: Int = 2, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "_pos", "_line")
+      .withColumn("_fp", graft.text.TextOps.fingerprint(col("_line")))
+      .withColumn("_blank", trim(col("_line")) === "")
+    // frequent-line table: only fingerprints at/over the threshold survive the
+    // HAVING — at scale this is tiny (boilerplate is rare among distinct lines),
+    // so the join back broadcasts under AQE
+    val frequent = lines.filter(!col("_blank"))
+      .select(col("_fp"), col(idCol)).distinct()
+      .groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+    lines.join(frequent, Seq("_fp"), "left")
+      .withColumn("_keep", col("_blank") || col("_df").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          filter(array_sort(collect_list(struct(col("_pos"), col("_line"), col("_keep")))),
+            s => s.getField("_keep")),
+          s => s.getField("_line"))).as(textCol),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_lines_removed"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_lines_kept"))
+  }
+
+  /** Quality-aware cluster resolution (the FineWeb/Gopher curation rule): given
+    * near-dup clusters (e.g. [[connectedComponents]] output `(id, cluster)`) and
+    * a per-document quality score, keep the HIGHEST-quality member of each
+    * cluster instead of the lowest id — dedup should discard the mirror with the
+    * ads, not the original. Ties break on the lower id (deterministic).
+    *
+    * Scale shape: one id-keyed equi-join (both sides hash-partition on id), one
+    * window shuffle on the cluster key. Cluster cardinality is bounded by the
+    * near-dup clique size, so the per-partition sort state is small; the window
+    * computes a single row_number — O(1) memory per key. */
+  def resolveClustersByQuality(clusters: DataFrame, quality: DataFrame,
+                               idCol: String, qCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(qCol).desc, col(idCol))
+    clusters.join(quality.select(col(idCol), col(qCol)), Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

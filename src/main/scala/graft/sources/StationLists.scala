@@ -272,4 +272,53 @@ object StationLists {
         .select("era_id")
       case _ => throw new IllegalArgumentException("pass code= or city=")
     }
+
+  /** Web-Mercator (EPSG:3857) x/y from WGS84 lon/lat — the
+    * `to_crs(epsg=3857)` reprojection of `station_coverage_figure.py:70-80`
+    * done as closed-form columns (spherical Mercator: x = R·λ,
+    * y = R·ln(tan(π/4 + φ/2)), R = 6378137). Pure column arithmetic —
+    * codegen'd, no GIS library, no shuffle. */
+  def webMercator(lonCol: Column, latCol: Column): (Column, Column) = {
+    val R = 6378137.0
+    val x = radians(lonCol) * R
+    val y = log(tan(lit(math.Pi / 4) + radians(latCol) / 2)) * R
+    (x, y)
+  }
+
+  /** Station-coverage map data (`station_coverage_figure.py:43-117`): the
+    * figure minus matplotlib — station points reprojected to Web Mercator with
+    * each network's plot color attached from the colormap table (the
+    * `network_colors.txt` two-column file). The colors table is
+    * network-cardinality (tens of rows) — broadcast join. */
+  def coverageMapData(stations: DataFrame, networkColors: DataFrame): DataFrame = {
+    val (x, y) = webMercator(col("longitude"), col("latitude"))
+    stations
+      .select(col("era_id").as("station_id"), col("network"),
+        x.as("x_merc"), y.as("y_merc"))
+      .join(broadcast(networkColors
+        .select(col("network"), concat(lit("#"), col("color")).as("color"))),
+        Seq("network"), "left")
+  }
+
+  /** Per-station multi-file combine (`CW3E_combine.py:137-216`): the reference
+    * loops stations, finds every NetCDF whose filename contains the station id,
+    * concatenates along time, sorts chronologically, and writes one store. In
+    * Spark the loop disappears: `parts` is the union of all per-file frames
+    * (one `file` + `era_id` + `time` + payload), gated to ledger-cleaned
+    * stations of the network by a broadcast semi-join, and "concat + sortby" is
+    * a partition-local sort under station partitioning — the writer's
+    * `sortWithinPartitions(station, time)` layout (Sinks.writeObs). Returns the
+    * combined per-station record with file provenance retained.
+    *
+    * @param parts  rows from every candidate file: `file`, `era_id`, `time`, …
+    * @param ledger clean-status station list: `era_id`, `network`, `cleaned` */
+  def combineStationFiles(parts: DataFrame, ledger: DataFrame,
+                          network: String): DataFrame = {
+    val wanted = ledger
+      .filter(col("network") === network && col("cleaned") === "Y")
+      .select(col("era_id"))
+    parts.join(broadcast(wanted), Seq("era_id"), "left_semi")
+      .repartition(col("era_id"))
+      .sortWithinPartitions(col("era_id"), col("time"))
+  }
 }

@@ -533,4 +533,39 @@ class DedupAnnSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_vecs_excluded") > 0L)
     assert(s2.getAs[Long]("n_cells_capped") > 0L)
   }
+
+  test("line-frequency dedup removes EVERY occurrence of a common line, keeps blanks") {
+    val banner = "click here to subscribe"
+    val df = Seq(
+      (1L, s"alpha unique one\n$banner\n\nbody of doc one"),
+      (2L, s"$banner\nbody of doc two"),
+      (3L, "totally unique document three"),
+      (4L, banner)) // every content line is boilerplate -> empty text survives as a row
+      .toDF("id", "text")
+    val out = DedupOps.dedupLinesByFrequency(df, "id", "text", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_lines_removed"), r.getAs[Long]("n_lines_kept")))
+      .toMap
+    // the banner vanishes from docs 1, 2 AND 4 (no keep-first); the blank line in
+    // doc 1 is structure and survives
+    assert(out(1L) == (("alpha unique one\n\nbody of doc one", 1L, 3L)))
+    assert(out(2L) == (("body of doc two", 1L, 1L)))
+    assert(out(3L) == (("totally unique document three", 0L, 1L)))
+    assert(out(4L) == (("", 1L, 0L)))
+    // case/whitespace-normalized variants count as the same line
+    val df2 = Seq((1L, "Click  HERE to subscribe"), (2L, banner)).toDF("id", "text")
+    val out2 = DedupOps.dedupLinesByFrequency(df2, "id", "text", minDocFreq = 2)
+    assert(out2.agg(sum("n_lines_removed")).as[Long].head() == 2L)
+  }
+
+  test("quality-aware cluster resolution keeps the best-quality member, ties to lower id") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("id", "cluster")
+    val quality = Seq((10L, 5.0), (11L, 9.0), (12L, 9.0), (20L, 3.0), (21L, 3.0))
+      .toDF("id", "q")
+    val out = DedupOps.resolveClustersByQuality(clusters, quality, "id", "q")
+      .filter(col("keep")).select("id").as[Long].collect().sorted.toSeq
+    // cluster 1: 11 and 12 tie at q=9 -> lower id 11; cluster 2: 20/21 tie -> 20
+    assert(out == Seq(11L, 20L))
+  }
 }

@@ -152,4 +152,42 @@ class StationListsSpec extends SparkSpec {
     }
     assert(spark.read.parquet(s"$dir/t1").count() == 1L)
   }
+
+  test("webMercator matches the EPSG:3857 closed form at known points") {
+    val df = Seq((0.0, 0.0), (180.0, 0.0), (-122.4194, 37.7749)).toDF("lon", "lat")
+    val (x, y) = StationLists.webMercator(col("lon"), col("lat"))
+    val rows = df.select(x.as("x"), y.as("y")).as[(Double, Double)].collect()
+    assert(math.abs(rows(0)._1) < 1e-9 && math.abs(rows(0)._2) < 1e-9)
+    assert(math.abs(rows(1)._1 - math.Pi * 6378137.0) < 1e-6)
+    // San Francisco, the standard reprojection check values (proj/epsg.io)
+    assert(math.abs(rows(2)._1 - -13627665.27) < 1.0)
+    assert(math.abs(rows(2)._2 - 4547675.35) < 1.0)
+  }
+
+  test("coverageMapData: mercator columns + broadcast color join, missing network -> null") {
+    val stations = Seq(("A_1", "A", 10.0, 40.0), ("B_1", "B", 20.0, 45.0))
+      .toDF("era_id", "network", "longitude", "latitude")
+    val colors = Seq(("A", "1f77b4")).toDF("network", "color")
+    val out = StationLists.coverageMapData(stations, colors)
+      .select("station_id", "color").as[(String, Option[String])].collect().toMap
+    assert(out("A_1").contains("#1f77b4"))
+    assert(out("B_1").isEmpty)
+  }
+
+  test("combineStationFiles gates on (network, cleaned) and keeps file provenance") {
+    val parts = Seq(
+      ("CW3E_1", "f1.nc", 2L, 10.0), ("CW3E_1", "f2.nc", 1L, 11.0),
+      ("CW3E_2", "f3.nc", 5L, 12.0), // uncleaned under CW3E
+      ("CW3E_3", "f4.nc", 7L, 13.0)) // not in the ledger at all
+      .toDF("era_id", "file", "time", "value")
+    val ledger = Seq(
+      ("CW3E_1", "CW3E", "Y"), ("CW3E_2", "CW3E", "N"),
+      ("CW3E_2", "OTHER", "Y")) // cleaned under ANOTHER network: must stay out
+      .toDF("era_id", "network", "cleaned")
+    val out = StationLists.combineStationFiles(parts, ledger, "CW3E")
+    assert(out.select("era_id").distinct().as[String].collect().toSeq == Seq("CW3E_1"))
+    // chronological within the station partition (the reference's sortby("time"))
+    val times = out.select("time").as[Long].collect().toSeq
+    assert(times == times.sorted)
+  }
 }
