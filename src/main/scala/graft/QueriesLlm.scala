@@ -195,6 +195,36 @@ object QueriesLlm {
       DedupOps.dedupParagraphs(docs, "doc_id", "text2")
     }),
 
+    // d17: CCNet line-frequency dedup — a header line planted on EVERY doc and a
+    // copyright footer on every third doc are removed from all occurrences (not
+    // keep-first); per-doc unique footers and unique body lines survive
+    "d17_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text2", concat_ws("\n",
+          lit("home about contact login"),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("copyright example corp all rights reserved"))
+            .otherwise(concat(lit("footer token "), col("doc_id").cast("string")))))
+      DedupOps.dedupLinesByFrequency(docs, "doc_id", "text2", minDocFreq = 2)
+    }),
+
+    // d18: quality-aware cluster resolution — same clusters as d7, but the keeper
+    // is the LONGEST member (n_chars), ties to the lower id: discard the mirror
+    // with the ads, not the original
+    "d18_cluster_quality_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.4, shingleN = 3, k = 32, bands = 8)
+        .select(col("id1"), col("id2"))
+      val clusters = DedupOps.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      DedupOps.resolveClustersByQuality(clusters,
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .select(col("doc_id"), col("cluster"), col("keep"),
+          col("n_chars").cast("long").as("q"))
+    }),
+
     // d10: fuzzy decontamination — GPT-3-style n-gram overlap fraction against the
     // held-out source (5-grams here: the synthetic docs are short; production uses 13)
     "d10_contamination" -> ((s, dir) => {
@@ -575,6 +605,31 @@ object QueriesLlm {
         .groupBy(col("lang"), col("ccnet_bucket"))
         .agg(count(lit(1)).as("n"),
           sum(col("q").cast("decimal(18,6)")).cast("double").as("q_sum"))
+    }),
+
+    // samp5: XLM-R alpha-smoothed language sampling weights (alpha = 0.3) — the
+    // tail languages get boost > 1, the head language < 1
+    "samp5_alpha_lang" -> ((s, dir) =>
+      TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
+
+    // t14: C4 line+page cleaning rules — planted lines exercise every rule:
+    // terminal punctuation, the 5-word floor, the javascript line kill, the
+    // lorem-ipsum and curly-brace page kills (body lines of the synthetic corpus
+    // rarely end in terminal punctuation, so the planted lines dominate)
+    "t14_c4_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text2", concat_ws("\n",
+          col("text"),
+          lit("This is a good sentence with many words."),
+          lit("short line."),
+          lit("no terminal punctuation in this line at all"),
+          when(col("doc_id") % 7 === 0,
+            lit("Enable javascript to continue reading this content."))
+            .otherwise(lit("Another good sentence appears right here.")),
+          when(col("doc_id") % 13 === 0,
+            lit("lorem ipsum dolor sit amet paragraph ends here."))
+            .otherwise(lit("Closing sentence for the document body."))))
+      TextOps.c4Clean(docs, "doc_id", "text2")
     }),
 
     // samp1: deterministic hash-based stratified sampling by language
@@ -1185,6 +1240,49 @@ object QueriesLlm {
                  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS q_sum
           FROM m JOIN thr USING (lang)
           GROUP BY 1, 2""",
+    // samp5: the normalizing totals are scalar subqueries over the per-language
+    // counts (group-cardinality, same as the Spark window over one partition)
+    "samp5_alpha_lang" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+          w AS (SELECT lang, n_docs,
+                  n_docs / (SELECT SUM(n_docs) FROM c) AS p,
+                  pow(n_docs / (SELECT SUM(n_docs) FROM c), 0.3) AS wt
+                FROM c)
+          SELECT lang, n_docs, ROUND(p, 6) + 0 AS p,
+                 ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
+                 ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
+          FROM w""",
+    // t14: the line rules as a list_filter lambda — terminal punctuation regex,
+    // 5-word floor on whitespace tokens, javascript kill; page gates on the
+    // kept-line count and the raw text
+    "t14_c4_clean" ->
+      """WITH d AS (
+            SELECT doc_id,
+              text || chr(10) ||
+              'This is a good sentence with many words.' || chr(10) ||
+              'short line.' || chr(10) ||
+              'no terminal punctuation in this line at all' || chr(10) ||
+              CASE WHEN doc_id % 7 = 0
+                THEN 'Enable javascript to continue reading this content.'
+                ELSE 'Another good sentence appears right here.' END || chr(10) ||
+              CASE WHEN doc_id % 13 = 0
+                THEN 'lorem ipsum dolor sit amet paragraph ends here.'
+                ELSE 'Closing sentence for the document body.' END AS t2
+            FROM documents),
+          k AS (
+            SELECT doc_id, t2,
+              list_filter(string_split(t2, chr(10)), l ->
+                regexp_matches(trim(l), '[.!?"”'']$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                        w -> len(w) > 0)) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM d)
+          SELECT doc_id,
+            array_to_string(kept, chr(10)) AS text_clean,
+            CAST(len(kept) AS BIGINT) AS n_lines_kept,
+            (len(kept) >= 3 AND NOT contains(lower(t2), 'lorem ipsum')
+              AND NOT contains(t2, '{')) AS page_kept
+          FROM k""",
     "samp1_stratified" ->
       """WITH k AS (
             SELECT lang,
@@ -1582,6 +1680,58 @@ object QueriesLlm {
             FROM fp)
           SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text2
           FROM keep WHERE rn = 1 GROUP BY doc_id""",
+    // d17: frequency is COUNT over the (fingerprint, doc) distinct pairs; removal
+    // is everywhere (no keep-first row_number) — blank lines always survive
+    "d17_line_dedup" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              'home about contact login' || chr(10) || text || chr(10) ||
+              CASE WHEN doc_id % 3 = 0
+                THEN 'copyright example corp all rights reserved'
+                ELSE 'footer token ' || CAST(doc_id AS VARCHAR) END AS t2
+            FROM documents),
+          parts AS (
+            SELECT doc_id,
+              unnest(generate_series(1, len(ls))) - 1 AS pos,
+              unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d)),
+          fp AS (
+            SELECT doc_id, pos, line,
+              md5(array_to_string(list_filter(
+                regexp_split_to_array(trim(lower(line)), '\\s+'), x -> len(x) > 0), ' ')) AS f,
+              (trim(line) = '') AS blank
+            FROM parts),
+          freq AS (
+            SELECT f FROM (SELECT DISTINCT f, doc_id FROM fp WHERE NOT blank)
+            GROUP BY f HAVING COUNT(*) >= 2),
+          k AS (
+            SELECT p.doc_id, p.pos, p.line, (p.blank OR q.f IS NULL) AS keep
+            FROM fp p LEFT JOIN freq q ON p.f = q.f)
+          SELECT doc_id,
+            COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text2,
+            CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_removed,
+            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept
+          FROM k GROUP BY doc_id""",
+    // d18: d7's walk CTE + a quality join — keeper = row_number 1 over
+    // (n_chars DESC, doc_id) per cluster
+    "d18_cluster_quality_keep" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+          nd AS (SELECT id1, id2 FROM verified WHERE j >= 0.4),
+          e2 AS (SELECT id1 AS s, id2 AS d FROM nd
+                 UNION SELECT id2, id1 FROM nd),
+          walk(id, r) AS (
+            SELECT s, d FROM e2
+            UNION
+            SELECT w.id, e.d FROM walk w JOIN e2 e ON w.r = e.s),
+          cl AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster
+                 FROM walk GROUP BY id),
+          q AS (SELECT cl.doc_id, cl.cluster, d.n_chars,
+                  row_number() OVER (PARTITION BY cl.cluster
+                    ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+                FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+          SELECT doc_id, cluster, (rn = 1) AS keep,
+            CAST(n_chars AS BIGINT) AS q
+          FROM q""",
     // d10: overlap is decided on the raw 5-gram strings — hash equality in the Spark
     // op is string equality up to a ~2^-60 md5-truncation collision, below the
     // suite's bit-exactness noise floor

@@ -449,6 +449,57 @@ object TextOps {
   /** URL-level keep-first dedup over [[canonicalizeUrl]]: one row per canonical
     * URL with the smallest source id kept and the duplicate count — one
     * fingerprint-grade groupBy shuffle, the d1 shape on the URL key. */
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2, the public C4 recipe minus the
+    * word blocklist). Line level — keep lines that end in terminal punctuation
+    * (`. ! ? "` or a closing curly quote), carry at least `minLineWords`
+    * whitespace words, and do not contain "javascript" (case-insensitive).
+    * Page level — a page is dropped when fewer than `minKeptLines` lines
+    * survive, when it contains "lorem ipsum" (case-insensitive), or when it
+    * contains a curly brace (code). Returns EVERY input doc with the cleaned
+    * text, kept-line count, and the page verdict — dropped pages are rows, not
+    * absences, so removal is auditable; callers filter on `page_kept`.
+    *
+    * Scale shape: completely shuffle-free — the line pass is a higher-order
+    * `filter` over the split array inside one projection (no explode, no
+    * reassembly groupBy); every rule is a codegen'd string predicate. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val keepLine = (l: Column) =>
+      trim(l).rlike("[.!?\"”']$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(split(col(textCol), "\n"), keepLine)
+    df.select(col(idCol),
+        array_join(kept, "\n").as("text_clean"),
+        size(kept).cast("long").as("n_lines_kept"),
+        (size(kept) >= minKeptLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("page_kept"))
+  }
+
+  /** Exponentially-smoothed sampling weights over a group column (the XLM-R /
+    * mBERT multilingual rule, Conneau et al. 2020: q_l ∝ p_l^alpha with
+    * alpha < 1 — upsample the tail, downsample the head). Returns one row per
+    * group with its corpus share `p`, smoothed sampling probability `q`, and
+    * the resulting boost factor `q/p` (> 1 means the group is oversampled).
+    *
+    * Scale shape: ONE corpus pass (the partial-agg groupBy on the group key);
+    * the two normalizing totals are window sums over the group-cardinality
+    * counts table — tens of rows in one partition, never the corpus (a
+    * cross-join-with-agg formulation would rescan the corpus per total). */
+  def alphaSampleWeights(df: DataFrame, groupCol: String,
+                         alpha: Double = 0.3): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("_p", col("n_docs") / sum(col("n_docs")).over(w1))
+      .withColumn("_w", pow(col("_p"), alpha))
+      .withColumn("_q", col("_w") / sum(col("_w")).over(w1))
+      .select(col(groupCol), col("n_docs"),
+        round(col("_p"), 6).as("p"),
+        round(col("_q"), 6).as("q"),
+        round(col("_q") / col("_p"), 6).as("boost"))
+  }
+
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy(col("canonical_url"))

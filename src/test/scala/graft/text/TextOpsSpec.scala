@@ -245,4 +245,46 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() == 20L)
     assert(out.filter($"lang".isNull && $"ccnet_bucket".isNotNull).count() == 2L)
   }
+
+  test("c4Clean applies every line rule and every page rule") {
+    val good = "Here is a perfectly fine sentence today."
+    val df = Seq(
+      // page keeps: 3 good lines survive; bad lines filtered
+      (1L, s"$good\nOnly four words here.\nno punctuation line with many words\n$good\n$good"),
+      // javascript line removed -> only 2 kept -> page dropped
+      (2L, s"$good\nPlease enable JavaScript to view the comments today.\n$good"),
+      // lorem ipsum kills the page even with enough good lines
+      (3L, s"$good\n$good\n$good\nThe lorem ipsum placeholder is right here today."),
+      // curly brace (code) kills the page
+      (4L, s"$good\n$good\n$good\nfunction f() { return 1; }"),
+      // question mark and closing quote count as terminal punctuation
+      (5L, "Is this a question with enough words?\nHe said \"this quoted sentence has many words.\"\n" + good))
+      .toDF("id", "text")
+    val out = TextOps.c4Clean(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._2 == 3L && out(1L)._3)
+    assert(out(1L)._1 == s"$good\n$good\n$good")
+    assert(out(2L)._2 == 2L && !out(2L)._3)
+    assert(out(3L)._2 == 4L && !out(3L)._3) // the lorem line itself passes line rules
+    assert(!out(4L)._3)
+    assert(out(5L)._2 == 3L && out(5L)._3)
+  }
+
+  test("alphaSampleWeights: alpha<1 boosts tail groups, q sums to 1") {
+    val df = (1 to 90).map(i => (i.toLong, "en")) ++
+      (1 to 9).map(i => (i.toLong, "es")) ++ Seq((1L, "fr"))
+    val out = TextOps.alphaSampleWeights(df.toDF("id", "lang"), "lang", alpha = 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("en")._1 == 90L)
+    // head language downsampled, tail boosted
+    assert(out("en")._4 < 1.0 && out("fr")._4 > 1.0)
+    assert(out("fr")._4 > out("es")._4)
+    val qSum = out.values.map(_._3).sum
+    assert(math.abs(qSum - 1.0) < 1e-4)
+    // alpha = 1 is proportional sampling: boost == 1 everywhere
+    val prop = TextOps.alphaSampleWeights(df.toDF("id", "lang"), "lang", alpha = 1.0)
+      .collect().map(_.getDouble(4))
+    assert(prop.forall(b => math.abs(b - 1.0) < 1e-9))
+  }
 }
