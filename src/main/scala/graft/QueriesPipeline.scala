@@ -121,10 +121,86 @@ object QueriesPipeline {
       DeriveDag.deriveMissing(obs)
         .select(col("event_id"), r4(col("tdps_derived")).as("tdps_derived"),
           col("tdps_derived_eraqc").cast("long").as("syn_flag"))
+    }),
+
+    // §3 full-platform slice in ONE lazy plan: two per-network cleans (unit
+    // conversion + sentinel nulling on different local conventions) -> station
+    // concat (unionByName + P10 keep-first dedup) -> A16 world-record flag ->
+    // J7 hourly standardization -> per-network report. The four reference
+    // stages (2_clean / concat / 3_qaqc / 4_merge) move the corpus through ONE
+    // shuffle: the explicit station repartition below satisfies both the
+    // (station,time) dedup window's and the (station,hour) groupBy's clustering
+    // (subset-key rule), so Catalyst inserts no further corpus exchange — only
+    // the two network-cardinality report exchanges remain (plan-pinned in
+    // AdopterJourneySpec).
+    "pipe4_platform_slice" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val rawA = e.select(
+        concat(lit("CIMIS_"), col("user_id").cast("string")).as("station"),
+        date_trunc("MINUTE", col("ts")).as("time"),
+        when(col("event_id") % 97 === 0, lit(null).cast("double"))
+          .otherwise(col("value") / 10 + 273.15).as("tas"),
+        col("event_id").as("rec"))
+      val rawB = e.filter(col("user_id") % 2 === 0).select(
+        concat(lit("SNOTEL_"), col("user_id").cast("string")).as("station"),
+        date_trunc("MINUTE", col("ts")).as("time"),
+        (((col("value") / 5 + 32) - 32) * 5 / 9 + 273.15).as("tas"),
+        (col("event_id") + 10000000L).as("rec"))
+      val concatd = graft.ops.CleanOps.dedupKeepFirst(
+          rawA.unionByName(rawB).repartition(col("station")),
+          Seq("station", "time"), Seq(col("rec")))
+        .withColumn("tas_eraqc", lit(null).cast("int"))
+      val flagged = graft.ops.CleanOps.flagOutOfBounds(
+        concatd, "tas", "tas_eraqc", 250.0, 320.0)
+      val hourly = MergePipeline.hourlyStandardize(flagged, Seq("station"), "time",
+        instantCols = Seq("tas"), sumCols = Nil, flagCols = Seq("tas_eraqc"),
+        constCols = Nil, tiebreak = col("rec"))
+      hourly.groupBy(split(col("station"), "_").getItem(0).as("network"))
+        .agg(count(lit(1)).as("n_hours"),
+          countDistinct(col("station")).as("n_stations"),
+          sum(when(col("tas_eraqc") =!= "nan", 1L).otherwise(0L)).as("n_flagged_hours"),
+          sum(round(col("tas"), 4).cast("decimal(18,4)")).cast("double").as("tas_sum"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // pipe4: each stage as a CTE in pipeline order — any_value(... ORDER BY)
+    // skips NULL tas exactly like the engine's min_by-over-non-null first
+    "pipe4_platform_slice" ->
+      """WITH a AS (
+           SELECT 'CIMIS_' || CAST(user_id AS VARCHAR) AS station,
+                  date_trunc('minute', ts) AS time,
+                  CASE WHEN event_id % 97 = 0 THEN NULL
+                       ELSE value / 10 + 273.15 END AS tas,
+                  event_id AS rec
+           FROM events),
+         b AS (
+           SELECT 'SNOTEL_' || CAST(user_id AS VARCHAR) AS station,
+                  date_trunc('minute', ts) AS time,
+                  ((value / 5 + 32) - 32) * 5 / 9 + 273.15 AS tas,
+                  event_id + 10000000 AS rec
+           FROM events WHERE user_id % 2 = 0),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         d AS (SELECT station, time, tas, rec,
+                 row_number() OVER (PARTITION BY station, time ORDER BY rec) AS rn
+               FROM u),
+         f AS (SELECT station, time, tas, rec,
+                 CASE WHEN tas < 250 OR tas > 320 THEN 11 END AS flag
+               FROM d WHERE rn = 1),
+         h AS (SELECT station, date_trunc('hour', time) AS hour_ts,
+                 any_value(tas ORDER BY time, rec) AS tas,
+                 CASE WHEN COUNT(DISTINCT flag) = 0 THEN 'nan'
+                      ELSE array_to_string(
+                        list_sort(list(DISTINCT CAST(flag AS VARCHAR))), ',')
+                 END AS fl
+               FROM f GROUP BY 1, 2)
+         SELECT string_split(station, '_')[1] AS network,
+                COUNT(*) AS n_hours,
+                COUNT(DISTINCT station) AS n_stations,
+                CAST(SUM(CASE WHEN fl <> 'nan' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged_hours,
+                CAST(SUM(CAST(ROUND(tas, 4) AS DECIMAL(18,4))) AS DOUBLE) AS tas_sum
+         FROM h GROUP BY 1""",
     "c6_sensor_heights" ->
       """WITH e AS (
            SELECT user_id, ts, event_id,

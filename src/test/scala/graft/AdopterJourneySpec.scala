@@ -83,4 +83,15 @@ class AdopterJourneySpec extends SparkSpec {
     val dataLines = (0 until lines.size()).map(lines.get).filterNot(_.startsWith("#"))
     assert(dataLines.length == 6 && dataLines.head.startsWith("station"))
   }
+
+  test("pipe4 platform slice moves the corpus through exactly one shuffle") {
+    // clean -> concat/dedup -> flag -> hourly -> report as one plan: the explicit
+    // station repartition satisfies the (station,time) window and the
+    // (station,hour) groupBy by the subset-key clustering rule, so the ONLY
+    // other exchange is the network-cardinality report agg
+    val plan = SparkEntry.queries("pipe4_platform_slice")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 2, s"expected 2 exchanges (1 corpus + 1 report), got:\n$plan")
+  }
 }

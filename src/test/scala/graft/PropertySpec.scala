@@ -278,4 +278,58 @@ class PropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("property: line-frequency dedup equals the brute-force line model") {
+    val lineDict = Vector("alpha beta", "gamma delta", "epsilon", "zeta eta", " ", "theta")
+    forAllSeeded { rng =>
+      (1 to 8).map(i =>
+        (i.toLong, List.fill(1 + rng.nextInt(5))(lineDict(rng.nextInt(lineDict.size)))
+          .mkString("\n")))
+    } { docs =>
+      val out = DedupOps.dedupLinesByFrequency(docs.toDF("id", "text"), "id", "text",
+          minDocFreq = 2)
+        .select("id", "text").as[(Long, String)].collect().toMap
+      // brute-force model: normalized doc frequency per non-blank line
+      def norm(l: String) = l.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val docFreq = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).filter(_.trim.nonEmpty).map(l => (norm(l), id)).distinct
+      }.groupBy(_._1).map { case (k, v) => k -> v.size }
+      docs.foreach { case (id, t) =>
+        val want = t.split("\n", -1)
+          .filter(l => l.trim.isEmpty || docFreq(norm(l)) < 2).mkString("\n")
+        assert(out(id) == want, s"doc $id")
+      }
+    }
+  }
+
+  test("property: c4Clean page verdict is consistent with its own kept-line count") {
+    val lineDict = Vector(
+      "A proper sentence with at least five words.",
+      "short one.", "no terminal punctuation words here at all",
+      "Uses javascript for the page to render today.",
+      "Another proper sentence with enough words present.")
+    forAllSeeded { rng =>
+      (1 to 6).map(i =>
+        (i.toLong, List.fill(1 + rng.nextInt(6))(lineDict(rng.nextInt(lineDict.size)))
+          .mkString("\n")))
+    } { docs =>
+      val out = graft.text.TextOps.c4Clean(docs.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+      docs.foreach { case (id, t) =>
+        val (clean, nKept, pageKept) = out(id)
+        val keptLines = if (clean.isEmpty) Nil else clean.split("\n", -1).toList
+        assert(keptLines.length.toLong == nKept || (clean.isEmpty && nKept == 0L))
+        // every kept line passes the three line rules
+        keptLines.foreach { l =>
+          assert(l.trim.matches(".*[.!?\"”']$"))
+          assert(l.trim.split("\\s+").count(_.nonEmpty) >= 5)
+          assert(!l.toLowerCase.contains("javascript"))
+        }
+        // the page gate is exactly (enough lines && no lorem && no brace)
+        assert(pageKept == (nKept >= 3 &&
+          !t.toLowerCase.contains("lorem ipsum") && !t.contains("{")))
+      }
+    }
+  }
 }
