@@ -195,6 +195,17 @@ object QueriesLlm {
       DedupOps.dedupParagraphs(docs, "doc_id", "text2")
     }),
 
+    // d19: incremental shard-vs-corpus near-dedup — the doc_id%5 slice arrives as
+    // the new shard; duplicates resolve against the standing corpus (vs_corpus)
+    // or an earlier shard doc, never corpus-vs-corpus
+    "d19_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.incrementalNearDups(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.4, shingleN = 3, k = 32, bands = 8)
+    }),
+
     // d17: CCNet line-frequency dedup — a header line planted on EVERY doc and a
     // copyright footer on every third doc are removed from all occurrences (not
     // keep-first); per-doc unique footers and unique body lines survive
@@ -1680,6 +1691,23 @@ object QueriesLlm {
             FROM fp)
           SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text2
           FROM keep WHERE rn = 1 GROUP BY doc_id""",
+    // d19: derived from the symmetric verified pairs — a shard doc drops against
+    // ANY corpus match (either id order) but only against EARLIER shard docs;
+    // best match = row_number over (j DESC, matched_id)
+    "d19_incremental_dedup" ->
+      s"""WITH $minhashVerifiedCte,
+          dups AS (
+            SELECT id2 AS id, id1 AS matched_id, j, (id1 % 5 != 0) AS vs_corpus
+            FROM verified WHERE id2 % 5 = 0 AND j >= 0.4
+            UNION ALL
+            SELECT id1, id2, j, TRUE
+            FROM verified WHERE id1 % 5 = 0 AND id2 % 5 != 0 AND j >= 0.4),
+          sel AS (
+            SELECT id, matched_id, j, vs_corpus,
+              row_number() OVER (PARTITION BY id ORDER BY j DESC, matched_id) AS rn
+            FROM dups)
+          SELECT id AS doc_id, matched_id, ROUND(j, 6) AS best_jaccard, vs_corpus
+          FROM sel WHERE rn = 1""",
     // d17: frequency is COUNT over the (fingerprint, doc) distinct pairs; removal
     // is everywhere (no keep-first row_number) — blank lines always survive
     "d17_line_dedup" ->

@@ -791,6 +791,65 @@ object DedupOps {
         sum(when(col("_keep"), 1L).otherwise(0L)).as("n_lines_kept"))
   }
 
+  /** Incremental (shard-vs-corpus) near-dedup — the daily ingestion path at
+    * 100 TB: test a NEW shard for near-duplicates against the already-deduped
+    * corpus and within itself, WITHOUT re-scoring corpus-internal pairs (the
+    * corpus was deduped when it was built; re-comparing it every snapshot is
+    * the O(total²) trap that makes full-corpus dedup unrunnable daily).
+    *
+    * Pair universe: (shard doc, any corpus doc) plus (shard doc, earlier shard
+    * doc) — the shard doc is always the DROP side. Returns one row per
+    * duplicate shard doc: its best match by exact Jaccard (ties to the lower
+    * matched id) and whether that match lives in the corpus. Shard survivors =
+    * `shard` anti-joined on the returned ids.
+    *
+    * Scale shape: same banded-LSH machinery as [[minhashNearDups]], with the
+    * provenance flag riding the bucket structs so corpus×corpus products are
+    * pruned BEFORE the second explode — a bucket contributes
+    * |shard ∩ bucket| × |bucket| candidates, not |bucket|². In production the
+    * corpus signature table (`_h32`/`_sig`) is a persisted build artifact; only
+    * the shard side is computed per snapshot. Both sigTable persists follow the
+    * d2 caller-release contract (BASELINE.md). */
+  def incrementalNearDups(corpus: DataFrame, shard: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.7, shingleN: Int = 3,
+                          k: Int = 32, bands: Int = 8, maxBucketSize: Int = 500,
+                          estCutoff: Double = 0.2,
+                          strategy: HashStrategy = Md5Portable): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val prep = sigTable(corpus, idCol, textCol, shingleN, k, strategy)
+      .withColumn("_new", lit(false))
+      .unionByName(sigTable(shard, idCol, textCol, shingleN, k, strategy)
+        .withColumn("_new", lit(true)))
+    val est = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+      x => x)).cast("double") / k
+    val pairs = prep
+      .select(struct(col(idCol).as("id"), col("_sig").as("sig"),
+          col("_new").as("isNew")).as("_rec"),
+        explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .filter(col("a.isNew"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(!col("b.isNew") || col("b.id") < col("a.id"))
+      .filter(est >= estCutoff)
+      .select(col("a.id").as("_id"), col("b.id").as("matched_id"),
+        col("b.isNew").as("_bNew"))
+      .distinct()
+    val h32 = prep.select(col(idCol), col("_h32"))
+    pairs
+      .join(h32.select(col(idCol).as("_id"), col("_h32").as("_a1")), "_id")
+      .join(h32.select(col(idCol).as("matched_id"), col("_h32").as("_a2")), "matched_id")
+      .withColumn("_j", jaccard(col("_a1"), col("_a2")))
+      .filter(col("_j") >= threshold)
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_id"))
+        .orderBy(col("_j").desc, col("matched_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("matched_id"),
+        round(col("_j"), 6).as("best_jaccard"), (!col("_bNew")).as("vs_corpus"))
+  }
+
   /** Quality-aware cluster resolution (the FineWeb/Gopher curation rule): given
     * near-dup clusters (e.g. [[connectedComponents]] output `(id, cluster)`) and
     * a per-document quality score, keep the HIGHEST-quality member of each

@@ -98,6 +98,55 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_sh")
       .drop("_sh")
 
+  /** Streaming incremental near-dedup against a STANDING corpus — the streaming
+    * twin of `DedupOps.incrementalNearDups`: each arriving document is LSH-banded
+    * with deterministic expressions and joined stream-static against the corpus's
+    * persisted band table, then verified by exact hashed-shingle Jaccard. Emits one
+    * row per (document, matched corpus doc) with the verified similarity; multiple
+    * band collisions for the same pair collapse via
+    * `dropDuplicatesWithinWatermark`. The static side is the build artifact the
+    * batch op persists (`bandTable`); Spark re-broadcasts or hash-joins it per
+    * micro-batch — no streaming state beyond the dedup watermark buffer.
+    *
+    * @param stream streaming df: `idCol`, `textCol`, event-time `timeCol`
+    * @param corpusBands static df from [[corpusBandTable]]: `cid`, `band`, `ch32` */
+  def incrementalDedupStream(stream: DataFrame, corpusBands: DataFrame,
+                             idCol: String, textCol: String, timeCol: String,
+                             threshold: Double = 0.7, shingleN: Int = 3,
+                             k: Int = 32, bands: Int = 8,
+                             watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.dedup.DedupOps
+    val h32 = array_distinct(transform(DedupOps.shingles(col(textCol), shingleN),
+      s => pmod(DedupOps.shingleHash(s), lit(1L << 32))))
+    stream
+      .withColumn("_h32", h32)
+      .withColumn("_sig", DedupOps.minhashSignatureFromHashes(col("_h32"), k))
+      .withColumn("band", explode(DedupOps.lshBandKeys(col("_sig"), bands, k / bands)))
+      .join(corpusBands, Seq("band"))
+      .withColumn("jaccard", DedupOps.jaccard(col("_h32"), col("ch32")))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol, "cid")
+      .select(col(idCol), col(timeCol), col("cid").as("matched_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The standing-corpus band table [[incrementalDedupStream]] joins against:
+    * one row per (corpus doc, band key), carrying the hashed shingle array for
+    * the verify step. Built once per corpus snapshot and persisted. */
+  def corpusBandTable(corpus: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    import graft.dedup.DedupOps
+    corpus
+      .withColumn("ch32", array_distinct(transform(
+        DedupOps.shingles(col(textCol), shingleN),
+        s => pmod(DedupOps.shingleHash(s), lit(1L << 32)))))
+      .withColumn("_sig", DedupOps.minhashSignatureFromHashes(col("ch32"), k))
+      .select(col(idCol).as("cid"),
+        explode(DedupOps.lshBandKeys(col("_sig"), bands, k / bands)).as("band"),
+        col("ch32"))
+  }
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

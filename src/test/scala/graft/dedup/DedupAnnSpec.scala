@@ -558,6 +558,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(out2.agg(sum("n_lines_removed")).as[Long].head() == 2L)
   }
 
+  test("incremental near-dedup: shard drops vs corpus and earlier shard docs only") {
+    val rng = new scala.util.Random(11)
+    val base = doc(rng, 120)
+    val tweak = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 25 == 0) "changed" else w }.mkString(" ")
+    val other = doc(rng, 110)
+    val corpus = Seq((1L, base), (2L, doc(rng, 100)), (3L, other), (4L, other))
+      .toDF("doc_id", "text") // 3 and 4 are corpus-internal dups: must NOT be reported
+    val shard = Seq((10L, tweak), (11L, doc(rng, 90)), (12L, tweak))
+      .toDF("doc_id", "text") // 10 matches corpus 1; 12 matches 10 (and corpus 1)
+    val out = DedupOps.incrementalNearDups(corpus, shard, "doc_id", "text",
+        threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(10L, 12L), s"got ${out.keySet}")
+    assert(out(10L)._1 == 1L && out(10L)._3) // best match is the corpus doc
+    // 12 is identical to 10 (j = 1.0) -> beats the corpus match, vs_corpus = false
+    assert(out(12L)._1 == 10L && out(12L)._2 == 1.0 && !out(12L)._3)
+  }
+
   test("quality-aware cluster resolution keeps the best-quality member, ties to lower id") {
     val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
       .toDF("id", "cluster")

@@ -184,4 +184,34 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM spike_test").count() == 1)
     } finally q.stop()
   }
+
+  test("streaming incremental dedup matches arriving docs against the standing corpus") {
+    implicit val sq = spark.sqlContext
+    val words = "spark sql batch stream data table row column sort hash scan merge".split(" ")
+    val rng = new scala.util.Random(5)
+    def doc(n: Int): String = Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+    val base = doc(100)
+    val tweaked = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 20 == 0) "changed" else w }.mkString(" ")
+    val corpus = Seq((100L, base), (101L, doc(90))).toDF("cid0", "text")
+    val bandTable = corpusBandTable(corpus, "cid0", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = incrementalDedupStream(
+      input.toDF().toDF("id", "t", "text"), bandTable, "id", "text", "t",
+      threshold = 0.4)
+    val q = out.writeStream.format("memory").queryName("incdedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:10"), tweaked),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:20"), doc(80)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, matched_id, jaccard FROM incdedup_test")
+        .as[(Long, Long, Double)].collect().toSeq
+      // the tweaked doc matches corpus doc 100 exactly once (bands collapsed);
+      // the fresh doc matches nothing
+      assert(rows.map(r => (r._1, r._2)) == Seq((1L, 100L)))
+      assert(rows.head._3 > 0.4)
+    } finally q.stop()
+  }
 }
