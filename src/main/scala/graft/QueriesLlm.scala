@@ -322,6 +322,21 @@ object QueriesLlm {
     }),
 
     // IVF search: probe the 2 nearest posting lists per query, brute-force within
+    // e9: IVF RANGE search -- every corpus vector with cos >= 0.2 of each query
+    // via the e4 posting-list plan; threshold filter instead of rank window, so
+    // the op is shuffle-free (broadcast probes, argmax cells meet once)
+    "e9_ivf_range" -> ((s, dir) => {
+      val centroids = (0 until 8).map(i =>
+        Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.ivfRangeSearch(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, nProbe = 2, minCos = 0.2)
+    }),
+
     "e4_ivf_topk" -> ((s, dir) => {
       val centroids = (0 until 8).map(i =>
         Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
@@ -1844,6 +1859,31 @@ object QueriesLlm {
             JOIN corpus c1 ON p.id1 = c1.vec_id
             JOIN corpus c2 ON p.id2 = c2.vec_id)
           SELECT id1, id2, cos FROM verified WHERE cos >= 0.8""",
+    // e9: e4's CTE chain with the rank window replaced by the threshold filter
+    "e9_ivf_range" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          cscore AS (
+            SELECT vec_id, i AS cell,
+              CASE WHEN nv = 0 THEN 0.0 ELSE v[i + 1] / nv END AS cos
+            FROM norm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+          assign AS (SELECT vec_id AS cid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore) WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+          cands AS (SELECT p.qid, a.cid FROM probes p JOIN assign a ON p.cell = a.cell),
+          scored AS (
+            SELECT c.qid, c.cid,
+              CASE WHEN q.nv = 0 OR t.nv = 0 THEN 0.0
+                   ELSE list_dot_product(q.v, t.v) / (q.nv * t.nv) END AS cos
+            FROM cands c
+            JOIN norm q ON c.qid = q.vec_id
+            JOIN norm t ON c.cid = t.vec_id)
+          SELECT qid, cid, ROUND(cos, 4) + 0 AS cos FROM scored WHERE cos >= 0.2""",
     "e4_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),

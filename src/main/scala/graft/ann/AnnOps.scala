@@ -407,4 +407,28 @@ object AnnOps {
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /** IVF RANGE search — all corpus vectors with cosine >= `minCos` of each query
+    * (the radius-query API top-k can't express: "everything this similar", the
+    * retrieval-augmentation and near-dup-audit shape). Same posting-list plan as
+    * [[ivfTopK]] — one corpus pass to cells, broadcast probes, equi-join on the
+    * cell id — but the filter is a threshold instead of a rank window, so the op
+    * needs NO window shuffle at all: candidates stream through a codegen'd
+    * cosine + filter. Recall loss is identical to ivfTopK's (neighbors outside
+    * the probed cells), property-tested in DedupAnnSpec. */
+  def ivfRangeSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     centroids: Seq[Seq[Double]], nProbe: Int,
+                     minCos: Double): DataFrame = {
+    val assigned = corpus.withColumn("_cell", ivfAssign(col(corpusVec), centroids))
+    val probed = queries.withColumn("_cell",
+      explode(ivfProbes(col(queryVec), centroids, nProbe)))
+    // each corpus vector lives in exactly ONE cell (ivfAssign is argmax) and the
+    // probe list is distinct, so a (query, corpus) pair can only meet once — no
+    // dedup needed, and with the probes broadcast the whole op is SHUFFLE-FREE
+    assigned.join(broadcast(probed), "_cell")
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+      .filter(col("cos") >= minCos)
+      .select(col(queryId), col(corpusId), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -558,6 +558,28 @@ class DedupAnnSpec extends SparkSpec {
     assert(out2.agg(sum("n_lines_removed")).as[Long].head() == 2L)
   }
 
+  test("ivfRangeSearch at full probes equals brute-force range; plan is shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(_ => rng.nextGaussian()))).toDF("vid", "v")
+    val centroids = (0 until 4).map(i => Seq.tabulate(8)(j => if (j == i) 1.0 else 0.0))
+    val corpus = vecs.select(col("vid").as("cid"), col("v").as("cv"))
+    val queries = vecs.filter(col("vid") < 5).select(col("vid").as("qid"), col("v").as("qv"))
+    val got = AnnOps.ivfRangeSearch(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, nProbe = 4, minCos = 0.3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val brute = corpus.crossJoin(queries)
+      .withColumn("cos", AnnOps.cosine(col("cv"), col("qv")))
+      .filter(col("cos") >= 0.3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(got == brute) // nProbe = all cells -> exact range semantics
+    val plan = AnnOps.ivfRangeSearch(corpus, "cid", "cv", queries, "qid", "qv",
+      centroids, nProbe = 2, minCos = 0.3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"range search must not shuffle:\n$plan")
+  }
+
   test("incremental near-dedup: shard drops vs corpus and earlier shard docs only") {
     val rng = new scala.util.Random(11)
     val base = doc(rng, 120)

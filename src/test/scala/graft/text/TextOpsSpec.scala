@@ -270,6 +270,12 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L)._2 == 3L && out(5L)._3)
   }
 
+  test("c4Clean plans with zero exchanges (the shuffle-free claim)") {
+    val df = Seq((1L, "A sentence that is long enough here.")).toDF("id", "text")
+    val plan = TextOps.c4Clean(df, "id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Clean must not shuffle:\n$plan")
+  }
+
   test("alphaSampleWeights: alpha<1 boosts tail groups, q sums to 1") {
     val df = (1 to 90).map(i => (i.toLong, "en")) ++
       (1 to 9).map(i => (i.toLong, "es")) ++ Seq((1L, "fr"))
