@@ -658,6 +658,14 @@ object QueriesLlm {
       TextOps.c4Clean(docs, "doc_id", "text2")
     }),
 
+    // t15: intra-doc sentence-boundary chunking to 32-token context windows — the
+    // corpus has no punctuation, so sentence ends are planted on every 'table'
+    "t15_sentence_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text2", regexp_replace(col("text"), "\\btable\\b", "table."))
+      TextOps.chunkBySentences(docs, "doc_id", "text2", maxTokens = 32)
+    }),
+
     // samp1: deterministic hash-based stratified sampling by language
     "samp1_stratified" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1309,6 +1317,38 @@ object QueriesLlm {
             (len(kept) >= 3 AND NOT contains(lower(t2), 'lorem ipsum')
               AND NOT contains(t2, '{')) AS page_kept
           FROM k""",
+    // t15: lockstep unnest for sentence positions; stride chunk id from the
+    // exclusive running token total
+    "t15_sentence_chunks" ->
+      """WITH d AS (
+            SELECT doc_id,
+              regexp_replace(text, '\btable\b', 'table.', 'g') AS t2
+            FROM documents),
+          sa AS (
+            SELECT doc_id,
+              list_filter(list_transform(
+                regexp_extract_all(t2, '[^.!?]+[.!?]*'), s -> trim(s)),
+                s -> len(s) > 0) AS ss
+            FROM d),
+          sents AS (
+            SELECT doc_id,
+              unnest(generate_series(1, len(ss))) - 1 AS pos,
+              unnest(ss) AS sent
+            FROM sa),
+          tok AS (
+            SELECT doc_id, pos, sent,
+              CAST(len(list_filter(regexp_split_to_array(trim(sent), '\s+'),
+                w -> len(w) > 0)) AS BIGINT) AS ntok
+            FROM sents),
+          cum AS (
+            SELECT doc_id, pos, sent, ntok,
+              COALESCE(SUM(ntok) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM tok)
+          SELECT doc_id, CAST(FLOOR(bef / 32) AS BIGINT) AS chunk_id,
+                 COUNT(*) AS n_sentences, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                 string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+          FROM cum GROUP BY 1, 2""",
     "samp1_stratified" ->
       """WITH k AS (
             SELECT lang,

@@ -500,6 +500,40 @@ object TextOps {
         round(col("_q") / col("_p"), 6).as("boost"))
   }
 
+  /** Intra-document chunking on sentence boundaries for a fixed context window —
+    * the long-document prep step ([[graft.text.PackingOps]] packs whole docs
+    * ACROSS documents; this splits WITHIN one). Sentences are RE2-portable
+    * `[^.!?]+[.!?]*` segments (no lookbehind — identical semantics in Java
+    * regex and DuckDB); each sentence lands in chunk
+    * `floor(tokens_before_it / maxTokens)` — deterministic offset-stride
+    * chunking, NOT greedy best-fit (greedy needs a sequential reset scan; the
+    * offset form is one posexplode + one per-doc window cumsum and chunks
+    * overflow by at most one sentence).
+    *
+    * Scale shape: one posexplode, ONE window shuffle on the doc id (cumsum +
+    * the reassembly groupBy share it under AQE). */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+                       maxTokens: Int): DataFrame = {
+    val sentArr = filter(
+      transform(regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+    val sents = df.select(col(idCol), posexplode(sentArr))
+      .toDF(idCol, "_pos", "_sent")
+      .withColumn("_ntok", size(tokens(col("_sent"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sents
+      .withColumn("_before", coalesce(sum(col("_ntok")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("_before") / maxTokens))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"), sum(col("_ntok")).as("n_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_sent")))),
+            s => s.getField("_sent"))).as("chunk_text"))
+  }
+
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy(col("canonical_url"))

@@ -270,6 +270,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L)._2 == 3L && out(5L)._3)
   }
 
+  test("chunkBySentences: offset-stride chunks on sentence boundaries") {
+    val text = "one two three. four five six! seven eight nine? ten eleven twelve."
+    val out = TextOps.chunkBySentences(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", maxTokens = 6)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_sentences", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // 4 sentences of 3 tokens: offsets 0,3,6,9 -> chunks 0,0,1,1
+    assert(out == Seq(
+      (0L, 2L, 6L, "one two three. four five six!"),
+      (1L, 2L, 6L, "seven eight nine? ten eleven twelve.")))
+    // a sentence longer than the window stays whole (overflow by one sentence)
+    val big = TextOps.chunkBySentences(
+      Seq((1L, "a b c d e f g h. x y.")).toDF("id", "text"), "id", "text", 4)
+      .orderBy("chunk_id").select("chunk_id", "n_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(big == Seq((0L, 8L), (2L, 2L))) // second sentence starts at offset 8 -> chunk 2
+  }
+
   test("c4Clean plans with zero exchanges (the shuffle-free claim)") {
     val df = Seq((1L, "A sentence that is long enough here.")).toDF("id", "text")
     val plan = TextOps.c4Clean(df, "id", "text").queryExecution.executedPlan.toString
