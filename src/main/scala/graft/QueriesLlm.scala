@@ -638,6 +638,25 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // samp6: DSIR hashed n-gram importance weights — target = the English slice,
+    // raw = the whole corpus; docs whose unigram+bigram profile looks English
+    // score high. 512 buckets, add-1 smoothing.
+    "samp6_dsir" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 512, smoothing = 1.0)),
+
+    // e10: BM25 top-3 lexical retrieval — queries are the first 6 tokens of
+    // every 100th document, so each query's own source doc should rank near the
+    // top (self-retrieval sanity built into the fixture)
+    "e10_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextOps.tokens(lower(col("text"))), 1, 6)).as("qtext"))
+      TextOps.bm25Retrieve(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+    }),
+
     // t14: C4 line+page cleaning rules — planted lines exercise every rule:
     // terminal punctuation, the 5-word floor, the javascript line kill, the
     // lorem-ipsum and curly-brace page kills (body lines of the synthetic corpus
@@ -1286,6 +1305,81 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // samp6: the exact DSIR pipeline — unigram+bigram hash buckets (15-hex-char
+    // md5 prefix, the fingerprint60 rule), add-1 smoothed target/raw log-ratios
+    // rounded to 6dp decimals before the per-doc sum
+    "samp6_dsir" ->
+      """WITH toks AS (
+            SELECT doc_id, (lang = 'en') AS tgt,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS tl
+            FROM documents),
+          grams AS (
+            SELECT doc_id, tgt, unnest(tl) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, tgt, tl[i] || ' ' || tl[i + 1] AS g
+            FROM (SELECT doc_id, tgt, tl,
+                    unnest(generate_series(1, len(tl) - 1)) AS i FROM toks)),
+          ex AS (
+            SELECT doc_id, tgt,
+              (('0x' || substring(md5(g), 1, 15))::BIGINT) % 512 AS b
+            FROM grams),
+          stats AS (
+            SELECT b, COUNT(*) AS c_all,
+                   SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t
+            FROM ex GROUP BY 1),
+          tot AS (SELECT SUM(c_all) AS n_all, SUM(c_t) AS n_t FROM stats),
+          bw AS (
+            SELECT b, CAST(ROUND(ln(((c_t + 1.0) / (n_t + 512.0)) /
+                                    ((c_all + 1.0) / (n_all + 512.0))), 6)
+                           AS DECIMAL(12,6)) AS lw
+            FROM stats CROSS JOIN tot)
+          SELECT e.doc_id, COUNT(*) AS n_grams,
+                 ROUND(CAST(SUM(lw) AS DOUBLE), 4) + 0 AS dsir_weight
+          FROM ex e JOIN bw USING (b)
+          GROUP BY 1""",
+    // e10: the exact BM25 pipeline — idf and per-term contributions rounded to
+    // 6dp decimals before the (query, doc) sum; rank on the 4dp score with a
+    // doc-id tiebreak
+    "e10_bm25" ->
+      """WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id,
+                    unnest(list_filter(
+                      regexp_split_to_array(trim(lower(text)), '\s+'),
+                      x -> len(x) > 0)) AS term
+                  FROM documents)
+            GROUP BY 1, 2),
+          dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          q AS (
+            SELECT doc_id AS qid,
+              list_slice(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0), 1, 6) AS qt
+            FROM documents WHERE doc_id % 100 = 0),
+          qterms AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q),
+          dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+          scored AS (
+            SELECT qt.qid, tf.doc_id, tf.tf, dfreq.df, dl.dl,
+                   stats.n_docs, stats.avgdl
+            FROM tf JOIN qterms qt USING (term) JOIN dfreq USING (term)
+                    JOIN dl USING (doc_id) CROSS JOIN stats),
+          contrib AS (
+            SELECT qid, doc_id,
+              CAST(ROUND(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                   * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+                   AS DECIMAL(14,6)) AS c
+            FROM scored),
+          s AS (SELECT qid, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 4) + 0 AS score
+                FROM contrib GROUP BY 1, 2),
+          r AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rank
+                FROM s)
+          SELECT qid, doc_id, score, rank FROM r WHERE rank <= 3""",
     // t14: the line rules as a list_filter lambda — terminal punctuation regex,
     // 5-word floor on whitespace tokens, javascript kill; page gates on the
     // kept-line count and the raw text

@@ -538,4 +538,115 @@ object TextOps {
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
+
+  /** Unigrams + bigrams of the lowered token stream, as one array (the DSIR
+    * feature space). Bigram construction is a zip of the token array against its
+    * own 1-shift — no sequence() (whose descending-range edge at size<2 differs
+    * across engines); a 0/1-token document contributes its unigrams only. */
+  def uniBigrams(text: Column): Column = {
+    val tk = tokens(lower(text))
+    val n1 = greatest(size(tk) - 1, lit(0))
+    val bi = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(tk, bi)
+  }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"). Features are
+    * unigram+bigram counts hashed into `buckets` buckets (md5-derived 60-bit
+    * hash, engine-portable); the target distribution is estimated from the rows
+    * matching `targetPred`, the raw distribution from the whole corpus, both
+    * add-`smoothing` smoothed. A document's importance weight is the sum over
+    * its gram INSTANCES of `ln(p_target(bucket) / p_raw(bucket))` — documents
+    * whose hashed-gram profile looks like the target domain score high and are
+    * kept preferentially when resampling.
+    *
+    * Exactness: per-bucket log-ratios are rounded to 6dp and summed as
+    * decimals, so cross-row addition is order-independent and the op carries an
+    * exact SQL oracle (the t11/t13 rule).
+    *
+    * Scale shape: one corpus explode feeding BOTH the bucket-stats aggregate
+    * and the per-doc sum (persisted, the t13 pattern); the stats table is
+    * exactly `buckets` rows — it broadcasts back regardless of corpus size, and
+    * the normalizing totals ride a 1-row broadcast cross join. Shuffles: the
+    * stats groupBy and the per-doc groupBy (both partial-agg map-side). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 512,
+                  smoothing: Double = 1.0): DataFrame = {
+    val ex = docs
+      .select(col(idCol), targetPred.cast("boolean").as("_tgt"),
+        explode(uniBigrams(col(textCol))).as("g"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .drop("g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = ex.groupBy(col("b")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
+    val totals = stats.agg(sum(col("c_all")).as("n_all"), sum(col("c_t")).as("n_t"))
+    val sB = smoothing * buckets
+    val bw = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("c_t") + smoothing) / (col("n_t") + sB)) /
+                  ((col("c_all") + smoothing) / (col("n_all") + sB))), 6)
+          .cast("decimal(12,6)").as("_lw"))
+    ex.join(broadcast(bw), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_lw")).as("_s"))
+      .select(col(idCol), col("n_grams"),
+        round(col("_s").cast("double"), 4).as("dsir_weight"))
+  }
+
+  /** BM25 top-k lexical retrieval (Robertson & Zaragoza 2009, the Okapi
+    * formulation with the non-negative `ln(1 + (N - df + 0.5)/(df + 0.5))` idf).
+    * The retrieval primitive a curation pipeline needs for eval-set mining and
+    * decontamination triage: score every document against each query's terms,
+    * return the top `k` per query. Per-term contributions are rounded to 6dp
+    * decimals (order-independent sums → exact SQL oracle); ranking is on the
+    * 4dp-rounded score with a doc-id tiebreak, so the top-k set is
+    * deterministic and engine-portable.
+    *
+    * Scale shape: queries are the small side by construction — the distinct
+    * query-term set broadcasts into the (doc,term) pair table, pruning it to
+    * docs containing at least one query term BEFORE any wide join; document
+    * frequencies for just those terms come from the same persisted pair table
+    * and broadcast too (≤ |query vocabulary| rows); N/avgdl ride a 1-row
+    * broadcast cross join. The only doc-keyed shuffle joins pruned postings to
+    * doc lengths; the final per-(query,doc) groupBy and per-query top-k window
+    * partition by query — never a corpus-wide single partition. */
+  def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qidCol: String, qTextCol: String,
+                   k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(tokens(lower(col(qTextCol))))).as("term"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("_contrib",
+        round(col("_idf") * col("tf") /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(14,6)"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("_contrib")).as("_s"))
+      .withColumn("score", round(col("_s").cast("double"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
 }

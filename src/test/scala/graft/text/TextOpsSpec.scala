@@ -312,4 +312,52 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getDouble(4))
     assert(prop.forall(b => math.abs(b - 1.0) < 1e-9))
   }
+
+  test("uniBigrams: unigrams plus adjacent bigrams; short docs degrade cleanly") {
+    import spark.implicits._
+    val out = Seq((1L, "a b c"), (2L, "solo"), (3L, "  ")).toDF("id", "text")
+      .select($"id", TextOps.uniBigrams($"text").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a", "b", "c", "a b", "b c"))
+    assert(out(2L) == Seq("solo"))
+    assert(out(3L).isEmpty)
+  }
+
+  test("dsirWeights: target-like documents outscore off-target documents") {
+    import spark.implicits._
+    // target domain speaks (x y z), off-target speaks (p q r); the scored pool
+    // has one doc of each dialect
+    val docs = ((1 to 20).map(i => (i.toLong, "x y z x y z", true)) ++
+      (21 to 40).map(i => (i.toLong, "p q r p q r", false)) ++
+      Seq((100L, "x y z x y", false), (101L, "p q r p q", false)))
+      .toDF("id", "text", "is_tgt")
+    val w = TextOps.dsirWeights(docs, "id", "text", col("is_tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(100L) > w(101L),
+      s"target-dialect doc must outscore off-target: ${w(100L)} vs ${w(101L)}")
+    // every doc is scored, including the target rows themselves
+    assert(w.size == 42)
+    // n_grams = tokens + bigrams = 5 + 4 for the two probe docs
+    val n = TextOps.dsirWeights(docs, "id", "text", col("is_tgt"), buckets = 64)
+      .filter(col("id") >= 100L).collect().map(_.getLong(1)).toSeq
+    assert(n == Seq(9L, 9L))
+  }
+
+  test("bm25Retrieve: self-retrieval ranks the source doc first; k respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha alpha common common common words"),
+      (3L, "totally unrelated content lives here now"),
+      (4L, "beta gamma something else entirely words")).toDF("id", "text")
+    val qs = Seq((10L, "alpha beta gamma")).toDF("qid", "qtext")
+    val out = TextOps.bm25Retrieve(docs, "id", "text", qs, "qid", "qtext", k = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.head.getLong(1) == 1L, "doc 1 carries all three query terms")
+    val ranks = out.map(_.getInt(3)).toSeq
+    assert(ranks == Seq(1, 2, 3))
+    // doc 3 shares no term -> never retrieved
+    assert(!out.map(_.getLong(1)).contains(3L))
+  }
 }
