@@ -297,6 +297,31 @@ object QueriesClean {
           unix_timestamp(col("time_qaqc")).as("tq_s"), col("errors_str"))
     }),
 
+    // Merge-stage ledger (`stnlist_update_merge.py` merge_qa): the s13 shape
+    // minus the `_c` normalization — unlisted stage outputs still DROPPED
+    // (uid%29==0 ids pass merge but are not in the station list and must not
+    // surface); distinct moduli from s13 so the two ledgers don't share a
+    // fixture
+    "s18_stnlist_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stations = e.filter(col("user_id") % 29 =!= 0)
+        .select(concat(lit("NET_"), col("user_id").cast("string")).as("era_id"))
+        .distinct()
+      val passed = e.filter(col("user_id") % 5 =!= 0)
+        .groupBy(col("user_id"))
+        .agg(date_trunc("SECOND", min(col("ts"))).as("time_merge"))
+        .select(concat(lit("NET_"), col("user_id").cast("string")).as("id"),
+          col("time_merge"))
+      val errors = e.filter(col("event_id") % 97 === 0)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(date_trunc("SECOND", min(col("ts"))).as("time"))
+        .select(concat(lit("merge_"), col("user_id").cast("string"),
+          lit("_x.zarr")).as("file"), col("time"), col("event_type").as("error"))
+      StationStatus.updateStationListMerge(stations, passed, errors)
+        .select(col("era_id"), col("merged"),
+          unix_timestamp(col("time_merge")).as("tm_s"), col("errors_str"))
+    }),
+
     // All-network station-list generation (`stationlist_generator.py:144-529`):
     // three network frames with deliberately hostile schemas exercise every fuzzy
     // column-resolution rule — start_time preferred over begin, disconnect removed
@@ -772,6 +797,42 @@ object QueriesClean {
            FROM att GROUP BY m_era_id)
          SELECT b.era_id, b.qaqc,
                 CAST(epoch(b.time_qaqc) AS BIGINT) AS tq_s, p.errors_str
+         FROM base b LEFT JOIN per p USING (era_id)""",
+    "s18_stnlist_merge" ->
+      """WITH st AS (
+           SELECT DISTINCT 'NET_' || CAST(user_id AS VARCHAR) AS era_id
+           FROM events WHERE user_id % 29 <> 0),
+         cl AS (
+           SELECT 'NET_' || CAST(user_id AS VARCHAR) AS id,
+                  date_trunc('second', min(ts)) AS time_merge
+           FROM events WHERE user_id % 5 <> 0 GROUP BY user_id),
+         er AS (
+           SELECT 'merge_' || CAST(user_id AS VARCHAR) || '_x.zarr' AS file,
+                  date_trunc('second', min(ts)) AS time, event_type AS error
+           FROM events WHERE event_id % 97 = 0 GROUP BY user_id, event_type),
+         base AS (
+           SELECT st.era_id,
+                  CASE WHEN cl.id IS NULL THEN 'N' ELSE 'Y' END AS merged,
+                  cl.time_merge
+           FROM st LEFT JOIN cl ON st.era_id = cl.id),
+         cand AS (
+           SELECT er.file, er.error, er.time, b.era_id AS m_era_id,
+                  b.time_merge AS m_tm,
+                  row_number() OVER (PARTITION BY er.file, er.error
+                                     ORDER BY b.era_id DESC) AS rn
+           FROM er JOIN base b
+             ON er.file LIKE '%' || regexp_extract(b.era_id, '([^_]+)$', 1) || '%'),
+         att AS (
+           SELECT * FROM cand
+           WHERE rn = 1 AND (m_tm IS NULL OR time IS NULL OR time >= m_tm)),
+         per AS (
+           SELECT m_era_id AS era_id,
+                  CASE WHEN COUNT(*) = 1 THEN MIN(error)
+                       ELSE string_agg(file || ': ' || error, ' '
+                                       ORDER BY file, error) END AS errors_str
+           FROM att GROUP BY m_era_id)
+         SELECT b.era_id, b.merged,
+                CAST(epoch(b.time_merge) AS BIGINT) AS tm_s, p.errors_str
          FROM base b LEFT JOIN per p USING (era_id)""",
     "s12_stnlist_status" ->
       """WITH st AS (

@@ -657,6 +657,26 @@ object QueriesLlm {
       TextOps.bm25Retrieve(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
     }),
 
+    // pipe5: the RAG serving slice as ONE plan — long documents chunked to
+    // context windows (the t15 shape), then BM25 chunk retrieval for held-out
+    // queries (tokens 7..11 of every 100th doc, so the right chunk of the right
+    // doc should surface). Chunk corpus and query set never materialize outside
+    // the plan.
+    "pipe5_rag_slice" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = TextOps.chunkBySentences(
+          docs.withColumn("text2",
+            regexp_replace(col("text"), "\\btable\\b", "table.")),
+          "doc_id", "text2", maxTokens = 32)
+        .select(concat(col("doc_id").cast("string"), lit("#"),
+          col("chunk_id").cast("string")).as("cid"), col("chunk_text"))
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextOps.tokens(lower(col("text"))), 7, 5)).as("qtext"))
+      TextOps.bm25Retrieve(chunks, "cid", "chunk_text", qs, "qid", "qtext", k = 3)
+    }),
+
     // t14: C4 line+page cleaning rules — planted lines exercise every rule:
     // terminal punctuation, the 5-word floor, the javascript line kill, the
     // lorem-ipsum and curly-brace page kills (body lines of the synthetic corpus
@@ -1380,6 +1400,77 @@ object QueriesLlm {
                                      ORDER BY score DESC, doc_id) AS rank
                 FROM s)
           SELECT qid, doc_id, score, rank FROM r WHERE rank <= 3""",
+    // pipe5: the t15 chunking chain feeding the e10 BM25 chain, chunk ids as
+    // doc#chunk strings
+    "pipe5_rag_slice" ->
+      """WITH d AS (
+            SELECT doc_id,
+              regexp_replace(text, '\btable\b', 'table.', 'g') AS t2
+            FROM documents),
+          sa AS (
+            SELECT doc_id,
+              list_filter(list_transform(
+                regexp_extract_all(t2, '[^.!?]+[.!?]*'), s -> trim(s)),
+                s -> len(s) > 0) AS ss
+            FROM d),
+          sents AS (
+            SELECT doc_id,
+              unnest(generate_series(1, len(ss))) - 1 AS pos,
+              unnest(ss) AS sent
+            FROM sa),
+          tok AS (
+            SELECT doc_id, pos, sent,
+              CAST(len(list_filter(regexp_split_to_array(trim(sent), '\s+'),
+                w -> len(w) > 0)) AS BIGINT) AS ntok
+            FROM sents),
+          cum AS (
+            SELECT doc_id, pos, sent, ntok,
+              COALESCE(SUM(ntok) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM tok),
+          chunks AS (
+            SELECT CAST(doc_id AS VARCHAR) || '#' ||
+                     CAST(CAST(FLOOR(bef / 32) AS BIGINT) AS VARCHAR) AS cid,
+                   string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+            FROM cum GROUP BY doc_id, FLOOR(bef / 32)),
+          tf AS (
+            SELECT cid, term, COUNT(*) AS tf
+            FROM (SELECT cid,
+                    unnest(list_filter(
+                      regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+                      x -> len(x) > 0)) AS term
+                  FROM chunks)
+            GROUP BY 1, 2),
+          dl AS (SELECT cid, SUM(tf) AS dl FROM tf GROUP BY 1),
+          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          q AS (
+            SELECT doc_id AS qid,
+              list_slice(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0), 7, 11) AS qt
+            FROM documents WHERE doc_id % 100 = 0),
+          qterms AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q),
+          dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+          scored AS (
+            SELECT qt.qid, tf.cid, tf.tf, dfreq.df, dl.dl,
+                   stats.n_docs, stats.avgdl
+            FROM tf JOIN qterms qt USING (term) JOIN dfreq USING (term)
+                    JOIN dl USING (cid) CROSS JOIN stats),
+          contrib AS (
+            SELECT qid, cid,
+              CAST(ROUND(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                   * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+                   AS DECIMAL(14,6)) AS c
+            FROM scored),
+          s AS (SELECT qid, cid, ROUND(CAST(SUM(c) AS DOUBLE), 4) + 0 AS score
+                FROM contrib GROUP BY 1, 2),
+          r AS (SELECT qid, cid, score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, cid) AS rank
+                FROM s)
+          SELECT qid, cid, score, rank FROM r WHERE rank <= 3""",
     // t14: the line rules as a list_filter lambda — terminal punctuation regex,
     // 5-word floor on whitespace tokens, javascript kill; page gates on the
     // kept-line count and the raw text
