@@ -147,6 +147,31 @@ object StreamingOps {
         col("ch32"))
   }
 
+  /** Streaming DSIR scoring — the serving half of `TextOps.dsirWeights` on a
+    * live feed: the bucket log-ratio table is trained OFFLINE on the standing
+    * corpus (`TextOps.dsirBucketWeights`, `buckets` rows) and each arriving
+    * document is scored by hashing its unigram+bigram stream into buckets and
+    * summing the stream-static-joined log-ratios. The static side broadcasts
+    * per micro-batch; the only streaming state is the (id, time) aggregation
+    * buffer, bounded by the watermark. Emits (id, time, n_grams, dsir_weight)
+    * on watermark close. */
+  def dsirScoreStream(stream: DataFrame, bucketWeights: DataFrame,
+                      idCol: String, textCol: String, timeCol: String,
+                      buckets: Int = 512,
+                      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.text.TextOps
+    stream
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(idCol), col(timeCol),
+        explode(TextOps.uniBigrams(col(textCol))).as("g"))
+      .withColumn("b", TextOps.dsirBucket(col("g"), buckets))
+      .join(broadcast(bucketWeights), Seq("b"))
+      .groupBy(col(idCol), col(timeCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("_lw")).as("_s"))
+      .select(col(idCol), col(timeCol), col("n_grams"),
+        round(col("_s").cast("double"), 4).as("dsir_weight"))
+  }
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

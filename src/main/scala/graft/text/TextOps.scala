@@ -570,27 +570,49 @@ object TextOps {
     * exactly `buckets` rows — it broadcasts back regardless of corpus size, and
     * the normalizing totals ride a 1-row broadcast cross join. Shuffles: the
     * stats groupBy and the per-doc groupBy (both partial-agg map-side). */
+  /** The DSIR feature-hash bucket of one gram (md5-derived 60-bit, portable). */
+  def dsirBucket(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Per-bucket smoothed target/raw log-ratios from a (b, c_all, c_t) stats
+    * table — the learned DSIR model (`buckets` rows; broadcastable anywhere). */
+  private def dsirStatsToWeights(stats: DataFrame, buckets: Int,
+                                 smoothing: Double): DataFrame = {
+    val totals = stats.agg(sum(col("c_all")).as("n_all"), sum(col("c_t")).as("n_t"))
+    val sB = smoothing * buckets
+    stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("c_t") + smoothing) / (col("n_t") + sB)) /
+                  ((col("c_all") + smoothing) / (col("n_all") + sB))), 6)
+          .cast("decimal(12,6)").as("_lw"))
+  }
+
+  /** Train the DSIR bucket-weight table alone (one corpus pass): the `buckets`-row
+    * artifact [[graft.streaming.StreamingOps.dsirScoreStream]] serves against. */
+  def dsirBucketWeights(docs: DataFrame, textCol: String, targetPred: Column,
+                        buckets: Int = 512, smoothing: Double = 1.0): DataFrame = {
+    val stats = docs
+      .select(targetPred.cast("boolean").as("_tgt"),
+        explode(uniBigrams(col(textCol))).as("g"))
+      .groupBy(dsirBucket(col("g"), buckets).as("b"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
+    dsirStatsToWeights(stats, buckets, smoothing)
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 512,
                   smoothing: Double = 1.0): DataFrame = {
     val ex = docs
       .select(col(idCol), targetPred.cast("boolean").as("_tgt"),
         explode(uniBigrams(col(textCol))).as("g"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)))
+      .withColumn("b", dsirBucket(col("g"), buckets))
       .drop("g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = ex.groupBy(col("b")).agg(
       count(lit(1)).as("c_all"),
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
-    val totals = stats.agg(sum(col("c_all")).as("n_all"), sum(col("c_t")).as("n_t"))
-    val sB = smoothing * buckets
-    val bw = stats.crossJoin(broadcast(totals))
-      .select(col("b"),
-        round(log(((col("c_t") + smoothing) / (col("n_t") + sB)) /
-                  ((col("c_all") + smoothing) / (col("n_all") + sB))), 6)
-          .cast("decimal(12,6)").as("_lw"))
+    val bw = dsirStatsToWeights(stats, buckets, smoothing)
     ex.join(broadcast(bw), "b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),

@@ -214,4 +214,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head._3 > 0.4)
     } finally q.stop()
   }
+
+  test("dsirScoreStream: arriving docs score exactly as the batch op's weights imply") {
+    import spark.implicits._
+    import graft.text.TextOps
+    implicit val sq = spark.sqlContext
+    // target dialect (x y z) vs off-target (p q r), the TextOpsSpec fixture
+    val corpus = ((1 to 20).map(i => (i.toLong, "x y z x y z", true)) ++
+      (21 to 40).map(i => (i.toLong, "p q r p q r", false)))
+      .toDF("id", "text", "is_tgt")
+    val bw = TextOps.dsirBucketWeights(corpus, "text", col("is_tgt"), buckets = 64)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.dsirScoreStream(
+      input.toDF().toDF("id", "t", "text"), bw, "id", "text", "t", buckets = 64)
+    val q = out.writeStream.format("memory").queryName("dsir_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (100L, Timestamp.valueOf("2024-01-01 00:00:10"), "x y z x y"),
+        (101L, Timestamp.valueOf("2024-01-01 00:00:20"), "p q r p q"))
+      // advance the watermark past the first batch so the agg rows emit
+      input.addData((999L, Timestamp.valueOf("2024-01-01 02:00:00"), "x"))
+      q.processAllAvailable()
+      val byId = spark.sql(
+        "SELECT id, n_grams, dsir_weight FROM dsir_stream_test WHERE id < 999")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(byId.keySet == Set(100L, 101L))
+      assert(byId(100L)._1 == 9L) // 5 unigrams + 4 bigrams
+      // target-dialect doc outscores the off-target doc, same as the batch op
+      assert(byId(100L)._2 > byId(101L)._2)
+    } finally q.stop()
+  }
 }
