@@ -650,7 +650,7 @@ object QueriesLlm {
     // top (self-retrieval sanity built into the fixture)
     "e10_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val qs = docs.filter(col("doc_id") % 100 === 0)
+      val qs = docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("qid"),
           concat_ws(" ",
             slice(TextOps.tokens(lower(col("text"))), 1, 6)).as("qtext"))
@@ -670,7 +670,7 @@ object QueriesLlm {
           "doc_id", "text2", maxTokens = 32)
         .select(concat(col("doc_id").cast("string"), lit("#"),
           col("chunk_id").cast("string")).as("cid"), col("chunk_text"))
-      val qs = docs.filter(col("doc_id") % 100 === 0)
+      val qs = docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("qid"),
           concat_ws(" ",
             slice(TextOps.tokens(lower(col("text"))), 7, 5)).as("qtext"))
@@ -1377,7 +1377,7 @@ object QueriesLlm {
               list_slice(list_filter(
                 regexp_split_to_array(trim(lower(text)), '\s+'),
                 x -> len(x) > 0), 1, 6) AS qt
-            FROM documents WHERE doc_id % 100 = 0),
+            FROM documents WHERE doc_id % 100 = 0 AND doc_id < 5000),
           qterms AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q),
           dfreq AS (
             SELECT term, COUNT(*) AS df FROM tf
@@ -1448,7 +1448,7 @@ object QueriesLlm {
               list_slice(list_filter(
                 regexp_split_to_array(trim(lower(text)), '\s+'),
                 x -> len(x) > 0), 7, 11) AS qt
-            FROM documents WHERE doc_id % 100 = 0),
+            FROM documents WHERE doc_id % 100 = 0 AND doc_id < 5000),
           qterms AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q),
           dfreq AS (
             SELECT term, COUNT(*) AS df FROM tf

@@ -641,21 +641,31 @@ object TextOps {
   def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
                    queries: DataFrame, qidCol: String, qTextCol: String,
                    k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tk = tokens(lower(col(textCol)))
+    // corpus stats: one narrow scan into a 1-row aggregate, no wide shuffle.
+    // Token-less docs are excluded (they carry no postings) so n_docs/avgdl
+    // match a postings-derived formulation exactly.
+    val stats = docs.select(size(tk).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col(qidCol),
       explode(array_distinct(tokens(lower(col(qTextCol))))).as("term"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // postings scan: doc length rides the scan inline (size of the token array —
+    // no corpus-wide doc-length groupBy, no dl join), and the query-term filter
+    // lands scan-side via broadcast hash join BEFORE the single corpus shuffle
+    // (the per-(doc,term) partial agg over query-term hits only)
+    val pruned = docs.select(col(idCol), tk.as("_tk"))
+      .select(col(idCol), size(col("_tk")).cast("long").as("dl"),
+        explode(col("_tk")).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequencies for just the query terms (≤ |query vocab| keys)
+    val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
-    tf.join(broadcast(qterms), "term")
+    pruned.join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         round(log(lit(1.0) +

@@ -360,4 +360,22 @@ class TextOpsSpec extends SparkSpec {
     // doc 3 shares no term -> never retrieved
     assert(!out.map(_.getLong(1)).contains(3L))
   }
+
+  test("bm25Retrieve plan: query sides broadcast; corpus crosses one wide shuffle") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, s"alpha beta word$i tail")).toDF("id", "text")
+    val qs = Seq((10L, "alpha beta")).toDF("qid", "qtext")
+    val plan = TextOps.bm25Retrieve(docs, "id", "text", qs, "qid", "qtext")
+      .queryExecution.executedPlan.toString
+    // qterms / dfreq / stats all ride broadcasts
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$plan")
+    // no corpus-wide doc-length groupBy: an exchange keyed by the doc id ALONE
+    // would be the old dl shuffle (lengths now ride the scan as size(tokens));
+    // the only corpus-keyed exchange is the (id, dl, term) postings partial agg
+    assert("hashpartitioning\\(id#\\d+L?, \\d+\\)".r.findFirstIn(plan).isEmpty,
+      s"corpus doc-length shuffle crept back in:\n$plan")
+    assert(plan.contains("hashpartitioning(id#") || plan.contains(", id#"),
+      s"postings agg missing:\n$plan")
+  }
 }
