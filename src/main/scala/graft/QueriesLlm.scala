@@ -638,6 +638,13 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // t16: BPE merge training — 8 merges learned over the corpus. Rows-only BY
+    // DESIGN: the iterative argmax-merge-rewrite loop has no tractable SQL
+    // oracle (each round's pair counts depend on every earlier merge);
+    // TextOpsSpec pins the classic Sennrich worked example bit-exactly.
+    "t16_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(t(s, dir, "documents"), "text", nMerges = 8)),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.

@@ -570,6 +570,88 @@ object TextOps {
     * exactly `buckets` rows — it broadcasts back regardless of corpus size, and
     * the normalizing totals ride a 1-row broadcast cross join. Shuffles: the
     * stats groupBy and the per-doc groupBy (both partial-agg map-side). */
+  /** BPE merge training (Sennrich et al. 2016, "Neural Machine Translation of
+    * Rare Words with Subword Units" — the tokenizer-training step of an LLM data
+    * pipeline). Learns `nMerges` byte-pair merges over the corpus: words are
+    * whitespace tokens of the lowered text ending in `endOfWord`; each round
+    * counts adjacent symbol pairs weighted by word frequency, merges the
+    * argmax pair (count desc, then lexicographic pair — deterministic), and
+    * rewrites the vocabulary. Returns the merge table
+    * `(rank, left, right, pair_count)`.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency groupBy);
+    * every round after that runs over the DISTINCT-WORD vocabulary (Heaps-law
+    * small relative to the corpus, kept distributed — classic trainers hold it
+    * single-node in memory). Per round: one vocab-pair partial-agg shuffle +
+    * a 1-row argmax collect (model-sized driver traffic, the e6/e8t rule); the
+    * merge rewrite is a per-row HOF fold (greedy left-to-right,
+    * non-overlapping). Vocab lineage is cut per round with `localCheckpoint`
+    * (the d7 rule) so `nMerges` rounds never replay round 1. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+               endOfWord: String = "</w>"): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .select(col("freq"),
+        concat(split(col("w"), ""), array(lit(endOfWord))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val n1 = greatest(size(col("syms")) - 1, lit(0))
+      val top = vocab
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1, a, b, n))
+        // greedy left-to-right merge of (a,b) occurrences, non-overlapping:
+        // fold the symbol array; a tail element equal to `a` followed by `b`
+        // collapses into `ab` (and the new `ab` cannot re-match `a`)
+        val mergedSyms = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        val next = vocab.select(col("freq"), mergedSyms.as("syms")).localCheckpoint()
+        vocab.unpersist(blocking = false)
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned BPE merge list to one text column: each word's symbol
+    * stream is rewritten by every merge in rank order (the greedy fold of
+    * [[bpeTrain]]); returns the array of subword tokens. Client-side helper for
+    * model-sized merge lists — each merge chains one HOF fold into the plan. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)],
+                 endOfWord: String = "</w>"): Column = {
+    val initial = transform(tokens(lower(text)),
+      w => concat(split(w, ""), array(lit(endOfWord))))
+    val perWord = merges.foldLeft(initial) { case (arr, (a, b)) =>
+      transform(arr, syms => aggregate(syms,
+        array().cast("array<string>"),
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s)))))
+    }
+    flatten(perWord)
+  }
+
   /** The DSIR feature-hash bucket of one gram (md5-derived 60-bit, portable). */
   def dsirBucket(g: Column, buckets: Int): Column =
     pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))

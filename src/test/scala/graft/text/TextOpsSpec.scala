@@ -378,4 +378,36 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(id#") || plan.contains(", id#"),
       s"postings agg missing:\n$plan")
   }
+
+  test("bpeTrain: the Sennrich reference corpus learns the classic merges") {
+    import spark.implicits._
+    // low x5, lower x2, newest x6, widest x3 — the worked example from the
+    // paper; ties resolve lexicographically ((e,s) before (s,t) at count 9)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", nMerges = 5)
+      .orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L)))
+  }
+
+  test("bpeTrain stops when no pairs remain; bpeSegment applies merges in order") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab ab")).toDF("id", "text")
+    // "ab" = [a, b, </w>]: merges (a,b) -> (ab,</w>) -> exhausted at 2
+    val m = TextOps.bpeTrain(tiny, "text", nMerges = 10)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "b", 2L), (2, "ab", "</w>", 2L)))
+    val seg = Seq((1L, "newest low")).toDF("id", "text")
+      .select(TextOps.bpeSegment(col("text"),
+        Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))).as("s"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("n", "e", "w", "est</w>", "low", "</w>"))
+  }
 }
