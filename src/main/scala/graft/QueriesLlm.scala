@@ -638,6 +638,27 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // samp7: cluster-balanced data selection — assign embeddings to their
+    // nearest centroid cell (e3's coarse quantizer), keep the 25 most
+    // representative vectors per cell (cosine to own centroid, vec_id
+    // tiebreak). The e3 assignment composed with samp3's partial
+    // WindowGroupLimit cap: mega-cells ship 25 rows per map task, never the
+    // cell's full membership.
+    "samp7_cluster_cap" -> ((s, dir) => {
+      val dim = 64
+      val centroids = (0 until 8).map(i =>
+        Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("cid", AnnOps.ivfAssign(col("v"), centroids).cast("long"))
+        .withColumn("rep", round(
+          when(AnnOps.dot(col("v"), col("v")) === 0, 0.0)
+            .otherwise(element_at(col("v"), col("cid").cast("int") + 1) /
+              sqrt(AnnOps.dot(col("v"), col("v")))), 6))
+      TextOps.capPerGroup(emb, col("cid"), 25, col("rep"), col("vec_id"))
+        .select(col("vec_id"), col("cid"), col("rep"))
+    }),
+
     // t16: BPE merge training — 8 merges learned over the corpus. Rows-only BY
     // DESIGN: the iterative argmax-merge-rewrite loop has no tractable SQL
     // oracle (each round's pair counts depend on every earlier merge);
@@ -1332,6 +1353,24 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // samp7: e3's argmax assignment (ties cid DESC), representativeness =
+    // own-centroid cosine rounded 6dp BEFORE the per-cell rank
+    "samp7_cluster_cap" ->
+      """WITH scored AS (
+           SELECT vec_id, i AS cid,
+                  CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 THEN 0.0
+                       ELSE embedding[i + 1] / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) END AS cos
+           FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+         best AS (
+           SELECT vec_id, cid, cos,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+           FROM scored),
+         a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid, ROUND(cos, 6) AS rep
+               FROM best WHERE rn = 1),
+         r AS (SELECT vec_id, cid, rep,
+                 row_number() OVER (PARTITION BY cid ORDER BY rep DESC, vec_id) AS rk
+               FROM a)
+         SELECT vec_id, cid, rep + 0 AS rep FROM r WHERE rk <= 25""",
     // samp6: the exact DSIR pipeline — unigram+bigram hash buckets (15-hex-char
     // md5 prefix, the fingerprint60 rule), add-1 smoothed target/raw log-ratios
     // rounded to 6dp decimals before the per-doc sum
