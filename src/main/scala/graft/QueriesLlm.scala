@@ -638,6 +638,17 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // g1: PageRank over a link graph (host-rank quality signals for web
+    // curation) — 5 damped power iterations, per-round 9dp-decimal rounding so
+    // every iteration is bit-portable; the events-derived edge fixture is a
+    // dense 300-node multigraph collapsed to simple edges
+    "g1_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        (col("user_id") % 300).as("src"),
+        ((col("user_id") * 7 + (col("event_id") % 5)) % 300).as("dst"))
+      graft.graph.GraphOps.pageRank(e, "src", "dst", iterations = 5)
+    }),
+
     // samp7: cluster-balanced data selection — assign embeddings to their
     // nearest centroid cell (e3's coarse quantizer), keep the 25 most
     // representative vectors per cell (cosine to own centroid, vec_id
@@ -838,6 +849,39 @@ object QueriesLlm {
   )
 
   // ---- oracle SQL ------------------------------------------------------------
+
+  /** The g1 PageRank oracle, rounds unrolled mechanically (the d5PlanesSql
+    * pattern: generated SQL mirroring the exact Spark computation). Explicit
+    * `::DOUBLE` casts keep DuckDB's decimal literals out of the float path so
+    * `(1-d)/N + d*m` is the identical IEEE expression on both engines. */
+  private val g1PagerankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""m$i AS (
+           SELECT e0.dst AS node,
+                  SUM(CAST(ROUND(r${i - 1}.rank / deg.deg, 9) AS DECIMAL(28,9))) AS m
+           FROM e0 JOIN r${i - 1} ON e0.src = r${i - 1}.node
+                   JOIN deg ON e0.src = deg.src
+           GROUP BY e0.dst),
+         r$i AS (
+           SELECT nodes.node,
+                  ROUND((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+                        + 0.85::DOUBLE * COALESCE(CAST(m$i.m AS DOUBLE), 0.0), 9) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN m$i ON nodes.node = m$i.node)"""
+    }.mkString(",\n         ")
+    s"""WITH e0 AS (
+          SELECT DISTINCT user_id % 300 AS src,
+                 (user_id * 7 + (event_id % 5)) % 300 AS dst
+          FROM events),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+        r0 AS (SELECT node, ROUND(1.0::DOUBLE / nn.n, 9) AS rank
+               FROM nodes CROSS JOIN nn),
+        $rounds
+        SELECT node, rank + 0 AS rank FROM r5"""
+  }
 
   /** Shared SQL fragments (must mirror TextOps/DedupOps exactly). */
   private val toksSql =
@@ -1353,6 +1397,9 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // g1: the five power iterations unrolled as CTE pairs (message sum, then
+    // re-rank) — every round re-rounds to 9dp on both engines
+    "g1_pagerank" -> g1PagerankSql,
     // samp7: e3's argmax assignment (ties cid DESC), representativeness =
     // own-centroid cosine rounded 6dp BEFORE the per-cell rank
     "samp7_cluster_cap" ->
