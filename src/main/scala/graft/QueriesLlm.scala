@@ -638,6 +638,14 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // samp8: weighted sampling without replacement (A-ES keys) — 50 docs drawn
+    // proportional to n_chars, deterministic for (salt, id, weight)
+    "samp8_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", col("n_chars").cast("double"), k = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_key"))),
+
     // g1: PageRank over a link graph (host-rank quality signals for web
     // curation) — 5 damped power iterations, per-round 9dp-decimal rounding so
     // every iteration is bit-portable; the events-derived edge fixture is a
@@ -1397,6 +1405,24 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // samp8: the exact A-ES key pipeline — the samp1 md5-uniform, ln-key,
+    // 9dp round, top-50 with explicit NULLS LAST so engine defaults can't drift
+    "samp8_weighted_sample" ->
+      """WITH u AS (
+           SELECT doc_id, lang, n_chars,
+             (('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                / 1152921504606846976.0) AS uu
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang, n_chars,
+             CASE WHEN n_chars > 0
+                  THEN ROUND(ln(uu) / CAST(n_chars AS DOUBLE), 9) END AS sample_key
+           FROM u),
+         r AS (SELECT doc_id, lang, n_chars, sample_key,
+                 row_number() OVER (ORDER BY sample_key DESC NULLS LAST, doc_id) AS rn
+               FROM k)
+         SELECT doc_id, lang, n_chars, sample_key + 0 AS sample_key
+         FROM r WHERE rn <= 50""",
     // g1: the five power iterations unrolled as CTE pairs (message sum, then
     // re-rank) — every round re-rounds to 9dp on both engines
     "g1_pagerank" -> g1PagerankSql,

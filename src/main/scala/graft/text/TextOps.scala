@@ -287,6 +287,27 @@ object TextOps {
     u < rate
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, the A-ES key method): each row gets key `ln(u) / w` for the
+    * salted hash-uniform `u` and weight `w`; the `k` LARGEST keys are exactly a
+    * weight-proportional sample without replacement. The hash-uniform makes the
+    * sample a pure function of (salt, id, weight) — stable across engines,
+    * re-runs, partitioning, and corpus growth, the samp1 property extended to
+    * weighted draws. Keys are rounded to 9dp with an id tiebreak so the top-k
+    * SET is deterministic and SQL-portable; selection is a TakeOrdered-shaped
+    * global top-k (never a single-partition window) via the rank-window form
+    * that Catalyst rewrites to a partial group limit.
+    *
+    * Returns the k selected rows with their `sample_key`. Zero/negative
+    * weights never win (key -> -Inf, clamped to the bottom). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     salt: String = "wsamp:"): DataFrame = {
+    val u = hashUniform(col(idCol), salt)
+    val key = when(weight > 0, round(log(u) / weight, 9)).otherwise(lit(null))
+    capPerGroup(df.withColumn("sample_key", key), lit(1), k,
+      col("sample_key"), col(idCol))
+  }
+
   /** Per-group document cap — the RefinedWeb/C4-style per-domain limit: keep at
     * most `n` rows per `group`, preferring higher `rank` with a deterministic
     * `tiebreak`. ONE window shuffle on the group key; the `rn <= n` filter is

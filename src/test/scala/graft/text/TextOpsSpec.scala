@@ -379,6 +379,26 @@ class TextOpsSpec extends SparkSpec {
       s"postings agg missing:\n$plan")
   }
 
+  test("weightedSample: k rows, weight-proportional, stable across partitioning") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => (i.toLong, 1.0)) :+ ((999L, 1e9)))
+      .toDF("id", "w")
+    val out = TextOps.weightedSample(df, "id", col("w"), k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(out.size == 20)
+    // a weight 1e9 outlier has key ln(u)/1e9 ~ 0 — it must be drawn
+    assert(out.contains(999L))
+    // determinism: same rows regardless of physical partitioning
+    val out2 = TextOps.weightedSample(df.repartition(7), "id", col("w"), k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(out2 == out)
+    // zero/negative weights never win
+    val withZero = df.withColumn("w", when($"id" === 999L, -1.0).otherwise($"w"))
+    val out3 = TextOps.weightedSample(withZero, "id", col("w"), k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(!out3.contains(999L))
+  }
+
   test("bpeTrain: the Sennrich reference corpus learns the classic merges") {
     import spark.implicits._
     // low x5, lower x2, newest x6, widest x3 — the worked example from the
