@@ -61,10 +61,14 @@ class SparkEntrySpec extends SparkSpec {
     // untrained recall pinned in DedupAnnSpec (e8 is the oracle-checked twin);
     // d15: positional-argmin rightmost-tie rule has no portable SQL twin —
     // d13 is the oracle-checked detection path over the same fingerprints
-    // (removal semantics pinned in WinnowSelectPosSpec + DedupAnnSpec).
+    // (removal semantics pinned in WinnowSelectPosSpec + DedupAnnSpec);
+    // t16: iterative BPE training — each round's pair counts depend on every
+    // earlier merge's rewrite, no tractable SQL oracle; the classic Sennrich
+    // worked example is pinned bit-exactly in TextOpsSpec.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("w13_gauss_gap", "clim1_outlier_chain",
-      "d2x_minhash_xxhash", "e8t_ivfpq_trained", "d15_span_removal"),
+      "d2x_minhash_xxhash", "e8t_ivfpq_trained", "d15_span_removal",
+      "t16_bpe_train"),
       s"got $noOracle")
     // no orphan oracles either (an oracle without a query never gets checked)
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
