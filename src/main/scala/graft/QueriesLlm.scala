@@ -638,6 +638,20 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // d20: snapshot diff between two corpus versions — the synthetic "new
+    // crawl drop" removes every 17th doc, changes every 11th, and re-adds
+    // every 23rd under a new id; only added+changed would flow downstream
+    "d20_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cur = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" changed")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      DedupOps.snapshotDiff(docs, cur, "doc_id", "text")
+    }),
+
     // samp8: weighted sampling without replacement (A-ES keys) — 50 docs drawn
     // proportional to n_chars, deterministic for (salt, id, weight)
     "samp8_weighted_sample" -> ((s, dir) =>
@@ -1405,6 +1419,34 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // d20: fingerprints as the inlined NormFingerprint twin, one full-outer
+    // join on the id
+    "d20_snapshot_diff" ->
+      """WITH fpold AS (
+           SELECT doc_id AS oid,
+             md5(array_to_string(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0), ' ')) AS ofp
+           FROM documents),
+         cur AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' changed' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text
+           FROM documents WHERE doc_id % 23 = 0),
+         fpcur AS (
+           SELECT doc_id AS cid,
+             md5(array_to_string(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0), ' ')) AS cfp
+           FROM cur)
+         SELECT COALESCE(cid, oid) AS doc_id,
+                CASE WHEN oid IS NULL THEN 'added'
+                     WHEN cid IS NULL THEN 'removed'
+                     WHEN ofp <> cfp THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM fpold FULL OUTER JOIN fpcur ON oid = cid""",
     // samp8: the exact A-ES key pipeline — the samp1 md5-uniform, ln-key,
     // 9dp round, top-50 with explicit NULLS LAST so engine defaults can't drift
     "samp8_weighted_sample" ->

@@ -28,6 +28,30 @@ object DedupOps {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Snapshot diff — dataset versioning between two corpus versions: classify
+    * every document id as `added` (new id), `removed` (gone id), `changed`
+    * (same id, different normalized-text fingerprint), or `unchanged`. The
+    * audit step an incremental curation pipeline runs before reprocessing a new
+    * crawl drop: only `added`+`changed` flow into the (expensive) dedup/quality
+    * stages, the [[graft.dedup.DedupOps]] incremental ops' contract.
+    *
+    * Scale shape: fingerprints are computed scan-side (the codegen'd
+    * NormFingerprint, no token arrays), then ONE full-outer shuffle join on the
+    * id — no text comparison ever crosses the network, only (id, 128-bit fp). */
+  def snapshotDiff(old: DataFrame, cur: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = old.select(col(idCol).as("_oid"),
+      graft.text.TextOps.fingerprint(col(textCol)).as("_ofp"))
+    val c = cur.select(col(idCol).as("_cid"),
+      graft.text.TextOps.fingerprint(col(textCol)).as("_cfp"))
+    o.join(c, o("_oid") === c("_cid"), "full_outer")
+      .select(coalesce(col("_cid"), col("_oid")).as(idCol),
+        when(col("_oid").isNull, "added")
+          .when(col("_cid").isNull, "removed")
+          .when(col("_ofp") =!= col("_cfp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Paragraph-level exact dedup — boilerplate removal: split each document on
     * `sep`, keep only the FIRST corpus-wide occurrence (ordered by (id, position))
     * of each normalized-paragraph fingerprint, and reassemble the survivors in

@@ -610,4 +610,14 @@ class DedupAnnSpec extends SparkSpec {
     // cluster 1: 11 and 12 tie at q=9 -> lower id 11; cluster 2: 20/21 tie -> 20
     assert(out == Seq(11L, 20L))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; normalization-insensitive") {
+    val old = Seq((1L, "a b c"), (2L, "keep me"), (3L, "gone soon")).toDF("id", "text")
+    val cur = Seq((1L, "a b  C"), // whitespace/case only -> same fingerprint
+      (2L, "keep me now"), (4L, "brand new")).toDF("id", "text")
+    val out = DedupOps.snapshotDiff(old, cur, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
