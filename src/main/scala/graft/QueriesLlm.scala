@@ -638,6 +638,27 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // mm3: REAL audio decode + feature extraction — deterministic sine WAVs
+    // (real containers via javax.sound) round-trip through the PCM codec; the
+    // oracle recomputes the exact integer samples analytically, so rms/zc
+    // verify the full container→PCM→features path
+    "mm3_audio_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { did =>
+          graft.multimodal.MultimodalOps.MediaRow(did, "audio",
+            graft.multimodal.MultimodalOps.sineWav(
+              51 + (did % 7).toInt, 800 + (did % 5).toInt * 160),
+            Map.empty) }
+      graft.multimodal.MultimodalOps.audioFrameFeatures(rows, windowSamples = 256)
+        .toDF()
+        .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("nWindows").as("n_windows"),
+          col("zcTotal").as("zc_total"), round(col("rms"), 6).as("rms"))
+    }),
+
     // d20: snapshot diff between two corpus versions — the synthetic "new
     // crawl drop" removes every 17th doc, changes every 11th, and re-adds
     // every 23rd under a new id; only added+changed would flow downstream
@@ -1419,6 +1440,35 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // mm3: the sine fixture's integer samples regenerated analytically —
+    // identical IEEE op order to sineWav (the float-literal rule), Σs² exact
+    // in BIGINT, zero crossings via a lag window
+    "mm3_audio_features" ->
+      """WITH p AS (
+           SELECT doc_id, 51 + (doc_id % 7) AS f, 800 + (doc_id % 5) * 160 AS n
+           FROM documents),
+         sgen AS (
+           SELECT doc_id, n, i,
+             CAST(FLOOR(0.8::DOUBLE * 32767 * sin(2.0::DOUBLE * pi() * f * i / 8000)
+                        + 0.5::DOUBLE) AS BIGINT) AS v
+           FROM (SELECT doc_id, f, n,
+                   unnest(generate_series(0, n - 1)) AS i FROM p)),
+         lagged AS (
+           SELECT doc_id, n, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM sgen),
+         agg AS (
+           SELECT doc_id, MAX(n) AS n,
+             SUM(v * v) AS ssq,
+             SUM(CASE WHEN i > 0 AND ((v >= 0) <> (prev >= 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM lagged GROUP BY doc_id)
+         SELECT doc_id, 8000 AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n + 255) // 256 AS BIGINT) AS n_windows,
+           CAST(zc AS BIGINT) AS zc_total,
+           ROUND(sqrt(CAST(ssq AS DOUBLE) / n), 6) + 0 AS rms
+         FROM agg""",
     // d20: fingerprints as the inlined NormFingerprint twin, one full-outer
     // join on the id
     "d20_snapshot_diff" ->

@@ -103,6 +103,82 @@ object MultimodalOps {
             in.getFrameLength))
         } finally in.close()
       } catch { case _: Exception => None }
+
+    /** Full PCM decode to raw per-channel-averaged amplitudes. Mono 8-bit
+      * (unsigned, re-centered) and 8/16-bit signed PCM supported; 16-bit honors
+      * the container's endianness. Mono streams return exact integer
+      * amplitudes (as doubles), which keeps downstream sums integer-exact;
+      * multi-channel streams average channels (documented as inexact). */
+    def tryDecodeSamples(payload: Array[Byte]): Option[(Int, Array[Double])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          val bits = f.getSampleSizeInBits
+          val ch = f.getChannels
+          val signed = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (bits != 8 && bits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val bytesPerSample = bits / 8
+            val nFrames = bytes.length / (bytesPerSample * ch)
+            val outArr = new Array[Double](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = (i * ch + c) * bytesPerSample
+                val v =
+                  if (bits == 8) {
+                    if (signed) bytes(o).toInt else (bytes(o) & 0xff) - 128
+                  } else {
+                    val (lo, hi) = if (f.isBigEndian) (o + 1, o) else (o, o + 1)
+                    ((bytes(hi).toInt << 8) | (bytes(lo) & 0xff))
+                  }
+                acc += v
+                c += 1
+              }
+              outArr(i) = acc / ch
+              i += 1
+            }
+            Some((f.getSampleRate.toInt, outArr))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Per-document audio features from the decoded PCM stream. Raw (un-normalized)
+    * sample amplitudes keep every downstream stat integer-exact for 8/16-bit PCM:
+    * `rms = sqrt(Σs²/n)` with an integer Σs², `zc_total` = sign changes. */
+  final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
+                                 nWindows: Long, zcTotal: Long, rms: Double,
+                                 windowRms: Array[Double], windowZcr: Array[Double])
+
+  /** Deterministic sine-wave WAV fixture (REAL container via javax.sound):
+    * `floor(amp·32767·sin(2π·f·i/rate) + 0.5)` as mono 16-bit little-endian PCM.
+    * The generator both tests [[audioFrameFeatures]] and lets a SQL oracle
+    * recompute the exact integer samples analytically. */
+  def sineWav(freqHz: Int, nSamples: Int, rate: Int = 8000,
+              amp: Double = 0.8): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val x = amp * 32767 * math.sin(2.0 * math.Pi * freqHz * i / rate)
+      val s = math.floor(x + 0.5).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Real from-scratch video container parser (RIFF/AVI — same spirit as the
@@ -240,6 +316,52 @@ object MultimodalOps {
       var j = 0
       while (j < 16) { hist(j) /= n; j += 1 }
       ByteFeatures(r.id, r.payload.length.toLong, hist)
+    })
+  }
+
+  /** Audio feature extraction over the REAL decoded PCM stream: per-window RMS
+    * energy and zero-crossing rate (the classic speech/music activity features)
+    * plus whole-stream totals. Typed mapPartitions (one pass per payload, no
+    * per-partition materialization); rows whose payload doesn't decode are
+    * dropped (the byte-feature path still covers them). For mono integer PCM
+    * every aggregate is integer-exact — Σs² is an exact sum of squares — so the
+    * whole-stream stats carry an analytic SQL oracle when the fixture's sample
+    * values are themselves recomputable (see the mm3 query + [[sineWav]]). */
+  def audioFrameFeatures(ds: Dataset[MediaRow], windowSamples: Int = 256)
+                        (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      AudioCodec.tryDecodeSamples(r.payload).map { case (rate, s) =>
+        val n = s.length
+        val nWin = (n + windowSamples - 1) / windowSamples
+        val wRms = new Array[Double](nWin)
+        val wZcr = new Array[Double](nWin)
+        var zcTotal = 0L
+        var sumSq = 0.0
+        var w = 0
+        while (w < nWin) {
+          val from = w * windowSamples
+          val until = math.min(from + windowSamples, n)
+          var sq = 0.0
+          var zc = 0
+          var i = from
+          while (i < until) {
+            sq += s(i) * s(i)
+            if (i > from && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          // window-boundary crossings count toward the stream total only
+          if (w > 0 && (s(from) >= 0) != (s(from - 1) >= 0)) zcTotal += 1
+          zcTotal += zc
+          sumSq += sq
+          val len = until - from
+          wRms(w) = math.sqrt(sq / len)
+          wZcr(w) = if (len > 1) zc.toDouble / (len - 1) else 0.0
+          w += 1
+        }
+        AudioFeatures(r.id, rate, n.toLong, nWin.toLong, zcTotal,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0, wRms, wZcr)
+      }
     })
   }
 

@@ -156,6 +156,35 @@ class MultimodalSpec extends SparkSpec {
     assert(id.payload.toSeq == Array.tabulate(10)(_.toByte).toSeq)
   }
 
+  test("audio PCM round trip: sine WAV decodes to exact samples; RMS/ZCR analytic") {
+    val rate = 8000
+    val f = 50
+    val n = 1600 // exactly 0.2 s -> 2*f*0.2 = 20 half-periods
+    val wav = sineWav(f, n, rate, amp = 0.8)
+    val (gotRate, pcm) = MultimodalOps.AudioCodec.tryDecodeSamples(wav).get
+    assert(gotRate == rate && pcm.length == n)
+    // exact round trip of the generated integers
+    val expect = (0 until n).map(i =>
+      math.floor(0.8 * 32767 * math.sin(2.0 * math.Pi * f * i / rate) + 0.5))
+    assert(pcm.toSeq == expect)
+    val feats = audioFrameFeatures(
+      Seq(media(1, "audio", wav)).toDS(), windowSamples = 256).collect().head
+    assert(feats.nSamples == n && feats.nWindows == 7)
+    // a full-scale sine's RMS is amp*32767/sqrt(2) up to quantization
+    assert(math.abs(feats.rms - 0.8 * 32767 / math.sqrt(2)) < 2.0, feats.rms.toString)
+    // ~2 crossings per period over 10 periods of 50 Hz in 0.2 s
+    assert(feats.zcTotal >= 19 && feats.zcTotal <= 21, feats.zcTotal.toString)
+    // windows cover the stream; every window of a steady tone carries energy
+    // bounded by the peak (the short 64-sample tail window is phase-dependent,
+    // so no tighter per-window bound holds)
+    assert(feats.windowRms.length == 7)
+    assert(feats.windowRms.forall(r => r > 0 && r <= 0.8 * 32767))
+    // an undecodable payload is dropped, not erred
+    val none = audioFrameFeatures(
+      Seq(media(2, "audio", Array[Byte](1, 2, 3))).toDS(), 256).collect()
+    assert(none.isEmpty)
+  }
+
   test("DataFrame entry point attaches features by id") {
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
       .withColumn("payload", org.apache.spark.sql.functions.encode(
