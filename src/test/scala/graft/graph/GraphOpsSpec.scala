@@ -50,4 +50,14 @@ class GraphOpsSpec extends SparkSpec {
       .agg(sum(col("rank"))).head().getDouble(0)
     assert(total < 1.0)
   }
+
+  test("pageRank plan: N rides a broadcast, never a cartesian product") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val plan = GraphOps.pageRank(edges, "s", "d", iterations = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row N cross join must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast for the scalar N:\n$plan")
+  }
 }

@@ -399,6 +399,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!out3.contains(999L))
   }
 
+  test("dsirWeights plan: the bucket-weight table joins back via broadcast") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"tok$i alpha beta", i % 2 == 0))
+      .toDF("id", "text", "t")
+    val plan = TextOps.dsirWeights(docs, "id", "text", col("t"), buckets = 64)
+      .queryExecution.executedPlan.toString
+    // the `buckets`-row weight table must broadcast into the exploded gram
+    // stream — a sort-merge join here would shuffle the corpus a third time
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket weights must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row totals cross join must broadcast:\n$plan")
+  }
+
   test("bpeTrain: the Sennrich reference corpus learns the classic merges") {
     import spark.implicits._
     // low x5, lower x2, newest x6, widest x3 — the worked example from the
