@@ -638,6 +638,12 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // t17: interpolated Kneser-Ney bigram LM score — the real CCNet-class
+    // perplexity filter (t13's unigram MLE upgraded); self-trained, exact
+    // integer count tables
+    "t17_kn_bigram_lm" -> ((s, dir) =>
+      TextOps.knBigramScore(t(s, dir, "documents"), "doc_id", "text")),
+
     // mm3: REAL audio decode + feature extraction — deterministic sine WAVs
     // (real containers via javax.sound) round-trip through the PCM codec; the
     // oracle recomputes the exact integer samples analytically, so rms/zc
@@ -1440,6 +1446,33 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // t17: the exact KN pipeline — integer count tables, the float-literal
+    // rule on the discount, 6dp-decimal nll before the per-doc sum
+    "t17_kn_bigram_lm" ->
+      """WITH dp AS (
+           SELECT doc_id, tl[i] AS a, tl[i + 1] AS b, COUNT(*) AS tf
+           FROM (SELECT doc_id, tl,
+                   unnest(generate_series(1, len(tl) - 1)) AS i
+                 FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> len(x) > 0) AS tl
+                       FROM documents))
+           GROUP BY 1, 2, 3),
+         bg AS (SELECT a, b, SUM(tf) AS c12 FROM dp GROUP BY 1, 2),
+         fc AS (SELECT a, SUM(c12) AS c1, COUNT(*) AS n1fwd FROM bg GROUP BY 1),
+         ct AS (SELECT b, COUNT(*) AS n1rev FROM bg GROUP BY 1),
+         ty AS (SELECT COUNT(*) AS nbig FROM bg),
+         scored AS (
+           SELECT dp.doc_id, dp.tf,
+             CAST(ROUND(-ln(
+               (GREATEST(c12 - 0.75::DOUBLE, 0.0::DOUBLE) / c1)
+               + ((0.75::DOUBLE * n1fwd) / c1) * (n1rev / nbig)), 6)
+               AS DECIMAL(12,6)) AS nll
+           FROM dp JOIN bg USING (a, b) JOIN fc USING (a) JOIN ct USING (b)
+                   CROSS JOIN ty)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                ROUND(CAST(SUM(nll * tf) AS DOUBLE) / SUM(tf), 4) + 0 AS kn_score
+         FROM scored GROUP BY 1""",
     // mm3: the sine fixture's integer samples regenerated analytically —
     // identical IEEE op order to sineWav (the float-literal rule), Σs² exact
     // in BIGINT, zero crossings via a lag window

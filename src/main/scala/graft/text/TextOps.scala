@@ -560,16 +560,70 @@ object TextOps {
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
-  /** Unigrams + bigrams of the lowered token stream, as one array (the DSIR
-    * feature space). Bigram construction is a zip of the token array against its
-    * own 1-shift — no sequence() (whose descending-range edge at size<2 differs
-    * across engines); a 0/1-token document contributes its unigrams only. */
-  def uniBigrams(text: Column): Column = {
+  /** Adjacent-bigram pairs of the lowered token stream as `struct(a, b)` — the
+    * zip of the token array against its own 1-shift (no sequence(), whose
+    * descending-range edge at size<2 differs across engines); 0/1-token
+    * documents yield an empty array. */
+  def bigramPairs(text: Column): Column = {
     val tk = tokens(lower(text))
     val n1 = greatest(size(tk) - 1, lit(0))
-    val bi = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
-    concat(tk, bi)
+    zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+  }
+
+  /** Unigrams + bigrams of the lowered token stream, as one array (the DSIR
+    * feature space); a 0/1-token document contributes its unigrams only. */
+  def uniBigrams(text: Column): Column = {
+    val tk = tokens(lower(text))
+    concat(tk, transform(bigramPairs(text),
+      p => concat(p.getField("a"), lit(" "), p.getField("b"))))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §3 — the smoothing CCNet-class perplexity filters
+    * actually use, upgraded from [[unigramLmScore]]'s unigram MLE). Self-trained
+    * on the corpus:
+    * `P(b|a) = max(c(ab)-δ,0)/c(a·) + (δ·N1+(a·)/c(a·)) · (N1+(·b)/N1+(··))`
+    * with discount `δ`; every count is an exact integer aggregate, so with the
+    * per-instance `-ln P` rounded to 6dp decimals the cross-row sums are
+    * order-independent and the op carries an exact SQL oracle. Returns
+    * `(id, n_bigrams, kn_score)` — mean negative log-likelihood per bigram
+    * instance (lower = more fluent under the corpus model); documents with
+    * fewer than two tokens carry no bigrams and are absent, the t13 contract.
+    *
+    * Scale shape: ONE corpus explode feeds the (doc, bigram) pair table
+    * (persisted, the t13 rule); all model tables (bigram counts, left-context
+    * totals, continuation counts) derive from it without rescanning; the score
+    * join is bigram-keyed (a web corpus bigram vocabulary is not broadcastable —
+    * AQE skew-join splits stopword-pair keys), and the N1+(··) scalar rides a
+    * 1-row broadcast cross join. */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col(idCol), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = pairs.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fromCtx = bg.groupBy(col("a"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = bg.groupBy(col("b")).agg(count(lit(1)).as("n1rev"))
+    val types = bg.agg(count(lit(1)).as("nbig"))
+    val p =
+      (greatest(col("c12") - discount, lit(0.0)) / col("c1")) +
+        ((lit(discount) * col("n1fwd")) / col("c1")) *
+          (col("n1rev") / col("nbig"))
+    pairs
+      .join(bg, Seq("a", "b"))
+      .join(fromCtx, Seq("a"))
+      .join(cont, Seq("b"))
+      .crossJoin(broadcast(types))
+      .withColumn("_nll", round(-log(p), 6).cast("decimal(12,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("_nll") * col("tf")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_s").cast("double") / col("n_bigrams"), 4).as("kn_score"))
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data

@@ -399,6 +399,43 @@ class TextOpsSpec extends SparkSpec {
     assert(!out3.contains(999L))
   }
 
+  test("knBigramScore matches a rounding-faithful reference; KN semantics hold") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a b a c b a"))
+      .toDF("id", "text")
+    val got = TextOps.knBigramScore(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference loop with the op's exact arithmetic + rounding
+    def rnd(x: Double, p: Int): BigDecimal =
+      BigDecimal(new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(p, java.math.RoundingMode.HALF_UP))
+    val docs = Map(1L -> "a b a b", 2L -> "a c", 3L -> "a b a c b a")
+    val docPairs = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(2).map(w => (w(0), w(1))).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong } }
+    val bg = docPairs.values.flatten
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val fc = bg.groupBy(_._1._1).map { case (a, m) =>
+      a -> ((m.values.sum, m.size.toLong)) }
+    val ct = bg.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val nbig = bg.size.toLong
+    val exp = docPairs.map { case (id, ps) =>
+      val terms = ps.toSeq.map { case ((a, b), tf) =>
+        val (c1, n1fwd) = fc(a)
+        val p = (math.max(bg((a, b)) - 0.75, 0.0) / c1) +
+          ((0.75 * n1fwd) / c1) * (ct(b).toDouble / nbig)
+        (tf, rnd(-math.log(p), 6))
+      }
+      val n = terms.map(_._1).sum
+      val s = terms.map { case (tf, nll) => nll * tf }.sum
+      id -> ((n, rnd(s.toDouble / n, 4).toDouble))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // fluency ordering: a doc of only the corpus's most frequent bigram scores
+    // lower (better) than one with the rare bigram
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("dsirWeights plan: the bucket-weight table joins back via broadcast") {
     import spark.implicits._
     val docs = (1 to 40).map(i => (i.toLong, s"tok$i alpha beta", i % 2 == 0))
