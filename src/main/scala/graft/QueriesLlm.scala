@@ -536,6 +536,21 @@ object QueriesLlm {
         centroids, cbs, nProbe = 2, k = 5)
     }),
 
+    // e11: RESIDUAL IVF-PQ (FAISS IndexIVFPQ semantics) — PQ codes quantize
+    // v − centroid(cell); one ADC LUT per probed cell from the query residual
+    "e11_ivfpq_residual" -> ((s, dir) => {
+      val dim = 64
+      val centroids = (0 until 8).map(i => Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+      val cbs = AnnOps.pqCodebooks(m = 8, k = 16, subDim = 8, seed = 7L)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.ivfPqResidualTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, cbs, nProbe = 2, k = 5)
+    }),
+
     // e8t: the TRAINED IVF-ADC serving path — spherical-k-means cells (kmeansTrain,
     // init = 8 smallest-id embeddings) + per-subspace Lloyd-trained PQ codebooks
     // (pqTrain), fed into the same ivfPqTopK. Rows-only BY DESIGN: multi-round
@@ -1358,6 +1373,59 @@ object QueriesLlm {
                 FROM cands cd
                 JOIN code co ON co.vec_id = cd.cid
                 JOIN lutd l ON l.qid = cd.qid AND l.s = co.s AND l.ci = co.code
+                GROUP BY cd.qid, cd.cid),
+          r AS (SELECT qid, cid, adc,
+                  row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank
+                FROM adc)
+          SELECT qid, cid, ROUND(adc, 6) AS adc, rank FROM r WHERE rank <= 5""",
+    // e11: the e8 pipeline with residual encoding — corpus codes and query
+    // LUTs both computed on v − basis(cell); the LUT join carries the cell key
+    "e11_ivfpq_residual" ->
+      s"""WITH cb(s, ci, c) AS (VALUES
+             $pqCbSql),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          cscore AS (
+            SELECT vec_id, i AS cell,
+              CASE WHEN nv = 0 THEN 0.0 ELSE v[i + 1] / nv END AS cos
+            FROM norm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+          assign AS (SELECT vec_id AS cid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore) WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+          rescorp AS (
+            SELECT e.vec_id, a.cell,
+              list_transform(generate_series(1, 64),
+                j -> e.v[j] - CASE WHEN j = a.cell + 1 THEN 1.0 ELSE 0.0 END) AS rv
+            FROM e JOIN assign a ON a.cid = e.vec_id),
+          dist AS (SELECT vec_id, s, ci,
+                  list_sum(list_transform(generate_series(1, 8),
+                    j -> (rv[s * 8 + j] - c[j]) * (rv[s * 8 + j] - c[j]))) AS d
+                FROM rescorp CROSS JOIN cb),
+          code AS (SELECT vec_id, s, ci AS code FROM (
+              SELECT vec_id, s, ci,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rn
+              FROM dist) WHERE rn = 1),
+          resq AS (
+            SELECT p.qid, p.cell,
+              list_transform(generate_series(1, 64),
+                j -> q.v[j] - CASE WHEN j = p.cell + 1 THEN 1.0 ELSE 0.0 END) AS rq
+            FROM probes p JOIN e q ON q.vec_id = p.qid),
+          lutd AS (SELECT r.qid, r.cell, cb.s, cb.ci,
+                  list_sum(list_transform(generate_series(1, 8),
+                    j -> (r.rq[cb.s * 8 + j] - cb.c[j]) * (r.rq[cb.s * 8 + j] - cb.c[j]))) AS ld
+                FROM resq r CROSS JOIN cb),
+          cands AS (SELECT p.qid, p.cell, a.cid
+                FROM probes p JOIN assign a ON p.cell = a.cell),
+          adc AS (SELECT cd.qid, cd.cid, list_sum(list(l.ld ORDER BY l.s)) AS adc
+                FROM cands cd
+                JOIN code co ON co.vec_id = cd.cid
+                JOIN lutd l ON l.qid = cd.qid AND l.cell = cd.cell
+                           AND l.s = co.s AND l.ci = co.code
                 GROUP BY cd.qid, cd.cid),
           r AS (SELECT qid, cid, adc,
                   row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank

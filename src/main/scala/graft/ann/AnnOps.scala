@@ -291,6 +291,62 @@ object AnnOps {
       .select(col(queryId), col(corpusId), round(col("adc"), 6).as("adc"), col("rank"))
   }
 
+  /** Residual IVF-PQ top-k (the FAISS-standard `IndexIVFPQ` encoding: PQ codes
+    * quantize `v − centroid(cell)`, not the raw vector). Residuals concentrate
+    * near the origin, so the same codebook budget spends its resolution on the
+    * within-cell geometry — reconstruction error drops without more bytes. The
+    * query side builds one ADC LUT PER PROBED CELL from the query's residual in
+    * that cell (each candidate is scored with the LUT of its own cell, matched
+    * through the cell key in the probe join).
+    *
+    * Same scale shape as [[ivfPqTopK]]: the (id, cell, codes) table is the
+    * persisted index (codes are the shuffle payload, never vectors), the
+    * |Q|×nProbe LUT table broadcasts, and the candidate join is an equi-join on
+    * the cell. Expression arithmetic keeps [[pqEncode]]'s fixed fold order, so
+    * the op carries a bit-exact SQL oracle. */
+  def ivfPqResidualTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        centroids: Seq[Seq[Double]],
+                        codebooks: Seq[Seq[Seq[Double]]],
+                        nProbe: Int, k: Int): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    val centLit = typedlit(centroids)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centLit, cell.cast("int") + 1), (a, b) => a - b)
+    val assigned = corpus
+      .withColumn("_cell", ivfAssign(col(corpusVec), centroids))
+      .withColumn("_codes",
+        pqEncode(residual(col(corpusVec), col("_cell")), codebooks)
+          .getField("codes"))
+      .select(col(corpusId), col("_cell"), col("_codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbLit = typedlit(codebooks)
+    val lut = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = element_at(cbLit, s + 1)
+      transform(sub, c =>
+        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, j) => {
+          val x = element_at(col("_qres"), s * lit(subDim) + j) - element_at(c, j)
+          acc + x * x
+        }))
+    })
+    val probed = queries
+      .withColumn("_cell", explode(ivfProbes(col(queryVec), centroids, nProbe)))
+      .withColumn("_qres", residual(col(queryVec), col("_cell")))
+      .withColumn("_lut", lut)
+      .select(col(queryId), col("_cell"), col("_lut"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("_lut"), s + 1), element_at(col("_codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("adc").asc, col(corpusId))
+    assigned.join(broadcast(probed), "_cell")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), round(col("adc"), 6).as("adc"), col("rank"))
+  }
+
   /** L2 k-means assignment (ties to the lowest id) — the PQ-side analog of the
     * cosine [[ivfAssign]]. */
   def l2Assign(vec: Column, centroids: Seq[Seq[Double]]): Column = {

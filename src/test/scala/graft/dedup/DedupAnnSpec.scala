@@ -611,6 +611,36 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Seq(11L, 20L))
   }
 
+  test("residual IVF-PQ: k per query, deterministic, duplicate vectors tie by id") {
+    val dim = 16
+    val centroids = (0 until 4).map(i => Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+    val cbs = graft.ann.AnnOps.pqCodebooks(m = 2, k = 4, subDim = 8, seed = 3L)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 7 + j * 3) * 0.5))
+    } :+ ((100L, Seq.tabulate(dim)(j => math.sin(0 * 7 + j * 3) * 0.5))) // dup of 0
+    val df = vecs.toDF("id", "v")
+    val corpus = df.select(col("id").as("cid"), col("v").as("cv"))
+    val queries = df.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val out = graft.ann.AnnOps.ivfPqResidualTopK(
+      corpus, "cid", "cv", queries, "qid", "qv", centroids, cbs, nProbe = 2, k = 40)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty && out.map(_.getInt(3)).toSeq == (1 to out.length).toSeq)
+    // the query vector and its duplicate share identical residual codes ->
+    // IDENTICAL adc (ADC is code-determined), adjacent ranks, lower id first
+    val byId = out.map(r => r.getLong(1) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(byId.contains(0L) && byId.contains(100L), byId.keySet.toString)
+    assert(byId(0L)._1 == byId(100L)._1, "dup pair must share the exact adc")
+    // equal raw adc orders by id asc (other vectors may share the same codes —
+    // 16 code combos for 31 vectors — so adjacency is not guaranteed)
+    assert(byId(0L)._2 < byId(100L)._2, "tie resolves to the lower id first")
+    // determinism
+    val again = graft.ann.AnnOps.ivfPqResidualTopK(
+      corpus, "cid", "cv", queries, "qid", "qv", centroids, cbs, nProbe = 2, k = 40)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(again == out.map(_.getLong(1)).toSeq)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; normalization-insensitive") {
     val old = Seq((1L, "a b c"), (2L, "keep me"), (3L, "gone soon")).toDF("id", "text")
     val cur = Seq((1L, "a b  C"), // whitespace/case only -> same fingerprint
