@@ -172,6 +172,33 @@ object StreamingOps {
         round(col("_s").cast("double"), 4).as("dsir_weight"))
   }
 
+  /** Streaming Kneser-Ney scoring — the serving half of `TextOps.knBigramScore`
+    * on a live feed: the per-bigram nll table is trained OFFLINE on the standing
+    * corpus ([[knBigramModel]]) and arriving documents score via a stream-static
+    * join on the bigram key. Unlike the DSIR twin the model is
+    * VOCABULARY-sized, so the static side is hash-joined (not broadcast) per
+    * micro-batch; unseen bigrams fall back to `oovNll` (the model table has no
+    * row — a left join + coalesce keeps them scored instead of dropped). Only
+    * streaming state is the watermark-bounded (id, time) agg buffer. */
+  def knScoreStream(stream: DataFrame, model: DataFrame,
+                    idCol: String, textCol: String, timeCol: String,
+                    oovNll: Double = 20.0,
+                    watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.text.TextOps
+    stream
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(idCol), col(timeCol),
+        explode(TextOps.bigramPairs(col(textCol))).as("p"))
+      .select(col(idCol), col(timeCol), col("p.a").as("a"), col("p.b").as("b"))
+      .join(model, Seq("a", "b"), "left")
+      .groupBy(col(idCol), col(timeCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("nll"),
+          lit(BigDecimal(oovNll).setScale(6)))).as("_s"))
+      .select(col(idCol), col(timeCol), col("n_bigrams"),
+        round(col("_s").cast("double") / col("n_bigrams"), 4).as("kn_score"))
+  }
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

@@ -597,6 +597,27 @@ object TextOps {
     * join is bigram-keyed (a web corpus bigram vocabulary is not broadcastable —
     * AQE skew-join splits stopword-pair keys), and the N1+(··) scalar rides a
     * 1-row broadcast cross join. */
+  /** Train the KN bigram model alone: the `(a, b, nll)` table
+    * [[graft.streaming.StreamingOps.knScoreStream]] serves against
+    * (vocabulary-sized — hash-joined stream-static, not broadcast). */
+  def knBigramModel(docs: DataFrame, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    val bg = docs.select(explode(bigramPairs(col(textCol))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fromCtx = bg.groupBy(col("a"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = bg.groupBy(col("b")).agg(count(lit(1)).as("n1rev"))
+    val types = bg.agg(count(lit(1)).as("nbig"))
+    val p =
+      (greatest(col("c12") - discount, lit(0.0)) / col("c1")) +
+        ((lit(discount) * col("n1fwd")) / col("c1")) *
+          (col("n1rev") / col("nbig"))
+    bg.join(fromCtx, Seq("a")).join(cont, Seq("b")).crossJoin(broadcast(types))
+      .select(col("a"), col("b"), round(-log(p), 6).cast("decimal(12,6)").as("nll"))
+  }
+
   def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
                     discount: Double = 0.75): DataFrame = {
     val pairs = docs

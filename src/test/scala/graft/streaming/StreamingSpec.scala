@@ -245,4 +245,34 @@ class StreamingSpec extends SparkSpec {
       assert(byId(100L)._2 > byId(101L)._2)
     } finally q.stop()
   }
+
+  test("knScoreStream: seen bigrams score from the model, unseen fall back to OOV") {
+    import spark.implicits._
+    import graft.text.TextOps
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a b a c b a"))
+      .toDF("id", "text")
+    val model = TextOps.knBigramModel(corpus, "text")
+    val abNll = model.filter(col("a") === "a" && col("b") === "b")
+      .select(col("nll").cast("double")).head().getDouble(0)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.knScoreStream(
+      input.toDF().toDF("id", "t", "text"), model, "id", "text", "t")
+    val q = out.writeStream.format("memory").queryName("kn_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (100L, Timestamp.valueOf("2024-01-01 00:00:10"), "a b"),
+        (101L, Timestamp.valueOf("2024-01-01 00:00:20"), "z z z"))
+      input.addData((999L, Timestamp.valueOf("2024-01-01 02:00:00"), "a b"))
+      q.processAllAvailable()
+      val byId = spark.sql(
+        "SELECT id, n_bigrams, kn_score FROM kn_stream_test WHERE id < 999")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // one seen bigram -> exactly the model's rounded nll
+      assert(byId(100L) == ((1L, math.rint(abNll * 10000) / 10000)))
+      // two unseen bigrams -> the OOV fallback mean
+      assert(byId(101L) == ((2L, 20.0)))
+    } finally q.stop()
+  }
 }
