@@ -653,6 +653,12 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // t18: trained char-trigram language ID — self-trained add-1 multinomial,
+    // per-doc argmax prediction with the true label carried for confusion
+    // analysis (t2's marker heuristic upgraded to a real classifier)
+    "t18_trigram_langid" -> ((s, dir) =>
+      TextOps.charTrigramLangId(t(s, dir, "documents"), "doc_id", "text", "lang")),
+
     // t17: interpolated Kneser-Ney bigram LM score — the real CCNet-class
     // perplexity filter (t13's unigram MLE upgraded); self-trained, exact
     // integer count tables
@@ -1514,6 +1520,37 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // t18: the exact trigram pipeline — full (vocab x lang) smoothing grid so
+    // unseen-in-language trigrams carry the add-1 floor
+    "t18_trigram_langid" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         tri AS (
+           SELECT doc_id, lang, substr(t, i, 3) AS tri
+           FROM (SELECT doc_id, lang, t,
+                   unnest(generate_series(1, len(t) - 2)) AS i
+                 FROM d WHERE len(t) >= 3)),
+         inst AS (SELECT doc_id, lang, tri, COUNT(*) AS tf FROM tri GROUP BY 1, 2, 3),
+         counts AS (SELECT tri, lang AS ml, SUM(tf) AS c FROM inst GROUP BY 1, 2),
+         totals AS (SELECT ml, SUM(c) AS total FROM counts GROUP BY 1),
+         vb AS (SELECT COUNT(DISTINCT tri) AS bsz FROM counts),
+         grid AS (
+           SELECT v.tri, t.ml,
+             CAST(ROUND(ln((COALESCE(c.c, 0) + 1.0) / (t.total + vb.bsz)), 6)
+                  AS DECIMAL(12,6)) AS lp
+           FROM (SELECT DISTINCT tri FROM counts) v
+           CROSS JOIN totals t
+           LEFT JOIN counts c ON c.tri = v.tri AND c.ml = t.ml
+           CROSS JOIN vb),
+         scored AS (
+           SELECT i.doc_id, i.lang, g.ml, SUM(g.lp * i.tf) AS s
+           FROM inst i JOIN grid g ON g.tri = i.tri
+           GROUP BY 1, 2, 3),
+         r AS (SELECT doc_id, lang, ml, s,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, ml) AS rn
+               FROM scored)
+         SELECT doc_id, lang, ml AS pred_lang,
+                ROUND(CAST(s AS DOUBLE), 4) + 0 AS score
+         FROM r WHERE rn = 1""",
     // t17: the exact KN pipeline — integer count tables, the float-literal
     // rule on the discount, 6dp-decimal nll before the per-doc sum
     "t17_kn_bigram_lm" ->

@@ -748,6 +748,58 @@ object TextOps {
     flatten(perWord)
   }
 
+  /** Trained character-trigram language identification (the Cavnar-Trenkle
+    * n-gram family, as a self-trained add-1 multinomial over char trigrams —
+    * the upgrade of [[langIdLite]]'s marker heuristic to a real classifier).
+    * Per language: `P(tri|lang) = (c(tri,lang) + 1) / (total(lang) + B)` with
+    * `B` = the corpus trigram vocabulary size; a document's score under a
+    * language is the sum of 6dp-rounded `ln P` over its trigram INSTANCES
+    * (decimal sums → exact SQL oracle), prediction = argmax (ties to the
+    * lexicographically first language). Returns
+    * `(id, langCol, pred_lang, score)`; documents under 3 chars carry no
+    * trigrams and are absent.
+    *
+    * Scale shape: the model is (corpus trigram vocab × languages) rows — char
+    * trigram vocabularies are naturally bounded (≪ word vocabularies), so the
+    * model BROADCASTS at any corpus size; the only corpus-sized shuffles are
+    * the model-count aggregate and the per-(doc, lang) score aggregate. */
+  def charTrigramLangId(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val tris = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val inst = docs
+      .select(col(idCol), col(langCol), explode(tris).as("tri"))
+      .groupBy(col(idCol), col(langCol), col("tri"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = inst.groupBy(col("tri"), col(langCol).as("_ml"))
+      .agg(sum(col("tf")).as("c"))
+    val totals = counts.groupBy(col("_ml")).agg(sum(col("c")).as("total"))
+    val vocabB = counts.select(col("tri")).distinct()
+      .agg(count(lit(1)).as("bsz"))
+    // full (vocab x lang) grid so unseen-in-language trigrams carry the add-1
+    // floor instead of silently vanishing from the sum
+    val grid = counts.select(col("tri")).distinct()
+      .crossJoin(totals)
+      .join(counts, Seq("tri", "_ml"), "left")
+      .crossJoin(broadcast(vocabB))
+      .select(col("tri"), col("_ml"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("total") + col("bsz"))), 6).cast("decimal(12,6)").as("_lp"))
+    val scored = inst
+      .join(broadcast(grid), Seq("tri"))
+      .groupBy(col(idCol), col(langCol), col("_ml"))
+      .agg(sum(col("_lp") * col("tf")).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_s").desc, col("_ml"))
+    scored
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col(langCol), col("_ml").as("pred_lang"),
+        round(col("_s").cast("double"), 4).as("score"))
+  }
+
   /** The DSIR feature-hash bucket of one gram (md5-derived 60-bit, portable). */
   def dsirBucket(g: Column, buckets: Int): Column =
     pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))

@@ -399,6 +399,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!out3.contains(999L))
   }
 
+  test("charTrigramLangId: separable character distributions classify correctly") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, s"abcde edcba bead cab$i", "x")) ++
+      (11 to 20).map(i => (i.toLong, s"vwxyz zyxwv wavy yvw$i", "y")) ++
+      Seq((99L, "ab", "x"))) // under 3 chars -> absent
+      .toDF("id", "text", "lang")
+    val out = TextOps.charTrigramLangId(docs, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(!out.contains(99L))
+    assert(out.size == 20)
+    assert(out.forall { case (_, (truth, pred)) => truth == pred },
+      out.filter { case (_, (t2, p)) => t2 != p }.toString)
+  }
+
   test("knBigramScore matches a rounding-faithful reference; KN semantics hold") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a b a c b a"))
