@@ -653,6 +653,11 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // d21: collection-level MinHash similarity — estimated shingle-set Jaccard
+    // between SOURCES (mirrored-corpus / re-crawl detection), no doc pairs
+    "d21_source_similarity" -> ((s, dir) =>
+      DedupOps.sourceSimilarity(t(s, dir, "documents"), "source", "text")),
+
     // t18: trained char-trigram language ID — self-trained add-1 multinomial,
     // per-doc argmax prediction with the true label carried for confusion
     // analysis (t2's marker heuristic upgraded to a real classifier)
@@ -952,6 +957,15 @@ object QueriesLlm {
         $rounds
         SELECT node, rank + 0 AS rank FROM r5"""
   }
+
+  /** d21's k=16 universal-hash coefficients + generated SQL (fresh constants —
+    * minhashCoeffs(16) is NOT a prefix of the k=32 d2 set). */
+  private val (d21A, d21B) = DedupOps.minhashCoeffs(16)
+  private val d21SigSql: String = (0 until 16).map(i =>
+    s"MIN((${d21A(i)} * h + ${d21B(i)}) % 2305843009213693951) AS s$i")
+    .mkString(",\n                 ")
+  private val d21AgreeSql: String = (0 until 16).map(i =>
+    s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
 
   /** Shared SQL fragments (must mirror TextOps/DedupOps exactly). */
   private val toksSql =
@@ -1520,6 +1534,20 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // d21: per-source grouped MIN signatures (k=16 coefficients inlined),
+    // pairwise agreement fraction above the diagonal
+    "d21_source_similarity" ->
+      s"""WITH sh AS (
+            SELECT source, unnest(${shinglesSql(toksSql)}) AS s FROM documents),
+          h AS (SELECT source,
+                  ('0x' || substring(md5(s), 1, 15))::BIGINT % 4294967296 AS h
+                FROM sh),
+          sig AS (SELECT source AS g,
+                 $d21SigSql
+               FROM h GROUP BY source)
+          SELECT a.g AS g1, b.g AS g2,
+                 ROUND(($d21AgreeSql)::DOUBLE / 16, 4) + 0 AS est_jaccard
+          FROM sig a JOIN sig b ON a.g < b.g""",
     // t18: the exact trigram pipeline — full (vocab x lang) smoothing grid so
     // unseen-in-language trigrams carry the add-1 floor
     "t18_trigram_langid" ->

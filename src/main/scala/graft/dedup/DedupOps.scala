@@ -52,6 +52,44 @@ object DedupOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Collection-level MinHash similarity: estimated shingle-set Jaccard between
+    * whole GROUPS of documents (sources, domains, crawl snapshots) — the
+    * mirrored-corpus / re-crawl detector. MinHash signatures are min-aggregates,
+    * so a group's signature over the UNION of its documents' shingle sets is one
+    * grouped min per hash function — no document pair, no shingle-set
+    * materialization, ever. Similarity = fraction of agreeing signature
+    * components between group pairs (the unbiased Jaccard estimator).
+    *
+    * Scale shape: one corpus explode → ONE groupBy(group) with k min aggregates
+    * (partial map-side — the shuffle carries k longs per group per task); the
+    * pairwise compare runs on the |groups|-row signature table (self-join above
+    * the diagonal — groups are collection-cardinality, trivially small next to
+    * the corpus). Integer arithmetic end-to-end → exact SQL oracle. */
+  def sourceSimilarity(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val (as, bs) = minhashCoeffs(k)
+    val sigs = df
+      .select(col(groupCol).as("g"),
+        explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col("g"), pmod(shingleHash(col("s")), lit(1L << 32)).as("h"))
+      .groupBy(col("g"))
+      .agg(
+        min(pmod(lit(as(0)) * col("h") + lit(bs(0)), lit(MinhashPrime))).as("s0"),
+        (1 until k).map(i =>
+          min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashPrime)))
+            .as(s"s$i")): _*)
+    val l = sigs.columns.tail.map(c => sigs(c).as(c + "_l"))
+    val r = sigs.columns.tail.map(c => sigs(c).as(c + "_r"))
+    val left = sigs.select(col("g").as("g1") +: l.toSeq: _*)
+    val right = sigs.select(col("g").as("g2") +: r.toSeq: _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"s${i}_l") === col(s"s${i}_r"), 1).otherwise(0))
+      .reduce(_ + _)
+    left.join(right, col("g1") < col("g2"))
+      .select(col("g1"), col("g2"),
+        round(agree.cast("double") / k, 4).as("est_jaccard"))
+  }
+
   /** Paragraph-level exact dedup — boilerplate removal: split each document on
     * `sep`, keep only the FIRST corpus-wide occurrence (ordered by (id, position))
     * of each normalized-paragraph fingerprint, and reassemble the survivors in

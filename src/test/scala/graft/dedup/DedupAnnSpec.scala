@@ -641,6 +641,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(again == out.map(_.getLong(1)).toSeq)
   }
 
+  test("sourceSimilarity: mirrored collections read 1.0, disjoint read 0.0") {
+    val rng = new scala.util.Random(9)
+    val a = (0 until 15).map(i => (s"srcA", doc(rng, 50) + s" tailA$i"))
+    val mirror = a.map { case (_, t) => ("srcB", t) } // same doc set, new label
+    val c = (0 until 15).map(i => ("srcC", Seq.fill(50)("qq" + rng.nextInt(99)).mkString(" ")))
+    val df = (a ++ mirror ++ c).toDF("source", "text")
+    val out = DedupOps.sourceSimilarity(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("srcA", "srcB")) == 1.0, out.toString)
+    assert(out(("srcA", "srcC")) == 0.0 && out(("srcB", "srcC")) == 0.0)
+    assert(out.size == 3)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; normalization-insensitive") {
     val old = Seq((1L, "a b c"), (2L, "keep me"), (3L, "gone soon")).toDF("id", "text")
     val cur = Seq((1L, "a b  C"), // whitespace/case only -> same fingerprint
