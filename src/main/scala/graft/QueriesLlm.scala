@@ -653,6 +653,14 @@ object QueriesLlm {
     "samp5_alpha_lang" -> ((s, dir) =>
       TextOps.alphaSampleWeights(t(s, dir, "documents"), "lang", alpha = 0.3)),
 
+    // samp9: deterministic shuffle-and-shard — 8 shards, hash-uniform
+    // assignment + independent within-shard shuffle order
+    "samp9_shard_assign" -> ((s, dir) =>
+      TextOps.shardAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", nShards = 8)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))),
+
     // d21: collection-level MinHash similarity — estimated shingle-set Jaccard
     // between SOURCES (mirrored-corpus / re-crawl detection), no doc pairs
     "d21_source_similarity" -> ((s, dir) =>
@@ -1534,6 +1542,16 @@ object QueriesLlm {
                  ROUND(wt / (SELECT SUM(wt) FROM w), 6) + 0 AS q,
                  ROUND(wt / (SELECT SUM(wt) FROM w) / p, 6) + 0 AS boost
           FROM w""",
+    // samp9: the same two salted md5 coordinates, rank within shard
+    "samp9_shard_assign" ->
+      """WITH k AS (
+           SELECT doc_id, lang,
+             (('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 8 AS shard,
+             ('0x' || substring(md5('shard:pos:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pk
+           FROM documents)
+         SELECT doc_id, lang, shard,
+                row_number() OVER (PARTITION BY shard ORDER BY pk, doc_id) AS pos
+         FROM k""",
     // d21: per-source grouped MIN signatures (k=16 coefficients inlined),
     // pairwise agreement fraction above the diagonal
     "d21_source_similarity" ->

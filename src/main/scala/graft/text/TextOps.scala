@@ -308,6 +308,35 @@ object TextOps {
       col("sample_key"), col(idCol))
   }
 
+  /** Deterministic shuffle-and-shard — the materialization step every training
+    * pipeline runs last: assign each document to one of `nShards` shards by a
+    * salted hash-uniform (shards are iid samples of the corpus, the property
+    * data loaders rely on), and give it a position within its shard by a
+    * SECOND independent salted hash (the "global shuffle" — adjacent source
+    * documents land far apart). Both coordinates are pure functions of
+    * (salts, id): re-running on a grown corpus never moves an existing
+    * document's shard, and engines/resumes agree bit-for-bit.
+    *
+    * Scale shape: shard assignment is scan-side arithmetic; the position
+    * window partitions by shard — `nShards` is chosen ≫ executor count in
+    * production, so partitions are corpus/nShards sized and the sort is the
+    * write-side sort the shard files need anyway. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+                  salt: String = "shard:"): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"), lit(nShards.toLong))
+    val posKey = conv(substring(
+      md5(concat(lit(salt), lit("pos:"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_pk"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("_pk", posKey)
+      .withColumn("pos", row_number().over(w))
+      .drop("_pk")
+  }
+
   /** Per-group document cap — the RefinedWeb/C4-style per-domain limit: keep at
     * most `n` rows per `group`, preferring higher `rank` with a deterministic
     * `tiebreak`. ONE window shuffle on the group key; the `rn <= n` filter is

@@ -399,6 +399,24 @@ class TextOpsSpec extends SparkSpec {
     assert(!out3.contains(999L))
   }
 
+  test("shardAssign: positions dense per shard; assignment stable as the corpus grows") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, "x")).toDF("id", "lang")
+    val out = TextOps.shardAssign(df, "id", nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+    // positions are 1..n dense within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // growing the corpus never moves an existing doc's shard
+    val bigger = (1 to 400).map(i => (i.toLong, "x")).toDF("id", "lang")
+    val shards1 = out.map(r => r._1 -> r._2).toMap
+    val shards2 = TextOps.shardAssign(bigger, "id", nShards = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shards1.forall { case (id, sh) => shards2(id) == sh })
+  }
+
   test("charTrigramLangId: separable character distributions classify correctly") {
     import spark.implicits._
     val docs = ((1 to 10).map(i => (i.toLong, s"abcde edcba bead cab$i", "x")) ++
