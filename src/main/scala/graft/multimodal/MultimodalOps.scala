@@ -104,9 +104,44 @@ object MultimodalOps {
         } finally in.close()
       } catch { case _: Exception => None }
 
-    /** Full PCM decode to raw per-channel-averaged amplitudes. Mono 8-bit
-      * (unsigned, re-centered) and 8/16-bit signed PCM supported; 16-bit honors
-      * the container's endianness. Mono streams return exact integer
+    /** Raw PCM frame bytes -> per-channel-averaged amplitudes. 8-bit unsigned
+      * re-centers to -128..127; 16-bit sign-extends signed PCM and re-centers
+      * unsigned PCM (raw 0..65535 - 32768), so every sample lands in
+      * -32768..32767 regardless of encoding flag. Exposed for direct unit
+      * testing of encodings javax.sound's own writers can't produce (e.g.
+      * unsigned 16-bit streams from third-party containers). */
+    private[multimodal] def decodePcmFrames(
+        bytes: Array[Byte], bits: Int, ch: Int,
+        signed: Boolean, bigEndian: Boolean): Array[Double] = {
+      val bytesPerSample = bits / 8
+      val nFrames = bytes.length / (bytesPerSample * ch)
+      val outArr = new Array[Double](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = (i * ch + c) * bytesPerSample
+          val v =
+            if (bits == 8) {
+              if (signed) bytes(o).toInt else (bytes(o) & 0xff) - 128
+            } else {
+              val (lo, hi) = if (bigEndian) (o + 1, o) else (o, o + 1)
+              if (signed) ((bytes(hi).toInt << 8) | (bytes(lo) & 0xff))
+              else (((bytes(hi) & 0xff) << 8) | (bytes(lo) & 0xff)) - 32768
+            }
+          acc += v
+          c += 1
+        }
+        outArr(i) = acc / ch
+        i += 1
+      }
+      outArr
+    }
+
+    /** Full PCM decode to raw per-channel-averaged amplitudes. 8/16-bit PCM,
+      * signed or unsigned (unsigned re-centered); 16-bit honors the
+      * container's endianness. Mono streams return exact integer
       * amplitudes (as doubles), which keeps downstream sums integer-exact;
       * multi-channel streams average channels (documented as inexact). */
     def tryDecodeSamples(payload: Array[Byte]): Option[(Int, Array[Double])] =
@@ -116,36 +151,14 @@ object MultimodalOps {
         try {
           val f = in.getFormat
           val bits = f.getSampleSizeInBits
-          val ch = f.getChannels
           val signed = f.getEncoding ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          if (bits != 8 && bits != 16) None
-          else {
-            val bytes = in.readAllBytes()
-            val bytesPerSample = bits / 8
-            val nFrames = bytes.length / (bytesPerSample * ch)
-            val outArr = new Array[Double](nFrames)
-            var i = 0
-            while (i < nFrames) {
-              var acc = 0.0
-              var c = 0
-              while (c < ch) {
-                val o = (i * ch + c) * bytesPerSample
-                val v =
-                  if (bits == 8) {
-                    if (signed) bytes(o).toInt else (bytes(o) & 0xff) - 128
-                  } else {
-                    val (lo, hi) = if (f.isBigEndian) (o + 1, o) else (o, o + 1)
-                    ((bytes(hi).toInt << 8) | (bytes(lo) & 0xff))
-                  }
-                acc += v
-                c += 1
-              }
-              outArr(i) = acc / ch
-              i += 1
-            }
-            Some((f.getSampleRate.toInt, outArr))
-          }
+          val unsigned = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if ((bits != 8 && bits != 16) || (!signed && !unsigned)) None
+          else Some((f.getSampleRate.toInt,
+            decodePcmFrames(in.readAllBytes(), bits, f.getChannels,
+              signed, f.isBigEndian)))
         } finally in.close()
       } catch { case _: Exception => None }
   }

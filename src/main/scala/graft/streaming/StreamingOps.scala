@@ -154,20 +154,32 @@ object StreamingOps {
     * summing the stream-static-joined log-ratios. The static side broadcasts
     * per micro-batch; the only streaming state is the (id, time) aggregation
     * buffer, bounded by the watermark. Emits (id, time, n_grams, dsir_weight)
-    * on watermark close. */
+    * on watermark close.
+    *
+    * Unlike the batch op (whose weights derive from the SAME corpus and so
+    * cover every occupied bucket), a live feed can hash grams into buckets the
+    * training corpus never touched. Those grams LEFT-join to no weight row and
+    * score `oovLogWeight` — the add-smoothing floor
+    * `ln(((0+s)/(n_t+sB)) / ((0+s)/(n_all+sB))) = ln((n_all+sB)/(n_t+sB))`
+    * from training ([[graft.text.TextOps.dsirOovLogWeight]] computes it), or
+    * the neutral 0.0 default — so `n_grams` counts EVERY gram and a document
+    * of entirely-unseen grams still emits a row instead of vanishing. */
   def dsirScoreStream(stream: DataFrame, bucketWeights: DataFrame,
                       idCol: String, textCol: String, timeCol: String,
                       buckets: Int = 512,
-                      watermarkDelay: String = "1 hour"): DataFrame = {
+                      watermarkDelay: String = "1 hour",
+                      oovLogWeight: Double = 0.0): DataFrame = {
     import graft.text.TextOps
     stream
       .withWatermark(timeCol, watermarkDelay)
       .select(col(idCol), col(timeCol),
         explode(TextOps.uniBigrams(col(textCol))).as("g"))
       .withColumn("b", TextOps.dsirBucket(col("g"), buckets))
-      .join(broadcast(bucketWeights), Seq("b"))
+      .join(broadcast(bucketWeights), Seq("b"), "left")
       .groupBy(col(idCol), col(timeCol))
-      .agg(count(lit(1)).as("n_grams"), sum(col("_lw")).as("_s"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_lw"),
+          lit(BigDecimal(oovLogWeight).setScale(6, BigDecimal.RoundingMode.HALF_UP)))).as("_s"))
       .select(col(idCol), col(timeCol), col("n_grams"),
         round(col("_s").cast("double"), 4).as("dsir_weight"))
   }
@@ -194,7 +206,7 @@ object StreamingOps {
       .groupBy(col(idCol), col(timeCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("nll"),
-          lit(BigDecimal(oovNll).setScale(6)))).as("_s"))
+          lit(BigDecimal(oovNll).setScale(6, BigDecimal.RoundingMode.HALF_UP)))).as("_s"))
       .select(col(idCol), col(timeCol), col("n_bigrams"),
         round(col("_s").cast("double") / col("n_bigrams"), 4).as("kn_score"))
   }

@@ -185,6 +185,43 @@ class MultimodalSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("PCM frame decode: unsigned 16-bit re-centers; signed matches; both endiannesses") {
+    import MultimodalOps.AudioCodec.decodePcmFrames
+    // raw unsigned 16-bit values 0, 32768, 65535 -> recentered -32768, 0, 32767
+    val uLE = Array[Int](0, 32768, 65535).flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    assert(decodePcmFrames(uLE, 16, 1, signed = false, bigEndian = false).toSeq ==
+      Seq(-32768.0, 0.0, 32767.0))
+    val uBE = Array[Int](0, 32768, 65535).flatMap(v =>
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+    assert(decodePcmFrames(uBE, 16, 1, signed = false, bigEndian = true).toSeq ==
+      Seq(-32768.0, 0.0, 32767.0))
+    // the same physical waveform as signed little-endian: -32768, 0, 32767
+    val sLE = Array[Int](-32768, 0, 32767).flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    assert(decodePcmFrames(sLE, 16, 1, signed = true, bigEndian = false).toSeq ==
+      Seq(-32768.0, 0.0, 32767.0))
+    // 8-bit unsigned recenters around 128; signed passes through
+    assert(decodePcmFrames(Array[Byte](0, -128, -1), 8, 1,
+      signed = false, bigEndian = false).toSeq == Seq(-128.0, 0.0, 127.0))
+    assert(decodePcmFrames(Array[Byte](-128, 0, 127), 8, 1,
+      signed = true, bigEndian = false).toSeq == Seq(-128.0, 0.0, 127.0))
+    // non-PCM encodings (ULAW/float) are rejected by tryDecodeSamples, not
+    // misread: a float WAV (format code 3) must return None
+    val floatWav = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false)
+      val raw = Array.fill[Byte](40)(0)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, 10)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(MultimodalOps.AudioCodec.tryDecodeSamples(floatWav).isEmpty)
+  }
+
   test("DataFrame entry point attaches features by id") {
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
       .withColumn("payload", org.apache.spark.sql.functions.encode(

@@ -246,6 +246,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreStream: all-unseen-gram docs still emit, scored at the OOV floor") {
+    import spark.implicits._
+    import graft.text.TextOps
+    implicit val sq = spark.sqlContext
+    val corpus = ((1 to 20).map(i => (i.toLong, "x y z x y z", true)) ++
+      (21 to 40).map(i => (i.toLong, "p q r p q r", false)))
+      .toDF("id", "text", "is_tgt")
+    val bw = TextOps.dsirBucketWeights(corpus, "text", col("is_tgt"), buckets = 64)
+    val trained = bw.select("b").as[Long].collect().toSet
+    // deterministically pick a word whose unigram bucket misses every trained
+    // bucket (the md5 hash is fixed, so the pick is stable across runs)
+    val oovWord = (1 to 200).map(i => s"oov$i").find { w =>
+      val b = corpus.sparkSession.range(1)
+        .select(TextOps.dsirBucket(lit(w), 64).as("b")).as[Long].head()
+      !trained.contains(b)
+    }.get
+    val floor = TextOps.dsirOovLogWeight(corpus, "text", col("is_tgt"), buckets = 64)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.dsirScoreStream(
+      input.toDF().toDF("id", "t", "text"), bw, "id", "text", "t", buckets = 64,
+      oovLogWeight = floor)
+    val q = out.writeStream.format("memory").queryName("dsir_oov_test")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, Timestamp.valueOf("2024-01-01 00:00:10"), oovWord))
+      input.addData((999L, Timestamp.valueOf("2024-01-01 02:00:00"), "x"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, n_grams, dsir_weight FROM dsir_oov_test WHERE id < 999")
+        .as[(Long, Long, Double)].collect()
+      // pre-fix, the inner join dropped the doc entirely; now it emits one
+      // row whose single gram scores exactly the add-smoothing floor
+      assert(rows.length == 1)
+      assert(rows.head._2 == 1L)
+      assert(math.abs(rows.head._3 - BigDecimal(floor)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    } finally q.stop()
+  }
+
   test("knScoreStream: seen bigrams score from the model, unseen fall back to OOV") {
     import spark.implicits._
     import graft.text.TextOps
