@@ -91,21 +91,30 @@ object AnnOps {
     * (small, broadcast as literals); search probes the `nProbe` nearest centroid
     * posting lists only. Centroids come from a driver-side sample (a real system would
     * k-means them; nearest-of-sample preserves the partitioning contract). */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    // Native codegen'd argmax (graft.expr.IvfAssignNative) — bit-identical to
+    // the HOF fold below (PqNativeSpec pins parity + codegen/interp parity);
+    // the HOF form stays as the parity reference and semantics documentation.
+    graft.expr.IvfAssignNative.expr(vec, centroids)
+
+  private[graft] def ivfAssignHof(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     // Centroids ride as ONE nested-array literal and the argmax is an HOF fold:
     // the expression tree is O(1) in k, not O(k*dim) unrolled terms — k*dim unrolled
     // blows past the 64 KB codegen method limit for realistic (k, dim) and drops the
     // whole stage to interpreted mode. Ties go to the HIGHER cid (>=, matching the
     // lexicographic `greatest` this replaces and the e6/e8 oracles' `cid DESC`).
     // Seed with centroid 0's ACTUAL score, not a (-Inf, -1) sentinel: with a sentinel
-    // seed, a vector whose every cosine is NaN (NaN component) keeps cid = -1, which
-    // downstream index lookups (ivfPqTopK's element_at(lut, code+1)) turn into an
-    // index-0 error; seeding with index 0 makes all-NaN inputs land deterministically
-    // in cell 0. Identical comparisons for finite inputs — oracles unaffected.
+    // seed, a vector whose every cosine is NULL (null element / length mismatch)
+    // keeps cid = -1, which downstream index lookups (ivfPqTopK's
+    // element_at(lut, code+1)) turn into an index-0 error; seeding with index 0
+    // makes null-cosine inputs land deterministically in cell 0. A NaN-component
+    // vector is different: Spark comparisons rank NaN LARGEST (`NaN >= x` is
+    // true), so every candidate replaces the seed and all-NaN vectors land in
+    // cell k-1 — still a valid cell (PqNativeSpec pins both contracts).
     // The seed score is nanvl-guarded: a NaN centroid 0 (degenerate training input)
-    // would otherwise poison every `cos >= best.cos` comparison and pin ALL vectors
-    // to cell 0 even when later centroids are finite; -Inf lets any finite centroid
-    // win while all-NaN inputs still land in cell 0.
+    // would otherwise win every `cos >= best.cos` comparison under NaN-largest
+    // ordering against finite candidates on the STRUCT field path; -Inf lets any
+    // finite centroid win.
     val cb = typedlit(centroids)
     if (centroids.size == 1) lit(0).cast("int")
     else {
@@ -201,7 +210,12 @@ object AnnOps {
     * Pure literal-centroid expressions (no join, no UDF, scan-speed) — same shape as
     * [[ivfAssign]]; distances are fixed-order double sums so an external engine
     * replicates bit-for-bit. */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    // Native codegen'd encode (graft.expr.PqEncodeNative) — bit-identical to
+    // the HOF fold below (PqNativeSpec pins parity + codegen/interp parity).
+    graft.expr.PqEncodeNative.expr(vec, codebooks)
+
+  private[graft] def pqEncodeHof(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.size
     val k = codebooks.head.size
     val subDim = codebooks.head.head.size
@@ -316,9 +330,13 @@ object AnnOps {
       zip_with(v, element_at(centLit, cell.cast("int") + 1), (a, b) => a - b)
     val assigned = corpus
       .withColumn("_cell", ivfAssign(col(corpusVec), centroids))
+      // FUSED residual+encode (graft.expr.PqEncodeNative, residual = true):
+      // one native pass subtracts the cell centroid and PQ-encodes without
+      // materializing the residual array — bit-identical to
+      // `pqEncodeHof(residual(vec, cell), codebooks)` (PqNativeSpec pins it).
       .withColumn("_codes",
-        pqEncode(residual(col(corpusVec), col("_cell")), codebooks)
-          .getField("codes"))
+        graft.expr.PqEncodeNative.residualExpr(col(corpusVec), col("_cell"),
+          centroids, codebooks).getField("codes"))
       .select(col(corpusId), col("_cell"), col("_codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbLit = typedlit(codebooks)
