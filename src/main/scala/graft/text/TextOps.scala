@@ -299,13 +299,15 @@ object TextOps {
     * that Catalyst rewrites to a partial group limit.
     *
     * Returns the k selected rows with their `sample_key`. Zero/negative
-    * weights never win (key -> -Inf, clamped to the bottom). */
+    * weights NEVER win: they are filtered out before the cap, so when fewer
+    * than k rows carry positive weight the sample is exactly those rows. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
                      salt: String = "wsamp:"): DataFrame = {
     val u = hashUniform(col(idCol), salt)
     val key = when(weight > 0, round(log(u) / weight, 9)).otherwise(lit(null))
-    capPerGroup(df.withColumn("sample_key", key), lit(1), k,
-      col("sample_key"), col(idCol))
+    capPerGroup(
+      df.withColumn("sample_key", key).filter(col("sample_key").isNotNull),
+      lit(1), k, col("sample_key"), col(idCol))
   }
 
   /** Deterministic shuffle-and-shard — the materialization step every training
@@ -708,12 +710,41 @@ object TextOps {
     * every round after that runs over the DISTINCT-WORD vocabulary (Heaps-law
     * small relative to the corpus, kept distributed — classic trainers hold it
     * single-node in memory). Per round: one vocab-pair partial-agg shuffle +
-    * a 1-row argmax collect (model-sized driver traffic, the e6/e8t rule); the
-    * merge rewrite is a per-row HOF fold (greedy left-to-right,
-    * non-overlapping). Vocab lineage is cut per round with `localCheckpoint`
-    * (the d7 rule) so `nMerges` rounds never replay round 1. */
+    * a top-L collect (model-sized driver traffic, the e6/e8t rule); the merge
+    * rewrite is a per-row HOF fold (greedy left-to-right, non-overlapping).
+    * Vocab lineage is cut per round with `localCheckpoint` (the d7 rule) so
+    * the rounds never replay round 1.
+    *
+    * BATCHED ROUNDS (r11): a production 32k-merge vocabulary cannot afford
+    * 32k sequential Spark jobs — wall-clock dies on scheduling latency, not
+    * data. Each round therefore selects up to `batch` merges from the ranked
+    * pair table and applies them in ONE rewrite, PROVABLY identical to
+    * running them as consecutive sequential rounds. The selection walks the
+    * ranking `(n desc, a, b)` as a PREFIX and stops at the first candidate
+    * that could diverge from the sequential schedule:
+    *  - shares a symbol with an already-selected pair (its count, or the
+    *    selected pair's occurrences, would have changed);
+    *  - its `a`, `b`, or concatenation `a+b` string-equals a selected pair's
+    *    symbol or concatenation (a merge-created symbol must never re-match a
+    *    batched rule — sequential rounds would see the new adjacency, the
+    *    one-pass fold would not, and vice versa);
+    *  - its count is not STRICTLY above the bound on any pair a prior selected
+    *    merge can create or grow: merging (a_i, b_i) only creates pairs
+    *    (x, a_i b_i) with count <= the old count(x, a_i) and (a_i b_i, y)
+    *    with count <= the old count(b_i, y), so the bound is the max count
+    *    over collected pairs adjacent to a selected symbol — plus the L-th
+    *    collected count when the table was truncated (an uncollected pair
+    *    can hide anything up to that).
+    * Within a batch the selected pairs are symbol-disjoint and created
+    * symbols match no rule, so the single fold pass applies them exactly as
+    * consecutive greedy passes would; the prefix property guarantees the
+    * sequential argmax at each intermediate round is exactly the next
+    * selected pair. The first candidate is always selected, so a round makes
+    * progress even when the head of the ranking is all-interacting (worst
+    * case degenerates to the sequential schedule, never diverges from it).
+    * TextOpsSpec pins batched == sequential on a crafted interacting corpus. */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
-               endOfWord: String = "</w>"): DataFrame = {
+               endOfWord: String = "</w>", batch: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     val words = docs.select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -725,6 +756,8 @@ object TextOps {
     var r = 0
     var exhausted = false
     while (r < nMerges && !exhausted) {
+      val mBatch = math.min(math.max(batch, 1), nMerges - r)
+      val limitL = math.max(64, 4 * mBatch)
       val n1 = greatest(size(col("syms")) - 1, lit(0))
       val top = vocab
         .select(col("freq"), explode(zip_with(
@@ -733,24 +766,51 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(limitL).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r + 1, a, b, n))
-        // greedy left-to-right merge of (a,b) occurrences, non-overlapping:
-        // fold the symbol array; a tail element equal to `a` followed by `b`
-        // collapses into `ab` (and the new `ab` cannot re-match `a`)
+        val ranked = top.map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+        val truncGuard = if (top.length == limitL) ranked.last._3 else Long.MinValue
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        val createdSet = scala.collection.mutable.Set.empty[String]
+        var bound = Long.MinValue
+        var stop = false
+        for (cand @ (a, b, n) <- ranked if !stop) {
+          val conflict = sel.nonEmpty && (
+            n <= bound ||
+            used(a) || used(b) || createdSet(a) || createdSet(b) ||
+            used(a + b) || createdSet(a + b))
+          if (conflict || sel.size >= mBatch) stop = true
+          else {
+            sel += cand
+            used += a; used += b; createdSet += (a + b)
+            // bound on any pair this merge can create: pairs ending in `a`
+            // or starting with `b` among the collected table, or anything
+            // hiding below the collection cut
+            val adjMax = ranked.iterator
+              .filter(p => (p._2 == a || p._1 == b) && p != cand)
+              .map(_._3).foldLeft(truncGuard)(math.max)
+            bound = math.max(bound, adjMax)
+          }
+        }
+        sel.zipWithIndex.foreach { case ((a, b, n), i) => merges += ((r + 1 + i, a, b, n)) }
+        // greedy left-to-right merge of every selected (a,b), non-overlapping:
+        // fold the symbol array; a tail element equal to an `a` followed by its
+        // `b` collapses into `ab`. Rules are symbol-disjoint and created
+        // symbols match no rule, so one pass == consecutive per-rule passes.
         val mergedSyms = aggregate(col("syms"),
           array().cast("array<string>"),
-          (acc, s) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(s))))
+          (acc, s) => sel.foldLeft(concat(acc, array(s))) { case (els, (a, b, _)) =>
+            when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(els)
+          })
         val next = vocab.select(col("freq"), mergedSyms.as("syms")).localCheckpoint()
         vocab.unpersist(blocking = false)
         vocab = next
-        r += 1
+        r += sel.size
       }
     }
     vocab.unpersist(blocking = false)
@@ -789,11 +849,19 @@ object TextOps {
     * trigrams and are absent.
     *
     * Scale shape: the model is (corpus trigram vocab × languages) rows — char
-    * trigram vocabularies are naturally bounded (≪ word vocabularies), so the
-    * model BROADCASTS at any corpus size; the only corpus-sized shuffles are
-    * the model-count aggregate and the per-(doc, lang) score aggregate. */
+    * trigram vocabularies are naturally bounded for ALPHABETIC corpora (≪ word
+    * vocabularies), so the model broadcasts; the only corpus-sized shuffles
+    * are the model-count aggregate and the per-(doc, lang) score aggregate.
+    * THE BOUNDED-VOCAB ASSUMPTION HAS A BOUNDARY: CJK corpora push distinct
+    * char trigrams toward |charset|³-flavored counts, and (vocab × langs) can
+    * reach millions of rows — beyond `maxBroadcastGridRows` the grid joins as
+    * a SHUFFLE join (tri-keyed, co-partitioned with the instance table)
+    * instead of a broadcast, trading one exchange for not shipping a
+    * multi-GB model to every executor. Output is identical either way
+    * (TextOpsSpec pins the forced-fallback path). */
   def charTrigramLangId(docs: DataFrame, idCol: String, textCol: String,
-                        langCol: String): DataFrame = {
+                        langCol: String,
+                        maxBroadcastGridRows: Long = 10000000L): DataFrame = {
     val t = lower(col(textCol))
     val tris = when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
@@ -817,8 +885,15 @@ object TextOps {
       .select(col("tri"), col("_ml"),
         round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
           (col("total") + col("bsz"))), 6).cast("decimal(12,6)").as("_lp"))
+    // grid-size probe rides the persisted instance table (one tiny job); the
+    // broadcast is only planned when the model actually fits the assumption
+    val dims = counts
+      .agg(count_distinct(col("tri")).as("v"), count_distinct(col("_ml")).as("l"))
+      .head()
+    val gridRows = dims.getLong(0) * dims.getLong(1)
+    val modelSide = if (gridRows <= maxBroadcastGridRows) broadcast(grid) else grid
     val scored = inst
-      .join(broadcast(grid), Seq("tri"))
+      .join(modelSide, Seq("tri"))
       .groupBy(col(idCol), col(langCol), col("_ml"))
       .agg(sum(col("_lp") * col("tf")).as("_s"))
     val w = org.apache.spark.sql.expressions.Window
@@ -857,6 +932,26 @@ object TextOps {
       .agg(count(lit(1)).as("c_all"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
     dsirStatsToWeights(stats, buckets, smoothing)
+  }
+
+  /** The add-smoothing FLOOR log-ratio a never-seen bucket would score:
+    * `ln(((0+s)/(n_t+sB)) / ((0+s)/(n_all+sB))) = ln((n_all+sB)/(n_t+sB))`.
+    * Pass this as `oovLogWeight` to
+    * [[graft.streaming.StreamingOps.dsirScoreStream]] so live-feed grams that
+    * hash into buckets absent from the training corpus score the same value a
+    * zero-count bucket would have trained to. One two-long aggregate over the
+    * gram stream; rounded to 6dp to match the weight table's decimal scale. */
+  def dsirOovLogWeight(docs: DataFrame, textCol: String, targetPred: Column,
+                       buckets: Int = 512, smoothing: Double = 1.0): Double = {
+    val r = docs
+      .select(targetPred.cast("boolean").as("_tgt"),
+        explode(uniBigrams(col(textCol))).as("g"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("n_t"))
+      .head()
+    val sB = smoothing * buckets
+    val raw = math.log((r.getLong(0) + sB) / (r.getLong(1) + sB))
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,

@@ -399,6 +399,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!out3.contains(999L))
   }
 
+  test("weightedSample: fewer than k positive-weight rows -> only those rows, no NULL-key leakage") {
+    import spark.implicits._
+    // 3 positive-weight rows among 50; k = 10 must return exactly the 3
+    val df = (1 to 50).map(i => (i.toLong, if (i <= 3) 1.0 else 0.0))
+      .toDF("id", "w")
+    val out = TextOps.weightedSample(df, "id", col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L))
+    // all-nonpositive corpus -> empty sample, not k arbitrary rows
+    val none = TextOps.weightedSample(
+      df.withColumn("w", lit(-1.0)), "id", col("w"), k = 10).count()
+    assert(none == 0L)
+  }
+
   test("shardAssign: positions dense per shard; assignment stable as the corpus grows") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, "x")).toDF("id", "lang")
@@ -429,6 +443,13 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 20)
     assert(out.forall { case (_, (truth, pred)) => truth == pred },
       out.filter { case (_, (t2, p)) => t2 != p }.toString)
+    // CJK-vocab boundary: forcing the grid over maxBroadcastGridRows switches
+    // the model join from broadcast to shuffle — identical output, and the
+    // scoring join must NOT plan a broadcast of the grid
+    val fb = TextOps.charTrigramLangId(docs, "id", "text", "lang",
+      maxBroadcastGridRows = 1L)
+    val fbMap = fb.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(fbMap == out)
   }
 
   test("knBigramScore matches a rounding-faithful reference; KN semantics hold") {
@@ -498,6 +519,27 @@ class TextOpsSpec extends SparkSpec {
       (3, "est", "</w>", 9L),
       (4, "l", "o", 7L),
       (5, "lo", "w", 7L)))
+  }
+
+  test("bpeTrain: batched rounds == sequential rounds on an interacting corpus") {
+    import spark.implicits._
+    // mixed shape: long chain words (interacting head merges), repeated
+    // disjoint words (batchable merges), ties, and rare tails — the corpus is
+    // crafted so some rounds batch several merges and others stop at one
+    val words = Seq.fill(9)("banana") ++ Seq.fill(7)("bandana") ++
+      Seq.fill(7)("cabbage") ++ Seq.fill(5)("deed") ++ Seq.fill(5)("feed") ++
+      Seq.fill(3)("gaggle") ++ Seq.fill(3)("haggle") ++ Seq.fill(2)("lower") ++
+      Seq.fill(2)("mower") ++ Seq("xyz", "zyx", "yxz")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val seq1 = TextOps.bpeTrain(docs, "text", nMerges = 40, batch = 1)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    val batched = TextOps.bpeTrain(docs, "text", nMerges = 40, batch = 8)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(batched == seq1)
+    // and at a batch larger than the whole merge budget
+    val wide = TextOps.bpeTrain(docs, "text", nMerges = 12, batch = 64)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(wide == seq1.take(12))
   }
 
   test("bpeTrain stops when no pairs remain; bpeSegment applies merges in order") {
