@@ -752,12 +752,55 @@ object DedupOps {
     * n_matches, max_cos). Survivors are `df` anti-joined on the result. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], threshold: Double,
-                    maxCellSize: Int = 10000): DataFrame = {
+                    maxCellSize: Int = 10000): DataFrame =
+    semanticDedupCore(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids)),
+      idCol, vecCol, threshold, maxCellSize)
+
+  /** [[semanticDedup]] with the centroids as a TABLE instead of a plan
+    * literal — the large-k production path. At k = ceil(sqrt(n)) and n ~ 1e10,
+    * literal centroids are ~1e5 x dim doubles embedded in every stage's task
+    * binary; here they ride ONE broadcast and assignment is a
+    * broadcast-nested-loop score + partial-aggregated argmax (the exchange
+    * carries one (id, best) row per vector, never the n x k score table).
+    * Output is pinned equal to the literal path in DedupAnnSpec.
+    *
+    * @param centroidsDf (cid: int, centroid: array<double>), k rows */
+  def semanticDedupByTable(df: DataFrame, idCol: String, vecCol: String,
+                           centroidsDf: DataFrame, threshold: Double,
+                           maxCellSize: Int = 10000): DataFrame =
+    semanticDedupCore(
+      ivfAssignByJoin(df.select(col(idCol), col(vecCol)), idCol, vecCol, centroidsDf),
+      idCol, vecCol, threshold, maxCellSize)
+
+  /** IVF cell assignment against a centroid TABLE: broadcast the k centroids,
+    * score every (vector, centroid) pair with the native cosine, take the
+    * per-vector argmax as `max(struct(cos, cid))` — Spark's struct ordering
+    * ranks NaN largest and breaks cosine ties on the HIGHER cid, exactly the
+    * `ivfAssign` fold contract (all-null cosines fall back to cell 0 the same
+    * way). The n x k score table exists only inside the map-side partial
+    * aggregate; the exchange carries one row per vector. */
+  def ivfAssignByJoin(vecs: DataFrame, idCol: String, vecCol: String,
+                      centroidsDf: DataFrame): DataFrame = {
+    val assigned = vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("_cos", graft.ann.AnnOps.cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_cos"), col("cid"))).as("_best"))
+      .select(col(idCol),
+        when(col("_best").getField("_cos").isNull, lit(0))
+          .otherwise(col("_best").getField("cid")).cast("int").as("_cell"))
+    vecs.join(assigned, Seq(idCol))
+  }
+
+  private def semanticDedupCore(assigned: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                maxCellSize: Int): DataFrame = {
     // persist: both join sides read the assignment table; without the pin the
     // self-join re-runs the k x dim argmax per side (same rationale + release
     // contract as embeddingNearDups' signature table, BASELINE.md r8)
-    val cells = df.select(col(idCol), col(vecCol))
-      .withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids))
+    val cells = assigned
       .withColumn("_csz", count(lit(1)).over(Window.partitionBy(col("_cell"))))
       .filter(col("_csz") <= maxCellSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -783,10 +826,21 @@ object DedupOps {
     * (n, k, n_cells_capped, n_vecs_excluded) — a nonzero n_vecs_excluded means the
     * embedding distribution is collapsing into few directions and those vectors
     * were NOT deduplicated (route them to a re-trained sub-index or raise the cap;
-    * at 100 TB this is the signal that k must grow faster than sqrt(n)). */
+    * at 100 TB this is the signal that k must grow faster than sqrt(n)).
+    *
+    * Above `tableAssignK` centroids, cell assignment switches from plan-embedded
+    * centroids to the [[semanticDedupByTable]] broadcast-join form: at
+    * k = ceil(sqrt(1e10)) = 1e5, centroids-in-the-plan means ~1e5 x dim doubles
+    * serialized into every stage's task binary, while the table form ships them
+    * once as a broadcast (the two paths are output-pinned equal in
+    * DedupAnnSpec). Training iterations still use plan-embedded centroids
+    * (k-means must fold per-row over all k either way; a production two-level
+    * quantizer would train a coarse level first — SCALE.md note). */
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, trainIters: Int = 3,
-                        cellOverflowFactor: Double = 20.0): (DataFrame, DataFrame) = {
+                        cellOverflowFactor: Double = 20.0,
+                        tableAssignK: Int = 4096): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
     val vecs = df.select(col(idCol), col(vecCol))
     val n = vecs.count()
     val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -798,15 +852,25 @@ object DedupOps {
     // cap = overflow x the expected sqrt(n) cell size: generous enough that a
     // healthy distribution never trips it, tight enough to confine the quadratic
     val cap = math.max(64, (cellOverflowFactor * math.sqrt(n.toDouble)).toInt)
-    val sized = vecs
-      .withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids))
+    val useTable = k > tableAssignK
+    val centroidsDf = if (!useTable) null else {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
+    }
+    val assigned =
+      if (useTable) ivfAssignByJoin(vecs, idCol, vecCol, centroidsDf)
+      else vecs.withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids))
+    val sized = assigned
       .withColumn("_csz", count(lit(1)).over(Window.partitionBy(col("_cell"))))
     val stats = sized
       .agg(count(lit(1)).as("n"),
         count_distinct(when(col("_csz") > cap, col("_cell"))).as("n_cells_capped"),
         sum(when(col("_csz") > cap, 1L).otherwise(0L)).as("n_vecs_excluded"))
       .withColumn("k", lit(k))
-    (semanticDedup(df, idCol, vecCol, centroids, threshold, cap), stats)
+    val dropped =
+      if (useTable) semanticDedupByTable(df, idCol, vecCol, centroidsDf, threshold, cap)
+      else semanticDedup(df, idCol, vecCol, centroids, threshold, cap)
+    (dropped, stats)
   }
 
   /** CCNet-style line-frequency dedup (Wenzek et al. 2020): delete EVERY

@@ -534,6 +534,34 @@ class DedupAnnSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_cells_capped") > 0L)
   }
 
+  test("semanticDedupByTable == literal-centroid semanticDedup; auto switches above tableAssignK") {
+    val rng = new scala.util.Random(67)
+    val base = (1L to 220L).map(i => (i, Seq.fill(16)(rng.nextGaussian())))
+    val twins = base.take(18).map { case (i, v) => (i + 1000L, v.map(_ * 1.0007)) }
+    val df = (base ++ twins).toDF("vid", "v")
+    val init = base.take(9).map(_._2)
+    val cents = AnnOps.kmeansTrain(df, "v", init, iters = 2)
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
+    val lit = DedupOps.semanticDedup(df, "vid", "v", cents, threshold = 0.999)
+      .orderBy("vid").collect().toSeq
+    val tab = DedupOps.semanticDedupByTable(df, "vid", "v", centsDf, threshold = 0.999)
+      .orderBy("vid").collect().toSeq
+    assert(lit == tab, "table-assign path must match the literal path exactly")
+    // assignment parity directly, including ties-to-higher-cid determinism
+    val aLit = df.select(col("vid"),
+      AnnOps.ivfAssign(col("v"), cents).as("_cell"))
+    val aTab = DedupOps.ivfAssignByJoin(df, "vid", "v", centsDf).select("vid", "_cell")
+    assert(aLit.exceptAll(aTab).count() == 0 && aTab.exceptAll(aLit).count() == 0)
+    // auto: forcing the table path (tableAssignK = 1 < k) keeps output identical
+    // to the literal path (tableAssignK huge)
+    val (dLit, sLit) = DedupOps.semanticDedupAuto(df, "vid", "v", threshold = 0.999,
+      tableAssignK = Int.MaxValue)
+    val (dTab, sTab) = DedupOps.semanticDedupAuto(df, "vid", "v", threshold = 0.999,
+      tableAssignK = 1)
+    assert(dLit.orderBy("vid").collect().toSeq == dTab.orderBy("vid").collect().toSeq)
+    assert(sLit.collect().toSeq == sTab.collect().toSeq)
+  }
+
   test("line-frequency dedup removes EVERY occurrence of a common line, keeps blanks") {
     val banner = "click here to subscribe"
     val df = Seq(
