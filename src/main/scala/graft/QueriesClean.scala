@@ -322,6 +322,69 @@ object QueriesClean {
           unix_timestamp(col("time_merge")).as("tm_s"), col("errors_str"))
     }),
 
+    // Pull-stage ledger (`stnlist_update_pull.py:479-558` isd_retry_downloads):
+    // completes the 4-stage ledger family. The fixture derives a station list
+    // (string start/end stamps; some pre-1980 starts exercise the floor, some
+    // end-before-start windows exercise the empty range) and a raw-prefix
+    // object listing with deterministic per-year gaps ((year+uid)%3==0 missing)
+    // plus non-.gz junk; uid%13==0 stations have no files at all and belong to
+    // the s24 missed report, not this gap report.
+    "s23_stnlist_pull" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val uids = e.select(col("user_id").as("uid")).distinct()
+      val stations = uids.select(
+        concat(lit("ISD"), col("uid").cast("string")).as("isd_id"),
+        (col("uid") % 99999).as("wban"),
+        concat((lit(1975) + col("uid") % 10).cast("string"),
+          lit("-01-01 00:00:00")).as("start_time"),
+        concat((lit(1982) + col("uid") % 7).cast("string"),
+          lit("-12-31 23:00:00")).as("end_time"))
+      val files = uids.filter(col("uid") % 13 =!= 0)
+        .select(col("uid"), explode(sequence(lit(1979), lit(1990))).as("y"))
+        .filter((col("y") + col("uid")) % 3 =!= 0)
+        .select(concat(lit("1_raw_wx/ISD/ISD"), col("uid").cast("string"),
+          lit("-"), col("y").cast("string"), lit(".gz")).as("file"))
+        .union(s.range(1).select(lit("1_raw_wx/ISD/isd-history-stations.csv").as("file")))
+      StationStatus.pullMissingFiles(stations, files)
+    }),
+
+    // Pull-stage ledger part 2: stations with NO downloaded file (the retry
+    // list the reference re-fetches; fetcher itself is the S10 cut). WBAN
+    // zero-pads to 5, the reference's `:522-524` fixup.
+    "s24_pull_missed" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val uids = e.select(col("user_id").as("uid")).distinct()
+      val stations = uids.select(
+        concat(lit("ISD"), col("uid").cast("string")).as("isd_id"),
+        (col("uid") % 99999).as("wban"),
+        concat((lit(1975) + col("uid") % 10).cast("string"),
+          lit("-01-01 00:00:00")).as("start_time"),
+        concat((lit(1982) + col("uid") % 7).cast("string"),
+          lit("-12-31 23:00:00")).as("end_time"))
+      val files = uids.filter(col("uid") % 13 =!= 0)
+        .select(col("uid"), explode(sequence(lit(1979), lit(1990))).as("y"))
+        .filter((col("y") + col("uid")) % 3 =!= 0)
+        .select(concat(lit("1_raw_wx/ISD/ISD"), col("uid").cast("string"),
+          lit("-"), col("y").cast("string"), lit(".gz")).as("file"))
+      StationStatus.pullMissedStations(stations, files)
+        .select(col("isd_id"), col("wban"))
+    }),
+
+    // Dev-subset sampler (`create_qaqc_dev_subset.R`): per-covariate LHS-
+    // midpoint targets, nearest station to each target, union of picks. The
+    // fixture synthesizes three deterministic covariates (one with nulls to
+    // exercise the na.rm path) over the event stations; n=25 targets each.
+    "s25_dev_subset" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val st = e.select(col("user_id").as("uid")).distinct()
+        .select(concat(lit("NET_"), col("uid").cast("string")).as("era_id"),
+          when(col("uid") % 41 === 0, lit(null))
+            .otherwise((col("uid") * 37 % 1000 - 100).cast("double")).as("elevation"),
+          (col("uid") * 13 % 400 / lit(10.0)).as("bio5"),
+          (col("uid") * 7 % 250 / lit(5.0)).as("wind"))
+      StationLists.devSubset(st, "era_id", Seq("elevation", "bio5", "wind"), n = 25)
+    }),
+
     // All-network station-list generation (`stationlist_generator.py:144-529`):
     // three network frames with deliberately hostile schemas exercise every fuzzy
     // column-resolution rule — start_time preferred over begin, disconnect removed
@@ -870,6 +933,72 @@ object QueriesClean {
          SELECT b.era_id, b.cleaned,
                 CAST(epoch(b.time_cleaned) AS BIGINT) AS tc_s, p.errors_str
          FROM base b LEFT JOIN per p USING (era_id)""",
+    "s23_stnlist_pull" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+         st AS (SELECT 'ISD' || CAST(uid AS VARCHAR) AS isd_id,
+                       GREATEST(1980, 1975 + uid % 10) AS sy,
+                       1982 + uid % 7 AS ey
+                FROM u),
+         f AS (SELECT 'ISD' || CAST(uid AS VARCHAR) AS sid, t.y AS y
+               FROM u, generate_series(1979, 1990) t(y)
+               WHERE uid % 13 <> 0 AND (t.y + uid) % 3 <> 0),
+         dl AS (SELECT DISTINCT sid FROM f),
+         expected AS (SELECT st.isd_id, t.y AS year
+                      FROM st, generate_series(1980, 1990) t(y)
+                      WHERE t.y >= st.sy AND t.y <= st.ey),
+         missing AS (SELECT e.isd_id, e.year
+                     FROM expected e JOIN dl ON dl.sid = e.isd_id
+                     LEFT JOIN f ON f.sid = e.isd_id AND f.y = e.year
+                     WHERE f.sid IS NULL)
+         SELECT year, isd_id || '-' || CAST(year AS VARCHAR) || '.gz' AS file_name
+         FROM missing""",
+    "s24_pull_missed" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events)
+         SELECT 'ISD' || CAST(uid AS VARCHAR) AS isd_id,
+                lpad(CAST(uid % 99999 AS VARCHAR), 5, '0') AS wban
+         FROM u WHERE uid % 13 = 0""",
+    "s25_dev_subset" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+         st AS (SELECT 'NET_' || CAST(uid AS VARCHAR) AS era_id,
+                       CASE WHEN uid % 41 = 0 THEN NULL
+                            ELSE CAST(uid * 37 % 1000 - 100 AS DOUBLE) END AS elevation,
+                       (uid * 13 % 400) / 10.0::DOUBLE AS bio5,
+                       (uid * 7 % 250) / 5.0::DOUBLE AS wind
+                FROM u),
+         ve AS (SELECT era_id, elevation AS v FROM st WHERE elevation IS NOT NULL),
+         me AS (SELECT min(v) AS mn, max(v) AS mx FROM ve),
+         te AS (SELECT t.i AS ti,
+                       mn + (t.i + 0.5::DOUBLE) / 25.0::DOUBLE * (mx - mn) AS tgt
+                FROM me, generate_series(0, 24) t(i)),
+         pe AS (SELECT era_id FROM (
+                  SELECT ve.era_id,
+                         row_number() OVER (PARTITION BY te.ti
+                           ORDER BY abs(ve.v - te.tgt), ve.era_id) AS rn
+                  FROM ve CROSS JOIN te) WHERE rn = 1),
+         vb AS (SELECT era_id, bio5 AS v FROM st WHERE bio5 IS NOT NULL),
+         mb AS (SELECT min(v) AS mn, max(v) AS mx FROM vb),
+         tb AS (SELECT t.i AS ti,
+                       mn + (t.i + 0.5::DOUBLE) / 25.0::DOUBLE * (mx - mn) AS tgt
+                FROM mb, generate_series(0, 24) t(i)),
+         pb AS (SELECT era_id FROM (
+                  SELECT vb.era_id,
+                         row_number() OVER (PARTITION BY tb.ti
+                           ORDER BY abs(vb.v - tb.tgt), vb.era_id) AS rn
+                  FROM vb CROSS JOIN tb) WHERE rn = 1),
+         vw AS (SELECT era_id, wind AS v FROM st WHERE wind IS NOT NULL),
+         mw AS (SELECT min(v) AS mn, max(v) AS mx FROM vw),
+         tw AS (SELECT t.i AS ti,
+                       mn + (t.i + 0.5::DOUBLE) / 25.0::DOUBLE * (mx - mn) AS tgt
+                FROM mw, generate_series(0, 24) t(i)),
+         pw AS (SELECT era_id FROM (
+                  SELECT vw.era_id,
+                         row_number() OVER (PARTITION BY tw.ti
+                           ORDER BY abs(vw.v - tw.tgt), vw.era_id) AS rn
+                  FROM vw CROSS JOIN tw) WHERE rn = 1)
+         SELECT DISTINCT era_id, picked_for FROM (
+           SELECT era_id, 'elevation' AS picked_for FROM pe
+           UNION ALL SELECT era_id, 'bio5' FROM pb
+           UNION ALL SELECT era_id, 'wind' FROM pw)""",
     "s14_stationlist_gen" ->
       """WITH base AS (
            SELECT user_id AS uid,

@@ -321,4 +321,49 @@ object StationLists {
       .repartition(col("era_id"))
       .sortWithinPartitions(col("era_id"), col("time"))
   }
+
+  /** QAQC dev-subset sampler (`/root/reference/scripts/3_qaqc_data/
+    * create_qaqc_dev_subset.R`): pick a climatologically-spread training
+    * subset of stations — for each covariate, lay `n` targets across its
+    * observed [min, max] and take the station NEAREST each target
+    * (`which.min(abs(v - transform_lhs(...)))`), then union the per-variable
+    * picks. The reference spreads targets by 1-D maximin Latin hypercube
+    * (`maximinLHS(250, 1)` — random but maximin-spread); here the targets are
+    * the deterministic LHS stratum MIDPOINTS `mn + (i + 0.5)/n * (mx - mn)`,
+    * the same marginal coverage with engine-portable determinism (documented
+    * delta — the raster covariate EXTRACTION feeding the reference's columns
+    * is GIS I/O out of engine scope; callers pass the covariates as columns).
+    * Nearest-station ties resolve to the LOWEST station id (the reference's
+    * `which.min` keeps the first frame row, which is ingestion-order;
+    * documented determinism delta). Null covariate values never win (the
+    * reference's `na.rm` + the erroneous-elevation filter are caller-side).
+    *
+    * Returns one row per (station, covariate) pick: `(idCol, picked_for)`
+    * (distinct); the unique station set is the reference's `stns_lhs`.
+    *
+    * Scale shape: per covariate one min/max aggregate (scan-side partial), one
+    * broadcast of `n` target rows against the station list, and one
+    * argmin groupBy whose exchange carries `n` partial rows per task — the
+    * station list is metadata-sized, but nothing here breaks at corpus scale
+    * either. */
+  def devSubset(stations: DataFrame, idCol: String, varCols: Seq[String],
+                n: Int = 250): DataFrame = {
+    val spark = stations.sparkSession
+    varCols.map { v =>
+      val valid = stations.select(col(idCol), col(v).cast("double").as("_v"))
+        .filter(col("_v").isNotNull)
+      val mm = valid.agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+      val targets = spark.range(n.toLong)
+        .select(col("id").cast("int").as("_ti"))
+        .crossJoin(broadcast(mm))
+        .select(col("_ti"),
+          (col("mn") + (col("_ti") + lit(0.5)) / lit(n.toDouble) *
+            (col("mx") - col("mn"))).as("_t"))
+      valid.crossJoin(broadcast(targets))
+        .groupBy(col("_ti"))
+        .agg(min(struct(abs(col("_v") - col("_t")).as("d"),
+          col(idCol).as("_id"))).as("_b"))
+        .select(col("_b").getField("_id").as(idCol), lit(v).as("picked_for"))
+    }.reduce(_ unionByName _).distinct()
+  }
 }

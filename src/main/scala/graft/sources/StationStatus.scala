@@ -70,6 +70,73 @@ object StationStatus {
     stageUpdate(stations, passed, errors, "merged", "time_merge",
       appendUnlisted = false)
 
+  /** Pull-stage ledger, part 1 (`/root/reference/scripts/1_pull_data/
+    * stnlist_update_pull.py:479-558`, `isd_retry_downloads`): stations from the
+    * station list with NO downloaded file at all. Completes the 4-stage ledger
+    * family (pull → clean → qaqc → merge).
+    *
+    * `files` is the object listing of the raw prefix (full paths); a data file
+    * is `<prefix>/<ISD-ID>-<YYYY>.gz` — station id and year parse positionally
+    * (basename minus ".gz" minus the last 5 chars, exactly the reference's
+    * `file[0:-5]` slice), non-`.gz` rows (station lists, reports) are ignored.
+    * `WBAN` is zero-padded to 5 (`:522-524`); the reference's
+    * drop-the-index-column fixup is a pandas artifact with no Spark analog.
+    *
+    * Scale shape: the listing parses scan-side; one anti-join on the id (the
+    * station list is metadata-sized — AQE broadcasts it). */
+  def pullMissedStations(stations: DataFrame, files: DataFrame): DataFrame =
+    stations
+      .join(pullInventory(files).select(col("sid")).distinct(),
+        stations("isd_id") === col("sid"), "left_anti")
+      .withColumn("wban", lpad(col("wban").cast("string"), 5, "0"))
+
+  /** Pull-stage ledger, part 2 (`stnlist_update_pull.py:527-558`): for stations
+    * that DID download, the per-year gap report — every expected year
+    * (`max(floorYear, year(start_time))..year(end_time)`, `:531-535`) with no
+    * matching file, as `(year, file_name = "<ISD-ID>-<year>.gz")` rows ready
+    * for the retry fetcher (the fetcher itself is the documented S10 cut).
+    *
+    * Documented delta: the reference tests year presence by SUBSTRING
+    * containment anywhere in the filename (`str(year) in file`, `:539-541`),
+    * which false-positives when a station id embeds a year-like digit run
+    * (e.g. `"198003-99999"` reports year 1980 present forever); here the year
+    * is parsed from its canonical `-YYYY.gz` position, so the gap report is
+    * exact. `start_time`/`end_time` are the reference's string timestamps —
+    * the year is their first-4-chars slice (`[0:4]`).
+    *
+    * Scale shape: expected years ride a per-row `sequence` (array, no
+    * explode until after `array_except` prunes to the gaps); downloaded years
+    * aggregate map-side to one set per station. One groupBy + one join, both
+    * station-count-sized. */
+  def pullMissingFiles(stations: DataFrame, files: DataFrame,
+                       floorYear: Int = 1980): DataFrame = {
+    val got = pullInventory(files)
+      .groupBy(col("sid")).agg(collect_set(col("fyear")).as("_got"))
+    val sy = greatest(lit(floorYear), substring(col("start_time"), 1, 4).cast("int"))
+    val ey = substring(col("end_time"), 1, 4).cast("int")
+    stations
+      .join(got, stations("isd_id") === got("sid"))
+      .withColumn("_missing", array_except(
+        when(ey >= sy, sequence(sy, ey)).otherwise(array().cast("array<int>")),
+        col("_got")))
+      .select(col("isd_id"), explode(col("_missing")).as("year"))
+      .select(col("year"),
+        concat(col("isd_id"), lit("-"), col("year").cast("string"), lit(".gz"))
+          .as("file_name"))
+  }
+
+  /** Parse the raw-prefix object listing into (sid, fyear) rows — basename,
+    * `.gz` only, id and year split positionally. */
+  private def pullInventory(files: DataFrame): DataFrame = {
+    val name = substring_index(col("file"), "/", -1)
+    files
+      .filter(name.endsWith(".gz"))
+      .withColumn("_base", regexp_replace(name, "\\.gz$", ""))
+      .select(
+        expr("substring(_base, 1, length(_base) - 5)").as("sid"),
+        substring(col("_base"), -4, 4).cast("int").as("fyear"))
+  }
+
   private def stageUpdate(stations: DataFrame, passed: DataFrame, errors: DataFrame,
                           statusCol: String, timeCol: String,
                           appendUnlisted: Boolean): DataFrame = {

@@ -90,6 +90,37 @@ class StationStatusSpec extends SparkSpec {
     assert(got2.map(_.getAs[String]("merged")).toSeq == Seq("N", "N"))
   }
 
+  test("pull ledger: missed stations, per-year gaps, 1980 floor, junk-row immunity") {
+    import spark.implicits._
+    val stations = Seq(
+      // pre-1980 start: expected years clamp to 1980..1982
+      ("725300-94846", 123, "1975-06-01 00:00:00", "1982-12-31 23:00:00"),
+      // normal window 1981..1983
+      ("722950-23174", 99999, "1981-01-01 00:00:00", "1983-12-31 23:00:00"),
+      // end before the clamped start: empty expectation, nothing reported
+      ("700001-00001", 7, "1975-01-01 00:00:00", "1978-12-31 23:00:00"),
+      // no files at all -> missed report, absent from the gap report
+      ("745090-23188", 42, "1980-01-01 00:00:00", "1981-12-31 23:00:00")
+    ).toDF("isd_id", "wban", "start_time", "end_time")
+    val files = Seq(
+      "1_raw_wx/ISD/725300-94846-1980.gz",
+      "1_raw_wx/ISD/725300-94846-1982.gz", // 1981 missing
+      "1_raw_wx/ISD/722950-23174-1981.gz",
+      "1_raw_wx/ISD/722950-23174-1982.gz",
+      "1_raw_wx/ISD/722950-23174-1983.gz", // complete
+      "1_raw_wx/ISD/700001-00001-1979.gz", // outside the (empty) window
+      "1_raw_wx/ISD/isd-history-stations.csv", // junk: not .gz
+      "1_raw_wx/ISD/report-2020.txt"
+    ).toDF("file")
+    val missed = StationStatus.pullMissedStations(stations, files)
+      .select("isd_id", "wban").as[(String, String)].collect().toSet
+    // WBAN zero-pads to 5
+    assert(missed == Set(("745090-23188", "00042")))
+    val gaps = StationStatus.pullMissingFiles(stations, files)
+      .as[(Int, String)].collect().toSet
+    assert(gaps == Set((1981, "725300-94846-1981.gz")))
+  }
+
   test("single error reports its text verbatim; uncleaned keeps all errors") {
     import spark.implicits._
     val stations = Seq("NET_5").toDF("era_id")
