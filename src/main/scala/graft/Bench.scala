@@ -66,7 +66,16 @@ object Bench {
     val nFailed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"total_cold":$totalCold,"reps":$reps,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"total_cold":$totalCold,"reps":$reps,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full per-query map: the driver's captured stdout tail has
+    // truncated mid-JSON before (BENCH_r10 parsed: null), which made round-over-
+    // round per-query diffs depend on BASELINE.md prose instead of an artifact
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"bench_last.json write failed: $e") }
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }
