@@ -228,7 +228,9 @@ object QueriesLlm {
       val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text",
           threshold = 0.4, shingleN = 3, k = 32, bands = 8)
         .select(col("id1"), col("id2"))
-      val clusters = DedupOps.connectedComponents(pairs)
+      // star contraction: the 100x-adjudicated CC default (SCALE.md r11 —
+      // 85 s vs label-propagation's 322 s at 100x; identical output contract)
+      val clusters = DedupOps.connectedComponentsStar(pairs)
         .withColumnRenamed("id", "doc_id")
       DedupOps.resolveClustersByQuality(clusters,
           docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
@@ -496,7 +498,8 @@ object QueriesLlm {
       val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text",
           threshold = 0.4, shingleN = 3, k = 32, bands = 8)
         .select(col("id1"), col("id2"))
-      val dropped = DedupOps.connectedComponents(pairs)
+      // star contraction: the 100x-adjudicated CC default (SCALE.md r11)
+      val dropped = DedupOps.connectedComponentsStar(pairs)
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")

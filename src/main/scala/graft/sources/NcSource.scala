@@ -21,8 +21,9 @@ import graft.core.AttrsTable
   * Implements the public classic file format (magic `CDF\x01`/`CDF\x02`,
   * big-endian header with dim/attr/var lists, fixed vars at absolute offsets,
   * record vars interleaved per record with the single-record-var no-padding rule).
-  * NetCDF-4/HDF5 files are refused with a clear error — the classic subset is what
-  * the reference's clean stage emits for non-zarr networks.
+  * NetCDF-4/HDF5 files dispatch to [[Hdf5Source]] (r11) — `readStation` and the
+  * distributed entries accept BOTH container formats, so a mixed clean-stage
+  * corpus (xarray default NetCDF-4 next to classic re-saves) reads uniformly.
   */
 object NcSource {
 
@@ -231,6 +232,9 @@ object NcSource {
     * granularity). Time comes from the CF `units` attr of the `time` variable;
     * the station id from a `station` char variable or the file name. */
   def readStation(bytes: Array[Byte], fileName: String): ZarrSource.ZarrStationData = {
+    // NetCDF-4 files are HDF5 containers — dispatch them to the from-scratch
+    // HDF5 reader (r11; previously refused). Classic CDF-1/CDF-2 stays here.
+    if (Hdf5Source.isHdf5(bytes)) return Hdf5Source.readStation(bytes, fileName)
     val nc = parseHeader(bytes)
     val timeVar = nc.vars.find(_.name == "time")
       .getOrElse(sys.error("no time variable"))
