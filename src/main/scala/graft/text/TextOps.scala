@@ -820,10 +820,21 @@ object TextOps {
 
   /** Apply a learned BPE merge list to one text column: each word's symbol
     * stream is rewritten by every merge in rank order (the greedy fold of
-    * [[bpeTrain]]); returns the array of subword tokens. Client-side helper for
-    * model-sized merge lists — each merge chains one HOF fold into the plan. */
+    * [[bpeTrain]]); returns the array of subword tokens.
+    *
+    * Runs as the NATIVE [[graft.expr.BpeSegmentNative]] expression — the merge
+    * table rides as ONE reference object and each word segments by the
+    * rank-priority loop, so a 32k-merge production vocabulary costs one plan
+    * node instead of 32k chained HOF folds (plan analysis alone dies at that
+    * depth). Identical output for every rank-consistent table (what any BPE
+    * trainer emits; BpeApplySpec pins native == fold equality); the fold form
+    * below remains the reference for arbitrary hand-built tables. */
   def bpeSegment(text: Column, merges: Seq[(String, String)],
-                 endOfWord: String = "</w>"): Column = {
+                 endOfWord: String = "</w>"): Column =
+    graft.expr.BpeSegmentNative.expr(text, merges, endOfWord)
+
+  private[graft] def bpeSegmentFolds(text: Column, merges: Seq[(String, String)],
+                                     endOfWord: String = "</w>"): Column = {
     val initial = transform(tokens(lower(text)),
       w => concat(split(w, ""), array(lit(endOfWord))))
     val perWord = merges.foldLeft(initial) { case (arr, (a, b)) =>
