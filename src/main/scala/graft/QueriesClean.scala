@@ -385,6 +385,53 @@ object QueriesClean {
       StationLists.devSubset(st, "era_id", Seq("elevation", "bio5", "wind"), n = 25)
     }),
 
+    // S8 publish round-trip, zarr half (`MERGE_pipeline.py:413-468` to_zarr):
+    // build an obs frame from events, PUBLISH it as per-station consolidated
+    // zarr v2 stores (distributed ZarrSink write), read the stores back through
+    // ZarrSource, and aggregate. The oracle computes the same aggregate straight
+    // from the parquet — any drift anywhere in the write→read loop (chunking,
+    // zlib, vlen strings, datetime64 time, fill handling) breaks the hash.
+    "s26_zarr_publish" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        concat(lit("Z"), lpad((col("user_id") % 40).cast("string"), 2, "0"))
+          .as("station"),
+        col("ts").as("time"), col("value").as("val"),
+        col("event_type").as("flag"), col("event_id").as("evt"))
+      val out = java.nio.file.Files.createTempDirectory("graft-s26").toString
+      val ledger = graft.sources.ZarrSink.writeZarrStores(obs, out, chunkRows = 512)
+      // ledger is station-cardinality (40 rows) — model-sized driver collect
+      val paths = ledger.select("path").collect().map(_.getString(0)).toSeq
+      graft.sources.ZarrSource.readStores(s, paths)
+        .groupBy(col("station")).agg(
+          count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("sval"),
+          sum(col("evt")).as("sevt"),
+          max(unix_micros(col("time"))).as("max_us"),
+          countDistinct(col("flag")).as("nflags"))
+    }),
+
+    // S8 publish round-trip, netCDF half (`ASOSAWOS_clean.py:~750-1106`
+    // to_netcdf): same loop through NcSink → classic CDF-2 files → NcSource.
+    // Time truncates to whole seconds first (the CF double-seconds encoding's
+    // exact range; the oracle truncates identically).
+    "s27_nc_publish" -> ((s, dir) => {
+      val obs = t(s, dir, "events").select(
+        concat(lit("N"), lpad((col("user_id") % 25).cast("string"), 2, "0"))
+          .as("station"),
+        date_trunc("second", col("ts")).as("time"), col("value").as("val"),
+        col("event_type").as("flag"), col("event_id").as("evt"))
+      val out = java.nio.file.Files.createTempDirectory("graft-s27").toString
+      val ledger = graft.sources.NcSink.writeNcFiles(obs, out)
+      val paths = ledger.select("path").collect().map(_.getString(0)).toSeq
+      graft.sources.NcSource.readFiles(s, paths)
+        .groupBy(col("station")).agg(
+          count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("sval"),
+          sum(col("evt")).as("sevt"),
+          max(unix_micros(col("time"))).as("max_us"),
+          countDistinct(col("flag")).as("nflags"))
+    }),
+
     // All-network station-list generation (`stationlist_generator.py:144-529`):
     // three network frames with deliberately hostile schemas exercise every fuzzy
     // column-resolution rule — start_time preferred over begin, disconnect removed
@@ -957,6 +1004,24 @@ object QueriesClean {
          SELECT 'ISD' || CAST(uid AS VARCHAR) AS isd_id,
                 lpad(CAST(uid % 99999 AS VARCHAR), 5, '0') AS wban
          FROM u WHERE uid % 13 = 0""",
+    // The publish queries' oracles aggregate the parquet DIRECTLY — the Spark
+    // side must reproduce these values through the full write→read format loop.
+    "s26_zarr_publish" ->
+      """SELECT 'Z' || lpad(CAST(user_id % 40 AS VARCHAR), 2, '0') AS station,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sval,
+                CAST(SUM(event_id) AS BIGINT) AS sevt,
+                MAX(epoch_us(ts)) AS max_us,
+                COUNT(DISTINCT event_type) AS nflags
+         FROM events GROUP BY 1""",
+    "s27_nc_publish" ->
+      """SELECT 'N' || lpad(CAST(user_id % 25 AS VARCHAR), 2, '0') AS station,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sval,
+                CAST(SUM(event_id) AS BIGINT) AS sevt,
+                MAX(epoch_us(date_trunc('second', ts))) AS max_us,
+                COUNT(DISTINCT event_type) AS nflags
+         FROM events GROUP BY 1""",
     "s25_dev_subset" ->
       """WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
          st AS (SELECT 'NET_' || CAST(uid AS VARCHAR) AS era_id,
