@@ -35,6 +35,14 @@ object QueriesLlm {
     "beta" -> Seq("data", "table", "row", "column"),
     "gamma" -> Seq("sort", "hash", "scan", "merge"))
 
+  /** t19's fixed merge table — rank-consistent (every component is a single char
+    * or a lower-rank merge's output) over corpus-common words, so whole-word
+    * ("table", "a"), suffix ("e</w>"), prefix ("sc") and mid-word ("ta" inside
+    * "data") merges all fire on the synthetic vocabulary. */
+  private val t19Merges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e", "table" -> "</w>",
+    "a" -> "</w>", "s" -> "c", "e" -> "</w>")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text stats: token/char counts + mean token length per document
     "t1_text_stats" -> ((s, dir) => {
@@ -779,6 +787,20 @@ object QueriesLlm {
     "t16_bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(t(s, dir, "documents"), "text", nMerges = 8)),
 
+    // t19: BPE segmentation (the tokenizer-APPLY path, native BpeSegmentNative
+    // expression) under the cross-engine gate — a fixed rank-consistent merge
+    // table segments every document and the subword vocabulary distribution is
+    // compared. The DuckDB oracle reproduces segmentation exactly: each word's
+    // symbols ride as chr(1)sym-chr(2) wrapped tokens and each merge is ONE
+    // plain-string replace() (all non-overlapping occurrences, left-to-right —
+    // precisely the greedy fold semantics), nested in rank order, which equals
+    // the native rank-priority loop on any rank-consistent table (see
+    // BpeSegmentNative's scaladoc; BpeApplySpec pins native == HOF fold).
+    "t19_bpe_segment" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.bpeSegment(col("text"), t19Merges)).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.
@@ -1086,6 +1108,28 @@ object QueriesLlm {
             FROM prefiltered)"""
 
   def oracles: Map[String, String] = Map(
+    // Segmentation replayed in pure SQL: symbols ride as chr(1)||sym||chr(2)
+    // wrapped tokens (unambiguous boundaries, so a merge can never match across
+    // symbols), each merge is one plain-string replace() — non-overlapping
+    // left-to-right, the greedy-pass contract — nested in rank order.
+    "t19_bpe_segment" -> {
+      val replaced = t19Merges.foldLeft("s") { case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
+      }
+      s"""WITH words AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents),
+          wrapped AS (
+            SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   || chr(1) || '</w>' || chr(2) AS s
+            FROM words WHERE w <> ''),
+          merged AS (SELECT $replaced AS m FROM wrapped),
+          syms AS (
+            SELECT unnest(string_split(substr(m, 2, length(m) - 2),
+                                       chr(2) || chr(1))) AS sym
+            FROM merged)
+          SELECT sym, COUNT(*) AS cnt FROM syms GROUP BY sym"""
+    },
     "t1_text_stats" ->
       s"""SELECT doc_id,
             len($toksSql) AS n_tok,
