@@ -398,7 +398,12 @@ object QueriesClean {
         col("ts").as("time"), col("value").as("val"),
         col("event_type").as("flag"), col("event_id").as("evt"))
       val out = java.nio.file.Files.createTempDirectory("graft-s26").toString
-      val ledger = graft.sources.ZarrSink.writeZarrStores(obs, out, chunkRows = 512)
+      // chunkRows sized so each station still spans >1 chunk at sf0.1 (the
+      // chunk-edge path stays exercised) without drowning in per-chunk-file
+      // filesystem round-trips — 512-row chunks meant ~8k tiny files and 8x
+      // the wall-clock of the identical-shape nc half (ZarrSinkSpec covers
+      // small-chunk edges exhaustively; the store layout is oracle-invariant).
+      val ledger = graft.sources.ZarrSink.writeZarrStores(obs, out, chunkRows = 8192)
       // ledger is station-cardinality (40 rows) — model-sized driver collect
       val paths = ledger.select("path").collect().map(_.getString(0)).toSeq
       graft.sources.ZarrSource.readStores(s, paths)

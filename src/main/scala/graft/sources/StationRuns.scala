@@ -100,20 +100,53 @@ private[sources] object StationRuns {
   def writeFiles(rootPath: String, conf: Configuration,
                  files: Seq[(String, Array[Byte])]): Long = {
     val root = new Path(rootPath)
-    val fs = root.getFileSystem(conf)
-    files.map { case (rel, bytes) =>
-      val out = fs.create(new Path(root, rel), true)
-      try out.write(bytes) finally out.close()
-      bytes.length.toLong
-    }.sum
+    localRoot(root, conf) match {
+      case Some(dir) =>
+        files.map { case (rel, bytes) =>
+          val f = dir.resolve(rel)
+          java.nio.file.Files.createDirectories(f.getParent)
+          java.nio.file.Files.write(f, bytes)
+          bytes.length.toLong
+        }.sum
+      case None =>
+        val fs = root.getFileSystem(conf)
+        files.map { case (rel, bytes) =>
+          val out = fs.create(new Path(root, rel), true)
+          try out.write(bytes) finally out.close()
+          bytes.length.toLong
+        }.sum
+    }
+  }
+
+  /** For `file:`/schemeless paths, the direct java.nio path: Hadoop's
+    * LocalFileSystem both writes a `.crc` sidecar per file AND — with no
+    * native-hadoop library loaded — forks a `chmod` process per create to
+    * apply permissions, a ~1.5 ms tax that dominates many-small-file store
+    * formats (zarr: measured 1.8 s of a 2.0 s store publish). HDFS/object
+    * stores keep the Hadoop client, whose per-create cost is the network
+    * round-trip anyway. */
+  private def localRoot(p: Path, conf: Configuration): Option[java.nio.file.Path] = {
+    val uri = p.toUri
+    val schemeLocal = uri.getScheme == null || uri.getScheme == "file"
+    val defaultLocal = org.apache.hadoop.fs.FileSystem.getDefaultUri(conf)
+      .getScheme match { case null | "file" => true; case _ => false }
+    if (schemeLocal && (uri.getScheme != null || defaultLocal))
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
   }
 
   /** Write one flat file. */
   def writeFile(path: String, conf: Configuration, bytes: Array[Byte]): Long = {
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(bytes) finally out.close()
+    localRoot(p, conf) match {
+      case Some(f) =>
+        if (f.getParent != null) java.nio.file.Files.createDirectories(f.getParent)
+        java.nio.file.Files.write(f, bytes)
+      case None =>
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+    }
     bytes.length.toLong
   }
 }

@@ -29,7 +29,9 @@ import graft.core.AttrsTable
   *   - station → 1-element `station`-dim vlen array (the id survives a store
   *     rename, matching the reader's exact-name-first resolution)
   * all chunked on the time axis and zlib-deflated (numcodecs `{"id":"zlib"}`,
-  * JDK Deflater — no native codec dependency on either side).
+  * JDK Deflater — no native codec dependency on either side; default level 1 =
+  * the numcodecs Zlib default — obs doubles are noise-dominated, so higher
+  * levels buy single-digit % size for multiples of the deflate CPU).
   *
   * Scale: one hash-shuffle on station, then every store writes from the task
   * that owns its rows — per-station task granularity, the same unit the
@@ -208,7 +210,7 @@ object ZarrSink {
     * bytes). */
   def writeZarrStores(df: DataFrame, outDir: String,
                       attrs: AttrsTable = AttrsTable(Map.empty, Map.empty),
-                      chunkRows: Int = 65536, zlibLevel: Int = 5): DataFrame = {
+                      chunkRows: Int = 65536, zlibLevel: Int = 1): DataFrame = {
     val attrsB = df.sparkSession.sparkContext.broadcast(attrs)
     StationRuns.mapStations(df) { (station, times, cols, conf) =>
       val path = s"$outDir/$station.zarr"
