@@ -801,6 +801,16 @@ object QueriesLlm {
         .select(explode(TextOps.bpeSegment(col("text"), t19Merges)).as("sym"))
         .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))),
 
+    // t20: TRAINED hashed-feature linear quality classifier (the fastText-shaped
+    // curation-filter slot) — label = (lang = 'en'), 64 md5 buckets + bias,
+    // 10 full-batch gradient rounds at lr 0.02, trained IN the engine and applied
+    // to every document. The rational sigmoid (0.5 + 0.5·z/(1+|z|)) keeps
+    // training pure IEEE arithmetic, so the DuckDB oracle REPLAYS the whole
+    // training run bit-exactly as unrolled CTE rounds (the g1 pattern).
+    "t20_linear_classifier" -> ((s, dir) =>
+      TextOps.linearClassifierScores(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 64, rounds = 10, lr = 0.02)),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.
@@ -978,6 +988,63 @@ object QueriesLlm {
     * pattern: generated SQL mirroring the exact Spark computation). Explicit
     * `::DOUBLE` casts keep DuckDB's decimal literals out of the float path so
     * `(1-d)/N + d*m` is the identical IEEE expression on both engines. */
+  /** t20's oracle: the full training run as unrolled CTE rounds. Margins and
+    * gradients are exact decimal sums (order-independent), the activation is the
+    * rational sigmoid (pure IEEE — replays bit-exactly, no libm), the weight
+    * step rounds to 6dp; identical op order to TextOps.classifierTrain. */
+  private val t20ClassifierSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""m$i AS MATERIALIZED (
+           SELECT p.d AS d, MIN(p.y) AS y, SUM(w.w * p.x) AS m
+           FROM pairs p JOIN w${i - 1} w ON p.b = w.b GROUP BY p.d),
+         e$i AS MATERIALIZED (
+           SELECT d,
+             CAST(ROUND(0.5::DOUBLE + 0.5::DOUBLE *
+                    (CAST(m AS DOUBLE) / (1.0::DOUBLE + abs(CAST(m AS DOUBLE)))), 9)
+                  AS DECIMAL(10,9)) - y AS e
+           FROM m$i),
+         g$i AS MATERIALIZED (
+           SELECT p.b AS b, SUM(e.e * p.x) AS g
+           FROM pairs p JOIN e$i e ON p.d = e.d GROUP BY p.b),
+         w$i AS MATERIALIZED (
+           SELECT w.b,
+             CAST(w.w - CAST(ROUND(0.02::DOUBLE *
+                    (COALESCE(CAST(g.g AS DOUBLE), 0.0::DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+                  AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS w
+           FROM w${i - 1} w LEFT JOIN g$i g ON w.b = g.b CROSS JOIN nn)"""
+    }.mkString(",\n         ")
+    s"""WITH lab AS (
+          SELECT doc_id AS d, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+          FROM documents),
+        toks AS (
+          SELECT d, y,
+            unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               t -> len(t) > 0)) AS tok
+          FROM lab),
+        cnts AS (
+          SELECT d, y, (('0x' || substring(md5(tok), 1, 15))::BIGINT) % 64 AS b,
+                 COUNT(*) AS cnt
+          FROM toks GROUP BY 1, 2, 3),
+        feat AS (
+          SELECT d, y, b,
+            CAST(ROUND(CAST(cnt AS DOUBLE) * 64.0::DOUBLE /
+                       CAST(SUM(cnt) OVER (PARTITION BY d) AS DOUBLE), 9)
+                 AS DECIMAL(12,9)) AS x
+          FROM cnts),
+        pairs AS MATERIALIZED (
+          SELECT d, y, b, x FROM feat
+          UNION ALL
+          SELECT d, y, -1 AS b, CAST(1 AS DECIMAL(12,9)) AS x FROM lab),
+        nn AS (SELECT COUNT(DISTINCT d) AS n FROM pairs),
+        w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(12,6)) AS w FROM pairs),
+        $rounds
+        SELECT p.d AS doc_id, MIN(p.y) AS y,
+               ROUND(CAST(SUM(w.w * p.x) AS DOUBLE), 6) + 0 AS score,
+               CASE WHEN SUM(w.w * p.x) > 0 THEN 1 ELSE 0 END AS pred
+        FROM pairs p JOIN w10 w ON p.b = w.b
+        GROUP BY p.d"""
+  }
+
   private val g1PagerankSql: String = {
     val rounds = (1 to 5).map { i =>
       s"""m$i AS (
@@ -1786,6 +1853,7 @@ object QueriesLlm {
     // samp6: the exact DSIR pipeline — unigram+bigram hash buckets (15-hex-char
     // md5 prefix, the fingerprint60 rule), add-1 smoothed target/raw log-ratios
     // rounded to 6dp decimals before the per-doc sum
+    "t20_linear_classifier" -> t20ClassifierSql,
     "samp6_dsir" ->
       """WITH toks AS (
             SELECT doc_id, (lang = 'en') AS tgt,

@@ -1046,4 +1046,114 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
+
+  // ──────────────────── trained linear quality classifier ────────────────────
+
+  /** (doc, bucket, x, y) feature pairs for the linear classifier: md5-hashed
+    * unigram buckets (the [[dsirBucket]] portable hash), x = bucket count ×
+    * buckets / doc token count as a 9dp decimal — the doc's bucket DISTRIBUTION
+    * scaled so each present bucket's feature is O(1), giving vocabulary weights
+    * and the bias the same conditioning (unscaled relative frequencies ~1/B
+    * left the bias 64× better-conditioned and it ate the whole fit) — label y
+    * as 0/1, plus the BIAS folded in as constant feature (b = -1, x = 1) so
+    * training is one uniform join→agg chain with no separate bias path (and
+    * token-less docs still carry a row). */
+  private def classifierPairs(docs: DataFrame, idCol: String, textCol: String,
+                              label: Column, buckets: Int): DataFrame = {
+    val labeled = docs.select(col(idCol).as("_doc"), label.cast("int").as("_y"),
+      col(textCol).as("_text"))
+    val counts = labeled
+      .select(col("_doc"), col("_y"), explode(tokens(lower(col("_text")))).as("_tok"))
+      .select(col("_doc"), col("_y"), dsirBucket(col("_tok"), buckets).as("_b"))
+      .groupBy(col("_doc"), col("_y"), col("_b")).agg(count(lit(1)).as("_cnt"))
+    val feat = counts
+      .withColumn("_ntok", sum(col("_cnt")).over(Window.partitionBy(col("_doc"))))
+      .select(col("_doc"), col("_y"), col("_b"),
+        round(col("_cnt").cast("double") * lit(buckets.toDouble) /
+            col("_ntok").cast("double"), 9)
+          .cast("decimal(12,9)").as("_x"))
+    val bias = labeled.select(col("_doc"), col("_y"), lit(-1L).as("_b"),
+      lit(1).cast("decimal(12,9)").as("_x"))
+    feat.unionByName(bias)
+  }
+
+  /** `rounds` full-batch gradient steps over a [[classifierPairs]] table; returns
+    * the weight table (_b, _w) with _b = -1 the bias. Every step is engine-exact:
+    * margins are exact decimal sums of 6dp-weight × 9dp-feature products, the
+    * activation is the RATIONAL sigmoid `0.5 + 0.5·z/(1+|z|)` (same fixed-point
+    * loss shape as the logistic but pure IEEE arithmetic — no libm exp, so the
+    * SQL oracle replays training bit-exactly, unlike the documented w13/clim1
+    * libm boundary), gradient sums ride 18dp decimals (order-independent), and
+    * the weight step rounds to 6dp. */
+  private def classifierTrain(pairs: DataFrame, rounds: Int, lr: Double): DataFrame = {
+    val n = pairs.select(col("_doc")).distinct().agg(count(lit(1)).as("_n"))
+    var w = pairs.select(col("_b")).distinct()
+      .select(col("_b"), lit(0).cast("decimal(12,6)").as("_w"))
+    for (_ <- 1 to rounds) {
+      val errs = pairs.join(broadcast(w), "_b")
+        .groupBy(col("_doc"))
+        .agg(min(col("_y")).as("_yd"), sum(col("_w") * col("_x")).as("_m"))
+        .withColumn("_z", col("_m").cast("double"))
+        .withColumn("_p",
+          round(lit(0.5) + lit(0.5) * (col("_z") / (lit(1.0) + abs(col("_z")))), 9)
+            .cast("decimal(10,9)"))
+        .select(col("_doc"), (col("_p") - col("_yd")).as("_e"))
+      val grads = pairs.join(errs, "_doc")
+        .groupBy(col("_b")).agg(sum(col("_e") * col("_x")).as("_g"))
+      w = w.join(grads, Seq("_b"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("_b"),
+          (col("_w") - round(lit(lr) *
+              (coalesce(col("_g").cast("double"), lit(0.0)) / col("_n").cast("double")), 6)
+            .cast("decimal(12,6)")).cast("decimal(12,6)").as("_w"))
+        // w_t references w_{t-1} twice (directly and through the error table),
+        // so the lazy tree DOUBLES per round — the d7 lineage rule. Each round
+        // materializes the model (≤ buckets+1 rows: one tiny job over the
+        // persisted pair table) and the plan stays linear in `rounds`.
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Trained hashed-feature linear classifier — the fastText-shaped quality /
+    * language filter of curation pipelines (Joulin et al. 2017's linear core
+    * over hashed bag-of-words; the CCNet/GPT-3 "quality classifier" slot),
+    * trained IN the engine by distributed full-batch gradient descent and
+    * returned as the (bucket, w) weight table (bucket = -1 is the bias).
+    *
+    * Scale shape: the (doc, bucket, x, y) pair table is corpus-linear, built
+    * once and persisted; each round is pairs ⨝ broadcast(weights) → per-doc
+    * partial agg → per-bucket partial agg — two linear shuffles per round, and
+    * the weight table (≤ buckets+1 rows) broadcasts at ANY corpus size. Doc
+    * count and gradient normalization ride 1-row broadcast cross joins; nothing
+    * collects — the model stays a DataFrame end to end, localCheckpoint'd per
+    * round (it references itself twice per step, so an unbroken lazy tree
+    * doubles per round — the d7 lineage rule; materializing ≤ buckets+1 rows
+    * per round is the cheap side of that trade at any corpus size). */
+  def linearClassifierWeights(docs: DataFrame, idCol: String, textCol: String,
+                              label: Column, buckets: Int = 64, rounds: Int = 3,
+                              lr: Double = 0.5): DataFrame = {
+    val pairs = classifierPairs(docs, idCol, textCol, label, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    classifierTrain(pairs, rounds, lr)
+      .select(col("_b").as("bucket"), col("_w").cast("double").as("w"))
+  }
+
+  /** Train [[linearClassifierWeights]]'s model and score every document with it:
+    * (id, y, score, pred) where score is the 6dp-rounded final margin and pred
+    * the sign test on the EXACT decimal margin. Train-then-apply as one lazy
+    * plan over one persisted pair table. */
+  def linearClassifierScores(docs: DataFrame, idCol: String, textCol: String,
+                             label: Column, buckets: Int = 64, rounds: Int = 3,
+                             lr: Double = 0.5): DataFrame = {
+    val pairs = classifierPairs(docs, idCol, textCol, label, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = classifierTrain(pairs, rounds, lr)
+    pairs.join(broadcast(w), "_b")
+      .groupBy(col("_doc"))
+      .agg(min(col("_y")).as("y"), sum(col("_w") * col("_x")).as("_m"))
+      .select(col("_doc").as(idCol), col("y"),
+        round(col("_m").cast("double"), 6).as("score"),
+        (col("_m") > 0).cast("int").as("pred"))
+  }
 }

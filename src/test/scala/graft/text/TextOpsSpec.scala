@@ -555,4 +555,35 @@ class TextOpsSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(seg == Seq("n", "e", "w", "est</w>", "low", "</w>"))
   }
+
+  test("linear classifier separates a vocabulary-disjoint corpus and exposes the bias") {
+    import spark.implicits._
+    // two disjoint vocabularies; labels follow the vocabulary exactly
+    val pos = Seq("alpha beta gamma delta", "beta gamma alpha alpha",
+      "delta alpha beta beta gamma", "gamma gamma alpha delta")
+    val neg = Seq("zebra yak xenon walrus", "yak xenon zebra zebra",
+      "walrus zebra yak yak xenon", "xenon xenon zebra walrus", "walrus yak")
+    val docs = (pos.map((_, 1)) ++ neg.map((_, 0))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }.toDF("id", "text", "y_in")
+    val scored = TextOps.linearClassifierScores(docs, "id", "text",
+      col("y_in") === 1, buckets = 32, rounds = 10, lr = 0.05)
+      .as[(Long, Int, Double, Int)].collect()
+    assert(scored.length == 9)
+    assert(scored.forall { case (_, y, _, pred) => y == pred },
+      s"not separated: ${scored.mkString(", ")}")
+    // positive-vocab scores strictly above every negative-vocab score
+    val (p, n) = scored.partition(_._2 == 1)
+    assert(p.map(_._3).min > n.map(_._3).max)
+
+    val w = TextOps.linearClassifierWeights(docs, "id", "text",
+      col("y_in") === 1, buckets = 32, rounds = 10, lr = 0.05)
+      .as[(Long, Double)].collect().toMap
+    assert(w.contains(-1L)) // the bias row
+    assert(w.size <= 33)
+    // an untrained model scores everything 0 and predicts the negative class
+    val zero = TextOps.linearClassifierScores(docs, "id", "text",
+      col("y_in") === 1, buckets = 32, rounds = 0)
+      .as[(Long, Int, Double, Int)].collect()
+    assert(zero.forall { case (_, _, s, pred) => s == 0.0 && pred == 0 })
+  }
 }
