@@ -211,6 +211,47 @@ object StreamingOps {
         round(col("_s").cast("double") / col("n_bigrams"), 4).as("kn_score"))
   }
 
+  /** Streaming linear-classifier scoring — the serving half of
+    * `TextOps.linearClassifierWeights` on a live feed: the (bucket, w) model
+    * (incl. the bucket = -1 bias) is trained OFFLINE and broadcasts per
+    * micro-batch (≤ buckets+1 rows at any corpus size); each arriving document
+    * is scored in ONE streaming aggregation via the algebraic rearrangement
+    * `margin = w_bias + B·Σ_tokens w(bucket(tok)) / n_tokens` — equal to the
+    * batch margin up to the batch op's 9dp feature rounding (a ≤ 1e-9·Σ|w|
+    * scoring delta; the batch/oracle path keeps the exactly-rounded form, the
+    * stream trades that for a single stateful agg). Buckets the training corpus
+    * never occupied LEFT-join to no weight row and score 0 (the dsirScoreStream
+    * OOV contract: every token still counts in n_tokens, and a document of
+    * entirely-unseen tokens emits a bias-only score instead of vanishing);
+    * token-less documents also emit, scored at the bare bias. Only streaming
+    * state is the watermark-bounded (id, time) agg buffer. */
+  def linearScoreStream(stream: DataFrame, weights: DataFrame,
+                        idCol: String, textCol: String, timeCol: String,
+                        buckets: Int = 64,
+                        watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.text.TextOps
+    val vocab = weights.filter(col("bucket") =!= -1L)
+      .select(col("bucket").as("_b"), col("w").as("_w"))
+    val bias = weights.filter(col("bucket") === -1L)
+      .select(lit(1).as("_k"), col("w").as("_wb"))
+    val margin = col("_wb") + when(col("n_tokens") === 0, lit(0.0))
+      .otherwise(lit(buckets.toDouble) * col("_sw") / col("n_tokens"))
+    stream
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(idCol), col(timeCol),
+        explode_outer(TextOps.tokens(lower(col(textCol)))).as("_tok"))
+      .withColumn("_b", TextOps.dsirBucket(col("_tok"), buckets))
+      .join(broadcast(vocab), Seq("_b"), "left")
+      .groupBy(col(idCol), col(timeCol))
+      .agg(count(col("_tok")).as("n_tokens"),
+        sum(when(col("_tok").isNotNull, coalesce(col("_w"), lit(0.0)))
+          .otherwise(lit(0.0))).as("_sw"))
+      .withColumn("_k", lit(1))
+      .join(broadcast(bias), Seq("_k"))
+      .select(col(idCol), col(timeCol), col("n_tokens"),
+        round(margin, 6).as("score"), (margin > 0).cast("int").as("pred"))
+  }
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

@@ -314,4 +314,59 @@ class StreamingSpec extends SparkSpec {
       assert(byId(101L) == ((2L, 20.0)))
     } finally q.stop()
   }
+
+  test("linearScoreStream: arriving docs classify as the batch model; OOV and empty docs emit") {
+    import spark.implicits._
+    import graft.text.TextOps
+    implicit val sq = spark.sqlContext
+    val docs = (Seq("alpha beta gamma delta", "beta gamma alpha alpha",
+        "delta alpha beta beta gamma", "gamma gamma alpha delta").map((_, 1)) ++
+      Seq("zebra yak xenon walrus", "yak xenon zebra zebra",
+        "walrus zebra yak yak xenon", "xenon xenon zebra walrus", "walrus yak").map((_, 0)))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("id", "text", "y_in")
+    val w = TextOps.linearClassifierWeights(docs, "id", "text",
+      col("y_in") === 1, buckets = 32, rounds = 10, lr = 0.05)
+    val batch = TextOps.linearClassifierScores(docs, "id", "text",
+      col("y_in") === 1, buckets = 32, rounds = 10, lr = 0.05)
+      .as[(Long, Int, Double, Int)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.linearScoreStream(
+      input.toDF().toDF("id", "t", "text"), w, "id", "text", "t", buckets = 32)
+    val q = out.writeStream.format("memory").queryName("lin_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, Timestamp.valueOf("2024-01-01 00:00:10"), "alpha beta gamma delta"),
+        (4L, Timestamp.valueOf("2024-01-01 00:00:20"), "zebra yak xenon walrus"),
+        (200L, Timestamp.valueOf("2024-01-01 00:00:30"), "quux corge grault"), // all OOV
+        (201L, Timestamp.valueOf("2024-01-01 00:00:40"), "   "))               // token-less
+      input.addData((999L, Timestamp.valueOf("2024-01-01 02:00:00"), "x"))
+      q.processAllAvailable()
+      val byId = spark.sql(
+        "SELECT id, n_tokens, score, pred FROM lin_stream_test WHERE id < 999")
+        .as[(Long, Long, Double, Int)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(byId.keySet == Set(0L, 4L, 200L, 201L))
+      // streaming margin == batch margin up to the batch op's 9dp feature rounding
+      assert(math.abs(byId(0L)._2 - batch(0L)._1) < 1e-5)
+      assert(math.abs(byId(4L)._2 - batch(4L)._1) < 1e-5)
+      assert(byId(0L)._3 == batch(0L)._2 && byId(4L)._3 == batch(4L)._2)
+      assert(byId(0L)._3 == 1 && byId(4L)._3 == 0)
+      val biasW = w.filter(col("bucket") === -1L).select("w").as[Double].head()
+      // unseen-token doc: every token counts; hashed features have no true OOV —
+      // each token scores its bucket's weight (0 when the training corpus never
+      // occupied it). Replay the margin from the weight table directly.
+      val wMap = w.as[(Long, Double)].collect().toMap
+      val oovBuckets = Seq("quux", "corge", "grault").toDF("tok")
+        .select(TextOps.dsirBucket(col("tok"), 32).as("b")).as[Long].collect()
+      val expOov = biasW + 32.0 * oovBuckets.map(wMap.getOrElse(_, 0.0)).sum / 3
+      assert(byId(200L)._1 == 3L)
+      assert(math.abs(byId(200L)._2 - math.rint(expOov * 1e6) / 1e6) < 1e-9)
+      // token-less doc still emits at the bias
+      assert(byId(201L) == ((0L, math.rint(biasW * 1e6) / 1e6,
+        if (biasW > 0) 1 else 0)))
+    } finally q.stop()
+  }
 }
