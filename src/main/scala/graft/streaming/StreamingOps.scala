@@ -252,6 +252,42 @@ object StreamingOps {
         round(margin, 6).as("score"), (margin > 0).cast("int").as("pred"))
   }
 
+  /** Streaming ANN serving — the serving half of `AnnOps.ivfTopK` on a live
+    * query feed: the corpus is IVF-cell-assigned ONCE (static side, re-read or
+    * cached per micro-batch at the engine's discretion), each arriving query
+    * routes to its `nProbe` nearest cells (the same coarse-quantizer fold as
+    * the batch op) and meets ONLY those cells' members in a stream-static
+    * equi-join on the cell id — never the whole corpus. Per-query top-k runs
+    * inside the single streaming aggregation (an in-agg sort of the
+    * candidate list replaces the batch path's rank window, which streaming
+    * cannot express): state per open (query, time) key is its candidate set,
+    * bounded by the probed cells' sizes — the IVF contract (cell skew caps and
+    * all) is exactly what bounds it. Ordering matches ivfTopK bit-for-bit:
+    * raw-cosine descending with corpus-id tiebreak, display cosine rounded to
+    * 4dp. Emits (query, time, rank, corpus id, cos) rows on watermark close. */
+  def annServeStream(queryStream: DataFrame, corpus: DataFrame,
+                     queryId: String, queryVec: String, timeCol: String,
+                     corpusId: String, corpusVec: String,
+                     centroids: Seq[Seq[Double]], nProbe: Int, k: Int,
+                     watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.ann.AnnOps
+    val assigned = corpus
+      .withColumn("_cell", AnnOps.ivfAssign(col(corpusVec), centroids))
+      .select(col("_cell"), col(corpusId).as("_cid"), col(corpusVec).as("_cvec"))
+    val probed = queryStream
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(queryId), col(timeCol), col(queryVec).as("_qvec"))
+      .withColumn("_cell", explode(AnnOps.ivfProbes(col("_qvec"), centroids, nProbe)))
+    probed.join(assigned, Seq("_cell"))
+      .withColumn("_cos", AnnOps.cosine(col("_cvec"), col("_qvec")))
+      .groupBy(col(queryId), col(timeCol))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("_cos")).as("_nc"), col("_cid")))), 1, k).as("_top"))
+      .select(col(queryId), col(timeCol), posexplode(col("_top")))
+      .select(col(queryId), col(timeCol), (col("pos") + 1).as("rank"),
+        col("col._cid").as(corpusId), round(-col("col._nc"), 4).as("cos"))
+  }
+
   final case class SessionState(startTs: Long, lastTs: Long, n: Long)
   final case class SessionOut(key: String, startTs: Long, endTs: Long, n: Long)
 

@@ -369,4 +369,44 @@ class StreamingSpec extends SparkSpec {
         if (biasW > 0) 1 else 0)))
     } finally q.stop()
   }
+
+  test("annServeStream: streamed queries return exactly the batch ivfTopK result") {
+    import spark.implicits._
+    import graft.ann.AnnOps
+    implicit val sq = spark.sqlContext
+    val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 30L).map { i =>
+      val base = centroids((i % 3).toInt)
+      (i, base.map(_ + rng.nextGaussian() * 0.3))
+    }.toDF("cid", "cv")
+    val queries = Seq(
+      (100L, Seq(0.9, 0.1, 0.05, 0.0)),
+      (101L, Seq(0.0, 0.2, 0.9, 0.1))).toDF("qid", "qv")
+    val batch = AnnOps.ivfTopK(corpus, "cid", "cv", queries, "qid", "qv",
+      centroids, nProbe = 2, k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val out = StreamingOps.annServeStream(
+      input.toDF().toDF("qid", "t", "qv"), corpus,
+      "qid", "qv", "t", "cid", "cv", centroids, nProbe = 2, k = 4)
+    val q = out.writeStream.format("memory").queryName("ann_serve_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (100L, Timestamp.valueOf("2024-01-01 00:00:10"), Seq(0.9, 0.1, 0.05, 0.0)),
+        (101L, Timestamp.valueOf("2024-01-01 00:00:20"), Seq(0.0, 0.2, 0.9, 0.1)))
+      input.addData((999L, Timestamp.valueOf("2024-01-01 02:00:00"), Seq(1.0, 0.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT qid, rank, cid, cos FROM ann_serve_test WHERE qid < 999")
+        .as[(Long, Int, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed.size == 8) // 2 queries x k=4
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
