@@ -801,6 +801,23 @@ object QueriesLlm {
         .select(explode(TextOps.bpeSegment(col("text"), t19Merges)).as("sym"))
         .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))),
 
+    // t21: tokenizer FERTILITY rollup — chars-per-symbol under a merge table,
+    // by source (the metric a tokenizer bake-off ranks vocabularies with; low
+    // fertility = better compression on that slice). One native-segmentation
+    // scan, no explode: symbol counts ride size(), per-source sums are exact
+    // longs, the ratio a 6dp-rounded double.
+    "t21_bpe_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          length(col("text")).cast("long").as("_nc"),
+          size(TextOps.bpeSegment(col("text"), t19Merges)).cast("long").as("_ns"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nc")).as("n_chars"),
+          sum(col("_ns")).as("n_syms"))
+        .withColumn("chars_per_sym",
+          round(col("n_chars").cast("double") / col("n_syms").cast("double"), 6))),
+
     // t20: TRAINED hashed-feature linear quality classifier (the fastText-shaped
     // curation-filter slot) — label = (lang = 'en'), 64 md5 buckets + bias,
     // 10 full-batch gradient rounds at lr 0.02, trained IN the engine and applied
@@ -1196,6 +1213,35 @@ object QueriesLlm {
                                        chr(2) || chr(1))) AS sym
             FROM merged)
           SELECT sym, COUNT(*) AS cnt FROM syms GROUP BY sym"""
+    },
+    "t21_bpe_fertility" -> {
+      val replaced = t19Merges.foldLeft("s") { case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
+      }
+      s"""WITH words AS (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents),
+          wrapped AS (
+            SELECT doc_id,
+              regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   || chr(1) || '</w>' || chr(2) AS s
+            FROM words WHERE w <> ''),
+          merged AS (SELECT doc_id, $replaced AS m FROM wrapped),
+          persym AS (
+            SELECT doc_id,
+              SUM(len(string_split(substr(m, 2, length(m) - 2),
+                                   chr(2) || chr(1)))) AS ns
+            FROM merged GROUP BY doc_id),
+          perdoc AS (
+            SELECT d.source, length(d.text) AS nc, COALESCE(p.ns, 0) AS ns
+            FROM documents d LEFT JOIN persym p USING (doc_id))
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(nc) AS BIGINT) AS n_chars,
+                 CAST(SUM(ns) AS BIGINT) AS n_syms,
+                 ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE), 6) + 0
+                   AS chars_per_sym
+          FROM perdoc GROUP BY source"""
     },
     "t1_text_stats" ->
       s"""SELECT doc_id,
