@@ -1074,7 +1074,13 @@ object TextOps {
           .cast("decimal(12,9)").as("_x"))
     val bias = labeled.select(col("_doc"), col("_y"), lit(-1L).as("_b"),
       lit(1).cast("decimal(12,9)").as("_x"))
-    feat.unionByName(bias)
+    // ONE up-front hash-shuffle on doc: every round's per-doc margin agg and
+    // its error join then reuse this partitioning with no further corpus-scale
+    // exchange — per round only the bucket-cardinality gradient partials move
+    // (without this, each of the `rounds` iterations re-shuffles the pair
+    // table twice; the union alone would discard the feature window's
+    // partitioning guarantee)
+    feat.unionByName(bias).repartition(col("_doc"))
   }
 
   /** `rounds` full-batch gradient steps over a [[classifierPairs]] table; returns
