@@ -229,4 +229,45 @@ class MultimodalSpec extends SparkSpec {
     val out = withByteFeatures(df, "doc_id", "payload").collect().head
     assert(out.getLong(0) == 7L && out.getLong(1) == 11L)
   }
+
+  test("WAV fast path decodes bit-identically to the javax.sound path; non-WAV falls back") {
+    // mono signed 16-bit (the sineWav profile)
+    val wav16 = sineWav(53, 700, rate = 8000, amp = 0.7)
+    val fast = AudioCodec.tryDecodeWavFast(wav16)
+    val slow = AudioCodec.tryDecodeSamplesJavax(wav16)
+    assert(fast.isDefined && slow.isDefined)
+    assert(fast.get._1 == slow.get._1)
+    assert(fast.get._2.toSeq == slow.get._2.toSeq)
+
+    // stereo unsigned 8-bit WAV written through javax.sound
+    val data8 = Array.tabulate(400)(i => ((i * 7 + 13) % 256).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      4000f, 8, 2, 2, 4000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data8), fmt8, 200L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav8 = bos.toByteArray
+    val fast8 = AudioCodec.tryDecodeWavFast(wav8)
+    val slow8 = AudioCodec.tryDecodeSamplesJavax(wav8)
+    assert(fast8.isDefined && slow8.isDefined)
+    assert(fast8.get._1 == slow8.get._1)
+    assert(fast8.get._2.toSeq == slow8.get._2.toSeq)
+
+    // AIFF (big-endian container): fast path declines, public entry still decodes
+    val dataA = Array.tabulate(64)(i => (i * 3 - 90).toByte)
+    val fmtA = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val bosA = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(dataA), fmtA, 32L),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bosA)
+    val aiff = bosA.toByteArray
+    assert(AudioCodec.tryDecodeWavFast(aiff).isEmpty)
+    assert(AudioCodec.tryDecodeSamples(aiff).isDefined)
+    // garbage payload: both paths decline
+    assert(AudioCodec.tryDecodeSamples("not audio at all".getBytes).isEmpty)
+  }
 }
