@@ -44,8 +44,114 @@ object MultimodalOps {
     javax.imageio.ImageIO.setUseCache(false)
 
     def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      tryDecodePngFast(payload).orElse(tryDecodeJavax(payload))
+
+    /** The javax.imageio path (JPEG, gray/palette/interlaced PNG, anything the
+      * fast path declines). */
+    private[multimodal] def tryDecodeJavax(
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case _: Exception => None }
+
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    /** From-scratch PNG fast path (the WAV/RIFF/zarr/NetCDF reader spirit):
+      * `ImageIO.read` pays reader-SPI dispatch and stream probing per call —
+      * the same per-row tax the audio path carried. Walks the PNG chunk list,
+      * inflates the concatenated IDAT zlib stream (JDK Inflater), reverses the
+      * five per-row filters (None/Sub/Up/Average/Paeth, the PNG spec set), and
+      * fills a TYPE_INT_ARGB raster. Scope: 8-bit truecolor (color type 2) and
+      * truecolor+alpha (type 6), non-interlaced — the profile PNG encoders
+      * actually emit for photos — where `getRGB` parity with ImageIO is exact
+      * (MultimodalSpec pins it pixel-for-pixel). Grayscale (ImageIO expands it
+      * through a linear→sRGB colorspace transform, not a value copy), palette,
+      * 16-bit, and interlaced PNGs fall back to javax.imageio. */
+    private[multimodal] def tryDecodePngFast(
+        p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (p.length < 45 || (0 until 8).exists(i => (p(i) & 0xff) != sig(i)))
+        return None
+      var o = 8
+      var w = 0; var h = 0; var colorType = -1; var ok = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (o + 8 <= p.length) {
+        val len = u32be(p, o).toInt
+        val typ = new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val body = o + 8
+        if (len < 0 || body + len + 4 > p.length) return None
+        typ match {
+          case "IHDR" if len >= 13 =>
+            w = u32be(p, body).toInt; h = u32be(p, body + 4).toInt
+            val bitDepth = p(body + 8) & 0xff
+            colorType = p(body + 9) & 0xff
+            val interlace = p(body + 12) & 0xff
+            if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+                interlace != 0 || w <= 0 || h <= 0) return None
+          case "IDAT" => idat.write(p, body, len)
+          case "IEND" => ok = true
+          case _ => () // ancillary chunks skipped
+        }
+        o = body + len + 4 // skip CRC
+      }
+      if (!ok || colorType < 0 || idat.size() == 0) return None
+      val ch = if (colorType == 6) 4 else 3
+      val stride = w * ch
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var filled = 0
+      try {
+        while (filled < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, filled, raw.length - filled)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          filled += n
+        }
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      if (filled != raw.length) return None
+      // reverse per-row filters in place (prev = reconstructed row above)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (stride + 1)
+        val filter = raw(rowOff) & 0xff
+        var i = 0
+        while (i < stride) {
+          val x = raw(rowOff + 1 + i) & 0xff
+          val a = if (i >= ch) raw(rowOff + 1 + i - ch) & 0xff else 0 // left
+          val b = if (y > 0) raw(rowOff - stride + i) & 0xff else 0 // up
+          val c = if (y > 0 && i >= ch) raw(rowOff - stride + i - ch) & 0xff else 0
+          val rec = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case 4 =>
+              val pp = a + b - c
+              val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None
+          }
+          raw(rowOff + 1 + i) = (rec & 0xff).toByte
+          i += 1
+        }
+        var px = 0
+        while (px < w) {
+          val base = rowOff + 1 + px * ch
+          val r = raw(base) & 0xff
+          val g = raw(base + 1) & 0xff
+          val bl = raw(base + 2) & 0xff
+          val al = if (ch == 4) raw(base + 3) & 0xff else 255
+          img.setRGB(px, y, (al << 24) | (r << 16) | (g << 8) | bl)
+          px += 1
+        }
+        y += 1
+      }
+      Some(img)
+    }
 
     /** Box-filter downscale by integer `stride`: each output pixel is the rounded
       * per-channel mean of its stride x stride source block (clipped at the edges).

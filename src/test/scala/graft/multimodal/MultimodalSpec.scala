@@ -270,4 +270,104 @@ class MultimodalSpec extends SparkSpec {
     // garbage payload: both paths decline
     assert(AudioCodec.tryDecodeSamples("not audio at all".getBytes).isEmpty)
   }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    u32(data.length.toLong)
+    val tb = typ.getBytes("US-ASCII")
+    bos.write(tb); bos.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    u32(crc.getValue)
+    bos.toByteArray
+  }
+
+  private def assertPixelParity(png: Array[Byte]): Unit = {
+    val fast = ImageCodec.tryDecodePngFast(png)
+    val slow = ImageCodec.tryDecodeJavax(png)
+    assert(fast.isDefined, "fast path declined a supported PNG")
+    assert(slow.isDefined)
+    val (f, s) = (fast.get, slow.get)
+    assert(f.getWidth == s.getWidth && f.getHeight == s.getHeight)
+    for (y <- 0 until f.getHeight; x <- 0 until f.getWidth)
+      assert(f.getRGB(x, y) == s.getRGB(x, y), s"pixel ($x,$y)")
+  }
+
+  test("PNG fast path matches ImageIO pixel-for-pixel on RGB/RGBA; declines gray/JPEG") {
+    // RGBA through our own encoder (colorType 6, the mm fixtures' shape)
+    val argb = new java.awt.image.BufferedImage(
+      13, 9, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 9; x <- 0 until 13)
+      argb.setRGB(x, y, ((40 + y * 20) << 24) | ((x * 19) << 16) |
+        ((y * 27 % 256) << 8) | ((x * y * 7) % 256))
+    assertPixelParity(ImageCodec.encodePng(argb))
+
+    // opaque RGB (TYPE_3BYTE_BGR -> colorType 2)
+    val rgb = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 5; x <- 0 until 7)
+      rgb.setRGB(x, y, ((x * 36) << 16) | ((y * 50) << 8) | ((x + y) * 17 % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    assertPixelParity(bos.toByteArray)
+
+    // hand-built 4x5 RGB PNG with one row per filter type (0..4) — exercises
+    // every defilter branch; ImageIO is the reference decode
+    val w = 4; val ch = 3
+    val rows = Array.tabulate(5, w * ch)((y, i) => ((y * 31 + i * 53 + 11) % 256).toByte)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until 5) {
+      raw.write(y) // filter type = row index
+      val cur = rows(y); val prev = if (y > 0) rows(y - 1) else new Array[Byte](w * ch)
+      // pre-FILTER the known raster so decoding reconstructs rows(y)
+      val line = new Array[Byte](w * ch)
+      for (i <- 0 until w * ch) {
+        val x = cur(i) & 0xff
+        val a = if (i >= ch) cur(i - ch) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= ch) prev(i - ch) & 0xff else 0
+        line(i) = (y match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 =>
+            val pp = a + b - c
+            val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }).toByte
+      }
+      raw.write(line)
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val ihdr = Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, 5, 8, 2, 0, 0, 0)
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.write(pngChunk("IHDR", ihdr))
+    png.write(pngChunk("IDAT", deflated))
+    png.write(pngChunk("IEND", Array.emptyByteArray))
+    assertPixelParity(png.toByteArray)
+
+    // grayscale: fast path declines (ImageIO's gray decode is a colorspace
+    // transform, not a value copy), public entry still decodes via javax
+    val gray = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6) gray.getRaster.setSample(x, y, 0, x * 40 + y)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", gbos)
+    assert(ImageCodec.tryDecodePngFast(gbos.toByteArray).isEmpty)
+    assert(ImageCodec.tryDecode(gbos.toByteArray).isDefined)
+    assert(ImageCodec.tryDecodePngFast("nope".getBytes).isEmpty)
+  }
 }
