@@ -828,6 +828,25 @@ object QueriesLlm {
       TextOps.linearClassifierScores(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 64, rounds = 10, lr = 0.02)),
 
+    // mm4: perceptual image near-dup pairs (dHash + 4x16-bit multi-index
+    // Hamming bands). The GRAY RASTERS are synthesized deterministically from
+    // doc_id — groups of 4 docs share a base pattern with tiny per-doc
+    // perturbation (near-dups), distinct groups differ — so the whole hash /
+    // band / Hamming-verify core runs under the cross-engine hash gate; the
+    // real payload→raster decode on-ramp (imageGrayRaster) is pinned
+    // pixel-exactly in MultimodalSpec.
+    "mm4_dhash_neardups" -> ((s, dir) => {
+      val gray = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") / 4).cast("long").as("gid"))
+        .withColumn("gray", transform(sequence(lit(0), lit(71)), p =>
+          pmod(
+            pmod(col("gid") * 31 + p * 7 +
+              pmod(p, lit(3) + pmod(col("gid"), lit(5))) * 29, lit(256)) +
+              pmod(col("doc_id"), lit(2)) * pmod(p * 13 + col("doc_id"), lit(2)) * 2,
+            lit(256)).cast("int")))
+      graft.multimodal.MultimodalOps.dHashNearDups(gray, "doc_id", "gray")
+    }),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.
@@ -1900,6 +1919,42 @@ object QueriesLlm {
     // md5 prefix, the fingerprint60 rule), add-1 smoothed target/raw log-ratios
     // rounded to 6dp decimals before the per-doc sum
     "t20_linear_classifier" -> t20ClassifierSql,
+    // mm4: the dHash pipeline replayed — same raster synthesis, halves summed
+    // from shifted-1 powers (never bit 63 in one code), band self-join,
+    // bit_count(xor) verify
+    "mm4_dhash_neardups" ->
+      """WITH g AS (
+            SELECT doc_id, doc_id // 4 AS gid,
+              list_transform(generate_series(0, 71), p ->
+                CAST(((gid*31 + p*7 + (p % (3 + gid % 5)) * 29) % 256
+                      + (doc_id % 2) * ((p*13 + doc_id) % 2) * 2) % 256 AS INT))
+                AS gray
+            FROM documents),
+          h AS (
+            SELECT doc_id,
+              list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN gray[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
+                          gray[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS hi,
+              list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] >
+                          gray[(i // 8) * 9 + (i % 8) + 2]
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS lo
+            FROM g),
+          b AS (
+            SELECT doc_id, hi, lo,
+              unnest(['0:' || CAST(lo & 65535 AS VARCHAR),
+                      '1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
+                      '2:' || CAST(hi & 65535 AS VARCHAR),
+                      '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band
+            FROM h),
+          p AS (
+            SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+              bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
+            FROM b a JOIN b b2 USING (band)
+            WHERE a.doc_id < b2.doc_id)
+          SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+          FROM p WHERE hamming <= 3""",
     "samp6_dsir" ->
       """WITH toks AS (
             SELECT doc_id, (lang = 'en') AS tgt,

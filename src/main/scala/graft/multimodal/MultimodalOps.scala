@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns with typed
@@ -616,5 +616,107 @@ object MultimodalOps {
       .map { case (id, p) => MediaRow(id, "blob", if (p == null) Array.empty else p, Map.empty) }
     byteFeatures(typed).toDF("id", "length", "features")
       .withColumnRenamed("id", idCol)
+  }
+
+  // ───────────────────── perceptual image near-dup (dHash) ─────────────────────
+
+  /** 64-bit difference-hash (dHash — the LAION-class perceptual image-dedup
+    * code) of a row-major (hashW+1)×hashH grayscale raster column
+    * (`array<int>`), returned as `struct(hi, lo)` of two 32-bit halves: bit
+    * j = y·hashW + x (LSB-first within each half, lo carries j < 32) is set
+    * when gray(y,x) > gray(y,x+1). Two halves instead of one 64-bit code keeps
+    * every sum inside non-overflowing signed-64 arithmetic in ANY engine (a
+    * single code needs bit 63 = 2^63, which overflows DuckDB's checked BIGINT
+    * and wraps Java's long), so the hash itself is SQL-oracle-exact. Pure
+    * Catalyst HOF — hashes at scan speed, no UDF. */
+  def dHash(gray: Column, hashW: Int = 8, hashH: Int = 8): Column = {
+    require(hashW * hashH == 64, "dHash is a 64-bit code: hashW*hashH must be 64")
+    val powers = typedlit((0 until 32).map(1L << _))
+    def half(offset: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) => {
+        val j = i + lit(offset)
+        val base = (j / lit(hashW)).cast("int") * (hashW + 1) +
+          pmod(j, lit(hashW)).cast("int")
+        acc + when(element_at(gray, base + 1) > element_at(gray, base + 2),
+          element_at(powers, i.cast("int") + 1)).otherwise(lit(0L))
+      })
+    struct(half(32).as("hi"), half(0).as("lo"))
+  }
+
+  /** Perceptual near-duplicate image pairs over a gray-raster column: dHash +
+    * multi-index Hamming banding (4×16-bit bands; the pigeonhole guarantee —
+    * hamming ≤ 3 leaves at least one band untouched, so recall is EXACT at the
+    * default radius) + exact Hamming verify via `bit_count(xor)`. The d6
+    * simhash chassis on the image code: one shuffle on band keys, bucket-size
+    * cap reports nothing all-pairs, candidate verify runs inside buckets. */
+  def dHashNearDups(df: DataFrame, idCol: String, grayCol: String,
+                    maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    val h = df.select(col(idCol), dHash(col(grayCol)).as("_dh"))
+    val parts = Seq(
+      col("_dh.lo").bitwiseAND(lit(65535L)),
+      shiftright(col("_dh.lo"), 16).bitwiseAND(lit(65535L)),
+      col("_dh.hi").bitwiseAND(lit(65535L)),
+      shiftright(col("_dh.hi"), 16).bitwiseAND(lit(65535L)))
+    val bandKeys = parts.zipWithIndex.map { case (c, b) =>
+      concat(lit(s"$b:"), c.cast("string")) }
+    h.select(struct(col(idCol).as("id"), col("_dh").as("dh")).as("_rec"),
+        explode(array(bandKeys: _*)).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("hamming",
+        (bit_count(col("a.dh.hi").bitwiseXOR(col("b.dh.hi"))) +
+          bit_count(col("a.dh.lo").bitwiseXOR(col("b.dh.lo")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
+      .distinct()
+  }
+
+  /** REAL image on-ramp for [[dHashNearDups]]: payload → decode (PNG fast path
+    * / javax fallback) → exact box-mean (hashW+1)×hashH integer-luma raster
+    * (each target cell averages its source rectangle with half-up rounding —
+    * deterministic, no Graphics2D interpolation). mapPartitions covers ONLY
+    * the binary decode (the multimodal rule); hashing and pairing stay
+    * relational. Undecodable payloads drop. */
+  def imageGrayRaster(ds: Dataset[MediaRow], hashW: Int = 8, hashH: Int = 8)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      ImageCodec.tryDecode(r.payload).map { img =>
+        val (tw, th) = (hashW + 1, hashH)
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val gray = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          val sy0 = y * sh / th
+          val sy1 = math.max((y + 1) * sh / th, sy0 + 1)
+          var x = 0
+          while (x < tw) {
+            val sx0 = x * sw / tw
+            val sx1 = math.max((x + 1) * sw / tw, sx0 + 1)
+            var sum = 0L; var n = 0L
+            var sy = sy0
+            while (sy < sy1) {
+              var sx = sx0
+              while (sx < sx1) {
+                val p = img.getRGB(sx, sy)
+                sum += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                  (p & 0xff) * 114) / 1000
+                n += 1; sx += 1
+              }
+              sy += 1
+            }
+            gray(y * tw + x) = ((sum + n / 2) / n).toInt
+            x += 1
+          }
+          y += 1
+        }
+        (r.id, gray.toSeq)
+      }
+    }).toDF("id", "gray")
   }
 }

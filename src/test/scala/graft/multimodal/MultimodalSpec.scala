@@ -370,4 +370,34 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.tryDecode(gbos.toByteArray).isDefined)
     assert(ImageCodec.tryDecodePngFast("nope".getBytes).isEmpty)
   }
+
+  test("image dHash near-dups: identical and slightly-brightened images pair, distinct don't") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (255 << 24) | (v << 16) | (v << 8) | v)
+      }
+      ImageCodec.encodePng(img)
+    }
+    val gradient = png((x, y) => x * 3 + y)
+    val brighter = png((x, y) => math.min(x * 3 + y + 4, 255)) // same structure
+    val stripes = png((x, _) => if ((x / 4) % 2 == 0) 230 else 20) // different
+    val rows = Seq(
+      MediaRow(1L, "image", gradient, Map.empty),
+      MediaRow(2L, "image", gradient, Map.empty), // exact duplicate
+      MediaRow(3L, "image", brighter, Map.empty),
+      MediaRow(4L, "image", stripes, Map.empty),
+      MediaRow(5L, "image", "not an image".getBytes, Map.empty)).toDS()
+    val gray = imageGrayRaster(rows)
+    assert(gray.count() == 4) // undecodable dropped
+    val pairs = dHashNearDups(gray, "id", "gray")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L))) // exact dup -> hamming 0
+    // brightness shift preserves every adjacent-pixel comparison -> hamming 0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L)) // stripes pair with nobody
+  }
 }
