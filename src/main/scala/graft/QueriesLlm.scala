@@ -838,10 +838,14 @@ object QueriesLlm {
     "mm4_dhash_neardups" -> ((s, dir) => {
       val gray = t(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") / 4).cast("long").as("gid"))
+        // md5-based cell values: no periodicity in gid, so distinct groups
+        // NEVER collide into identical hashes at any corpus size (a v1
+        // arithmetic pattern repeated every ~1280 groups — pair counts went
+        // quadratic at 10x on the repeats)
         .withColumn("gray", transform(sequence(lit(0), lit(71)), p =>
           pmod(
-            pmod(col("gid") * 31 + p * 7 +
-              pmod(p, lit(3) + pmod(col("gid"), lit(5))) * 29, lit(256)) +
+            pmod(conv(substring(md5(concat(col("gid").cast("string"), lit(":"),
+                p.cast("string"))), 1, 4), 16, 10).cast("long"), lit(256)) +
               pmod(col("doc_id"), lit(2)) * pmod(p * 13 + col("doc_id"), lit(2)) * 2,
             lit(256)).cast("int")))
       graft.multimodal.MultimodalOps.dHashNearDups(gray, "doc_id", "gray")
@@ -1926,7 +1930,8 @@ object QueriesLlm {
       """WITH g AS (
             SELECT doc_id, doc_id // 4 AS gid,
               list_transform(generate_series(0, 71), p ->
-                CAST(((gid*31 + p*7 + (p % (3 + gid % 5)) * 29) % 256
+                CAST(((('0x' || substring(md5(gid::VARCHAR || ':' || p::VARCHAR),
+                        1, 4))::BIGINT % 256)
                       + (doc_id % 2) * ((p*13 + doc_id) % 2) * 2) % 256 AS INT))
                 AS gray
             FROM documents),
