@@ -705,8 +705,11 @@ object QueriesLlm {
       // pass), not javax.sound ENCODING of the fixture — exactly how a real
       // corpus would arrive (payloads on disk, not synthesized in-plan).
       val nDocs = t(s, dir, "documents").count()
+      // cache key carries a fixture-version token (ADVICE r11): any change to
+      // the sineWav synthesis parameters must bump v so stale payloads from an
+      // earlier definition are never silently reused
       val cache = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mm3_wav_${math.abs(dir.hashCode)}_$nDocs.parquet")
+        s"graft_mm3_wav_v2_${math.abs(dir.hashCode)}_$nDocs.parquet")
       if (!cache.exists()) {
         t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("id")).as[Long]
@@ -1953,10 +1956,14 @@ object QueriesLlm {
                       '2:' || CAST(hi & 65535 AS VARCHAR),
                       '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band
             FROM h),
+          -- Spark's dHashNearDups drops band buckets larger than
+          -- maxBucketSize=2000 (skew guard); replicate the cap so both engines
+          -- compute the identical pair set at ANY scale factor (ADVICE r11)
+          bc AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) <= 2000),
           p AS (
             SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
               bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
-            FROM b a JOIN b b2 USING (band)
+            FROM b a JOIN b b2 USING (band) JOIN bc USING (band)
             WHERE a.doc_id < b2.doc_id)
           SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
           FROM p WHERE hamming <= 3""",

@@ -67,9 +67,20 @@ object MultimodalOps {
       * actually emit for photos — where `getRGB` parity with ImageIO is exact
       * (MultimodalSpec pins it pixel-for-pixel). Grayscale (ImageIO expands it
       * through a linear→sRGB colorspace transform, not a value copy), palette,
-      * 16-bit, and interlaced PNGs fall back to javax.imageio. */
+      * 16-bit, and interlaced PNGs fall back to javax.imageio.
+      *
+      * Robustness contract (ADVICE r11): all chunk-length / geometry bounds are
+      * checked in Long (a length near Int.MaxValue wrapped the old int guards
+      * negative and sailed past them), dimensions are capped at 64M pixels, and
+      * the whole walk is wrapped NonFatal→None so a corrupt or adversarial
+      * payload DROPS (the documented undecodable-payload contract) instead of
+      * failing the Spark task with an uncaught IndexOutOfBounds. */
     private[multimodal] def tryDecodePngFast(
-        p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+        p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try pngFastImpl(p)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def pngFastImpl(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       if (p.length < 45 || (0 until 8).exists(i => (p(i) & 0xff) != sig(i)))
         return None
@@ -77,10 +88,11 @@ object MultimodalOps {
       var w = 0; var h = 0; var colorType = -1; var ok = false
       val idat = new java.io.ByteArrayOutputStream()
       while (o + 8 <= p.length) {
-        val len = u32be(p, o).toInt
+        val lenL = u32be(p, o) // unsigned 32-bit: bounds-check in Long, never Int
         val typ = new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val body = o + 8
-        if (len < 0 || body + len + 4 > p.length) return None
+        if (body.toLong + lenL + 4 > p.length) return None
+        val len = lenL.toInt // safe: <= p.length
         typ match {
           case "IHDR" if len >= 13 =>
             w = u32be(p, body).toInt; h = u32be(p, body + 4).toInt
@@ -88,7 +100,8 @@ object MultimodalOps {
             colorType = p(body + 9) & 0xff
             val interlace = p(body + 12) & 0xff
             if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
-                interlace != 0 || w <= 0 || h <= 0) return None
+                interlace != 0 || w <= 0 || h <= 0 ||
+                w.toLong * h > (1L << 26)) return None // 64M-pixel sanity cap
           case "IDAT" => idat.write(p, body, len)
           case "IEND" => ok = true
           case _ => () // ancillary chunks skipped
@@ -260,9 +273,18 @@ object MultimodalOps {
       * signedness for those widths), any channel count. Anything else
       * (AIFF/AU, float, extensible, compressed) returns None and falls back
       * to the javax.sound path. Same [[decodePcmFrames]] kernel, so output
-      * is bit-identical to the fallback (MultimodalSpec pins parity). */
+      * is bit-identical to the fallback (MultimodalSpec pins parity).
+      *
+      * Robustness contract (ADVICE r11): chunk lengths are unsigned 32-bit —
+      * bounds-checked in Long (int guards wrap negative near Int.MaxValue) and
+      * the walk is wrapped NonFatal→None so corrupt payloads drop to the javax
+      * fallback instead of failing the task. */
     private[multimodal] def tryDecodeWavFast(
-        p: Array[Byte]): Option[(Int, Array[Double])] = {
+        p: Array[Byte]): Option[(Int, Array[Double])] =
+      try wavFastImpl(p)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def wavFastImpl(p: Array[Byte]): Option[(Int, Array[Double])] = {
       if (p.length < 44 ||
           p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
           p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
@@ -271,9 +293,10 @@ object MultimodalOps {
       var dat: Option[(Int, Int)] = None // offset, length
       while (o + 8 <= p.length && (fmt.isEmpty || dat.isEmpty)) {
         val id = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val len = u32leA(p, o + 4).toInt
+        val lenL = u32leA(p, o + 4)
         val body = o + 8
-        if (len < 0 || body + len > p.length) return None
+        if (body.toLong + lenL > p.length) return None
+        val len = lenL.toInt // safe: <= p.length
         if (id == "fmt " && len >= 16)
           fmt = Some((u16le(p, body), u16le(p, body + 2),
             u32leA(p, body + 4).toInt, u16le(p, body + 14)))

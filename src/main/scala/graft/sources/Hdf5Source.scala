@@ -578,7 +578,7 @@ object Hdf5Source {
           }
         case DtString(sz) =>
           Array.tabulate[Any](n) { i =>
-            val s = new String(raw, i * sz, sz, "UTF-8").takeWhile(_ != ' ').trim
+            val s = new String(raw, i * sz, sz, "UTF-8").takeWhile(_ != '\u0000').trim
             if (s.isEmpty) null else s
           }
         case DtVlenStr(_) =>
@@ -589,7 +589,7 @@ object Hdf5Source {
           require(u8(loff + 1) == 1, "chunked variable-length strings unsupported")
           val addr = u64(loff + 2)
           Array.tabulate[Any](n) { i =>
-            val s = vlenString(addr + i.toLong * 16).takeWhile(_ != ' ').trim
+            val s = vlenString(addr + i.toLong * 16).takeWhile(_ != '\u0000').trim
             if (s.isEmpty) null else s
           }
         case DtOpaque(_, c) =>

@@ -274,7 +274,7 @@ class Hdf5SourceSpec extends SparkSpec {
       msg(0x0008, layoutContiguous(qcDataAddr.toLong, nT * 2L))))
 
     // station: fixed string scalar
-    val st = "KSEA-01 ".getBytes("ASCII")
+    val st = "KSEA-01\u0000".getBytes("ASCII")
     w.align8(); val stDataAddr = w.pos; w.raw(st)
     val stOh = objectHeaderV1(w, Seq(
       msg(0x0001, dataspace(Seq.empty)),
