@@ -23,9 +23,13 @@ import graft.core.AttrsTable
   *  - superblock v0/v1 (symbol-table root) and v2/v3 (direct root header);
   *  - object headers v1 (with continuation blocks) and v2 (`OHDR`/`OCHK`);
   *  - old-style groups (symbol-table message -> B-tree v1 -> SNOD -> local
-  *    heap) and new-style COMPACT groups (Link messages); DENSE link or
-  *    attribute storage (fractal heaps; >8 links/attrs under creation-order
-  *    tracking) is refused with a clear error;
+  *    heap), new-style COMPACT groups (Link messages), and new-style DENSE
+  *    groups (fractal heap + name B-tree v2 — what netcdf-c writes above 8
+  *    links under creation-order tracking, i.e. every real multi-variable
+  *    station file); DENSE attribute storage (message 0x0015) likewise;
+  *    fractal-heap profile = unfiltered managed objects in the root direct
+  *    block or one level of root-indirect direct-block rows, B-tree v2
+  *    depth <= 1 (thousands of links/attrs — far beyond any station file);
   *  - datatypes: fixed-point (1/2/4/8 bytes, either endianness), IEEE float
   *    (4/8), fixed strings, and variable-length strings (global heap);
   *  - dataspaces v1/v2; layouts v3 compact/contiguous/chunked; B-tree v1
@@ -92,6 +96,11 @@ object Hdf5Source {
     private def u16(p: Long): Int = bb.getShort(p.toInt) & 0xffff
     private def u32(p: Long): Long = bb.getInt(p.toInt) & 0xffffffffL
     private def u64(p: Long): Long = bb.getLong(p.toInt)
+    private def uN(p: Long, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (bytes(p.toInt + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
     private def sig(p: Long, s: String): Boolean =
       s.indices.forall(i => (bytes(p.toInt + i) & 0xff) == s.charAt(i))
 
@@ -174,34 +183,46 @@ object Hdf5Source {
 
     // ------------------------------------------------------------- groups
 
+    /** One Link message body (type 0x0006 layout — the same serialization a
+      * dense group stores as a fractal heap object) -> (name, headerAddr). */
+    private def parseLink(off: Long): (String, Long) = {
+      val flags = u8(off + 1)
+      var p = off + 2
+      val linkType = if ((flags & 0x08) != 0) { val t = u8(p); p += 1; t } else 0
+      if ((flags & 0x04) != 0) p += 8 // creation order
+      if ((flags & 0x10) != 0) p += 1 // charset
+      val lenSz = 1 << (flags & 0x3)
+      val nameLen = lenSz match {
+        case 1 => u8(p).toLong; case 2 => u16(p).toLong
+        case 4 => u32(p); case 8 => u64(p)
+      }
+      p += lenSz
+      val name = new String(bytes, p.toInt, nameLen.toInt, "UTF-8")
+      p += nameLen
+      require(linkType == 0, s"non-hard link '$name' unsupported")
+      name -> u64(p)
+    }
+
     /** (name, objectHeaderAddr) children of a group header: symbol-table
-      * (old) or compact Link messages (new). */
+      * (old), compact Link messages (new), or dense fractal-heap links
+      * (new, >8 links under creation-order tracking — the netcdf-c profile
+      * for every multi-variable station file). */
     private def children(ohAddr: Long): Seq[(String, Long)] = {
       val msgs = messages(ohAddr)
-      msgs.find(_._1 == 0x0002).foreach { case (_, off, _) =>
+      val dense = msgs.find(_._1 == 0x0002).toSeq.flatMap { case (_, off, _) =>
         val flags = u8(off + 1)
         val p = off + 2 + (if ((flags & 1) != 0) 8 else 0)
-        require(u64(p) == Undef,
-          "dense link storage (fractal heap) unsupported — more than 8 links " +
-            "under creation-order tracking; re-save with fewer root objects")
-      }
-      val links = msgs.filter(_._1 == 0x0006).map { case (_, off, _) =>
-        val flags = u8(off + 1)
-        var p = off + 2
-        val linkType = if ((flags & 0x08) != 0) { val t = u8(p); p += 1; t } else 0
-        if ((flags & 0x04) != 0) p += 8 // creation order
-        if ((flags & 0x10) != 0) p += 1 // charset
-        val lenSz = 1 << (flags & 0x3)
-        val nameLen = lenSz match {
-          case 1 => u8(p).toLong; case 2 => u16(p).toLong
-          case 4 => u32(p); case 8 => u64(p)
+        val heapAddr = u64(p)
+        if (heapAddr == Undef) Seq.empty
+        else {
+          val nameBtree = u64(p + 8)
+          require(nameBtree != Undef, "dense links without a name index unsupported")
+          val heap = fractalHeap(heapAddr)
+          // type-5 record: hash-of-name (4) + fractal heap ID
+          btree2Records(nameBtree, 5).map(rec => parseLink(heapObjAddr(heap, rec + 4)))
         }
-        p += lenSz
-        val name = new String(bytes, p.toInt, nameLen.toInt, "UTF-8")
-        p += nameLen
-        require(linkType == 0, s"non-hard link '$name' unsupported")
-        name -> u64(p)
       }
+      val links = msgs.filter(_._1 == 0x0006).map { case (_, off, _) => parseLink(off) }
       val symtab = msgs.find(_._1 == 0x0011).toSeq.flatMap { case (_, off, _) =>
         val btreeAddr = u64(off); val heapAddr = u64(off + 8)
         require(sig(heapAddr, "HEAP"), "bad local heap signature")
@@ -230,7 +251,101 @@ object Hdf5Source {
         }
         if (btreeAddr == Undef) Seq.empty else walk(btreeAddr)
       }
-      (links ++ symtab).sortBy(_._1)
+      (dense ++ links ++ symtab).sortBy(_._1)
+    }
+
+    // ----------------------------------------- fractal heap + v2 B-tree
+
+    /** Managed fractal heap: heap-linear-offset -> file-address resolution.
+      * Profile: unfiltered managed objects, root direct block or one root
+      * indirect block whose children are all direct blocks (rows within the
+      * doubling table's direct range) — what dense link/attribute storage
+      * allocates for any realistic station file. */
+    private final class FHeap(val offSz: Int, val blocks: Seq[(Long, Long, Long)]) {
+      /** file address of heap-space offset `off` (addr, blockOff, size). */
+      def resolve(off: Long): Long =
+        blocks.collectFirst {
+          case (addr, boff, size) if off >= boff && off < boff + size =>
+            addr + (off - boff)
+        }.getOrElse(sys.error(s"fractal heap offset $off outside all direct blocks"))
+    }
+
+    private def fractalHeap(addr: Long): FHeap = {
+      require(sig(addr, "FRHP"), "bad fractal heap signature")
+      require(u8(addr + 4) == 0, s"unsupported fractal heap version ${u8(addr + 4)}")
+      require(u16(addr + 7) == 0, "filtered fractal heap unsupported")
+      val width = u16(addr + 110)
+      val startSize = u64(addr + 112)
+      val maxDirectSize = u64(addr + 120)
+      val maxHeapBits = u16(addr + 128)
+      val rootAddr = u64(addr + 132)
+      val curRows = u16(addr + 140)
+      val offSz = (maxHeapBits + 7) / 8
+      def direct(a: Long, size: Long): (Long, Long, Long) = {
+        require(sig(a, "FHDB"), "bad fractal heap direct block signature")
+        (a, uN(a + 13, offSz), size) // block offset in heap space follows hdr addr
+      }
+      val blocks: Seq[(Long, Long, Long)] =
+        if (rootAddr == Undef) Seq.empty
+        else if (curRows == 0) Seq(direct(rootAddr, startSize))
+        else {
+          require(sig(rootAddr, "FHIB"), "bad fractal heap indirect block signature")
+          val maxDirectRows = (java.lang.Long.numberOfTrailingZeros(maxDirectSize) -
+            java.lang.Long.numberOfTrailingZeros(startSize)).toInt + 2
+          require(curRows <= maxDirectRows,
+            "fractal heap indirect-block children unsupported (heap deeper than " +
+              "one indirect level — beyond the dense link/attr profile)")
+          val entries = rootAddr + 13 + offSz
+          for {
+            r <- 0 until curRows
+            c <- 0 until width
+            a = u64(entries + (r.toLong * width + c) * 8)
+            if a != Undef
+          } yield direct(a, if (r < 2) startSize else startSize << (r - 1))
+        }
+      new FHeap(offSz, blocks)
+    }
+
+    /** file address of the object a managed fractal heap ID points at. */
+    private def heapObjAddr(heap: FHeap, idOff: Long): Long = {
+      val b0 = u8(idOff)
+      require((b0 & 0xf0) == 0, // version 0, type 0 = managed
+        s"non-managed fractal heap object (flag byte 0x${b0.toHexString}) unsupported")
+      heap.resolve(uN(idOff + 1, heap.offSz))
+    }
+
+    /** Record offsets of every record in a v2 B-tree of depth <= 1 (a name
+      * index over thousands of links/attrs before depth 2 is ever needed). */
+    private def btree2Records(addr: Long, expectType: Int): Seq[Long] = {
+      require(sig(addr, "BTHD"), "bad v2 B-tree header signature")
+      require(u8(addr + 4) == 0, s"unsupported v2 B-tree version ${u8(addr + 4)}")
+      require(u8(addr + 5) == expectType,
+        s"v2 B-tree type ${u8(addr + 5)} where $expectType expected")
+      val nodeSize = u32(addr + 6)
+      val recSize = u16(addr + 10)
+      val depth = u16(addr + 12)
+      val rootAddr = u64(addr + 16)
+      val nRecRoot = u16(addr + 24)
+      require(depth <= 1, s"v2 B-tree depth $depth unsupported (<= 1)")
+      if (rootAddr == Undef) return Seq.empty
+      def leaf(a: Long, n: Int): Seq[Long] = {
+        require(sig(a, "BTLF"), "bad v2 B-tree leaf signature")
+        (0 until n).map(i => a + 6 + i.toLong * recSize)
+      }
+      if (depth == 0) leaf(rootAddr, nRecRoot)
+      else {
+        require(sig(rootAddr, "BTIN"), "bad v2 B-tree internal node signature")
+        // internal records are real records too; child pointers follow them
+        val own = (0 until nRecRoot).map(i => rootAddr + 6 + i.toLong * recSize)
+        val maxLeafRec = (nodeSize - 10) / recSize // node minus sig/ver/type/checksum
+        val nRecSz = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec max 1L)).toInt / 8 + 1
+        val ptrs = rootAddr + 6 + nRecRoot.toLong * recSize
+        val kids = (0 to nRecRoot).flatMap { i =>
+          val pp = ptrs + i.toLong * (8 + nRecSz)
+          leaf(u64(pp), uN(pp + 8, nRecSz).toInt)
+        }
+        own ++ kids
+      }
     }
 
     // ---------------------------------------------------------- datatypes
@@ -510,19 +625,37 @@ object Hdf5Source {
 
     // ------------------------------------------------------------ dataset
 
-    private def readDataset(name: String, ohAddr: Long): Option[H5Var] = {
-      val msgs = messages(ohAddr)
-      msgs.find(_._1 == 0x0015).foreach { case (_, off, _) =>
-        val flags = u8(off + 1)
-        val p = off + 2 + (if ((flags & 1) != 0) 2 else 0)
-        require(u64(p) == Undef,
-          s"dense attribute storage on '$name' unsupported (more than 8 attrs " +
-            "under creation-order tracking)")
-      }
-      val attrs = msgs.filter(_._1 == 0x000C).flatMap { case (_, off, _) =>
+    /** All attributes of an object: compact 0x000C messages plus dense
+      * fractal-heap storage behind an Attribute Info (0x0015) message — the
+      * netcdf-c profile for any variable with more than 8 attributes under
+      * creation-order tracking. */
+    private def attrsOf(msgs: Seq[(Int, Long, Int)]): Map[String, String] = {
+      val compact = msgs.filter(_._1 == 0x000C).flatMap { case (_, off, _) =>
         val (an, adt, adims, adata) = parseAttr(off)
         attrValueString(adt, adims, adata).map(an -> _)
-      }.toMap
+      }
+      val dense = msgs.find(_._1 == 0x0015).toSeq.flatMap { case (_, off, _) =>
+        val flags = u8(off + 1)
+        val p = off + 2 + (if ((flags & 1) != 0) 2 else 0)
+        val heapAddr = u64(p)
+        if (heapAddr == Undef) Seq.empty
+        else {
+          val nameBtree = u64(p + 8)
+          require(nameBtree != Undef, "dense attributes without a name index unsupported")
+          val heap = fractalHeap(heapAddr)
+          // type-8 record: fractal heap ID (8) + msg flags (1) + corder (4) + hash (4)
+          btree2Records(nameBtree, 8).flatMap { rec =>
+            val (an, adt, adims, adata) = parseAttr(heapObjAddr(heap, rec))
+            attrValueString(adt, adims, adata).map(an -> _)
+          }
+        }
+      }
+      (compact ++ dense).toMap
+    }
+
+    private def readDataset(name: String, ohAddr: Long): Option[H5Var] = {
+      val msgs = messages(ohAddr)
+      val attrs = attrsOf(msgs)
       if (attrs.get("NAME").exists(_.startsWith("This is a netCDF dimension")))
         return None // phony dimension dataset, not a variable
       val dtOff = msgs.find(_._1 == 0x0003)
@@ -606,12 +739,6 @@ object Hdf5Source {
         else readDataset(name, addr)
       }
 
-    def rootAttrs(): Map[String, String] = {
-      val msgs = messages(rootHeaderAddr)
-      msgs.filter(_._1 == 0x000C).flatMap { case (_, off, _) =>
-        val (an, adt, adims, adata) = parseAttr(off)
-        attrValueString(adt, adims, adata).map(an -> _)
-      }.toMap
-    }
+    def rootAttrs(): Map[String, String] = attrsOf(messages(rootHeaderAddr))
   }
 }

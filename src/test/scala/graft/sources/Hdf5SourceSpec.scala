@@ -15,7 +15,13 @@ import graft.SparkSpec
   *    symbol-table root group, contiguous and chunked+shuffle+deflate
   *    datasets, fill values, BE integers, a phony netCDF dimension dataset;
   *  - profile B: superblock v3, OHDR v2 root with Link messages, a
-  *    variable-length string in the global heap.
+  *    variable-length string in the global heap;
+  *  - profile C: the netcdf-c "dense" profile — root group with >8 links in
+  *    DENSE storage (fractal heap root direct block + name B-tree v2 depth
+  *    0) and a variable with >8 attributes in DENSE storage (fractal heap
+  *    root INDIRECT block over 3 direct blocks + name B-tree v2 depth 1),
+  *    creation-order-tracked OHDR v2 headers, Jenkins-lookup3 name hashes
+  *    and structure checksums.
   */
 class Hdf5SourceSpec extends SparkSpec {
 
@@ -418,6 +424,335 @@ class Hdf5SourceSpec extends SparkSpec {
     w.bytes
   }
 
+  // ------------------------------------------------ profile C fixture
+
+  /** Jenkins lookup3 `hashlittle` — HDF5's name hash and metadata checksum
+    * (public-domain algorithm; the HDF5 spec's "Hash of Name" fields). */
+  private def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    while (len > 12) {
+      a += (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      b += (data(i + 4) & 0xff) | ((data(i + 5) & 0xff) << 8) |
+        ((data(i + 6) & 0xff) << 16) | ((data(i + 7) & 0xff) << 24)
+      c += (data(i + 8) & 0xff) | ((data(i + 9) & 0xff) << 8) |
+        ((data(i + 10) & 0xff) << 16) | ((data(i + 11) & 0xff) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len == 0) return c
+    var k = 0
+    while (k < len) {
+      val v = (data(i + k) & 0xff) << ((k % 4) * 8)
+      if (k < 4) a += v else if (k < 8) b += v else c += v
+      k += 1
+    }
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  /** deferred (start, ckPos) checksum slots: lookup3 over [start, ckPos). */
+  private def fixChecksums(w: W, slots: Seq[(Int, Int)]): Unit = slots.foreach {
+    case (start, ckPos) =>
+      val ck = lookup3(w.buf.slice(start, ckPos).toArray)
+      (0 until 4).foreach(i => w.buf(ckPos + i) = (ck >> (8 * i)).toByte)
+  }
+
+  /** OHDR v2 header; `tracked` = creation-order tracking (2-byte creation
+    * order after each message header, header flag 0x04). */
+  private def objectHeaderV2(w: W, msgs: Seq[(Int, Array[Byte])], tracked: Boolean,
+                             cks: ArrayBuffer[(Int, Int)]): Int = {
+    val body = new ArrayBuffer[Byte]()
+    msgs.zipWithIndex.foreach { case ((typ, data), i) =>
+      body += typ.toByte
+      body += data.length.toByte; body += (data.length >> 8).toByte
+      body += 0 // message flags
+      if (tracked) { body += i.toByte; body += 0 } // creation order
+      body ++= data
+    }
+    val chunk0 = body.length + 4 // + checksum
+    w.align8(); val addr = w.pos
+    w.ascii("OHDR"); w.u8(2); w.u8(0x01 | (if (tracked) 0x04 else 0))
+    w.u16(chunk0)
+    w.raw(body.toArray)
+    val ckPos = w.pos; w.u32(0)
+    cks += ((addr, ckPos))
+    addr
+  }
+
+  /** Managed fractal heap: objects packed into `startSize` direct blocks; a
+    * single root direct block, or (several blocks) a root indirect block of
+    * row-0 children. Returns (headerAddr, heap ID bytes per object) with the
+    * spec's managed-ID shape: flag byte, offset (4 = ceil(32-bit max heap
+    * size / 8)), length (idLen - 5). */
+  private def writeFractalHeap(w: W, objects: Seq[Array[Byte]], idLen: Int,
+                               maxObjSize: Long, startSize: Long,
+                               cks: ArrayBuffer[(Int, Int)]): (Long, Seq[Array[Byte]]) = {
+    val offSz = 4 // max heap size 32 bits
+    val lenSz = idLen - 1 - offSz
+    val width = 4
+    val hdrSz = 4 + 1 + 8 + offSz + 4 // FHDB with checksummed blocks (flags 0x02)
+    // pack objects into blocks + compute their heap-linear offsets
+    val blockObjs = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
+    var room = startSize - hdrSz
+    val ids = objects.map { o =>
+      require(o.length <= maxObjSize && o.length <= startSize - hdrSz)
+      if (o.length > room) { blockObjs += ArrayBuffer.empty; room = startSize - hdrSz }
+      val heapOff = (blockObjs.size - 1) * startSize + (startSize - room)
+      blockObjs.last += o; room -= o.length
+      val id = new Array[Byte](idLen)
+      id(0) = 0 // version 0, managed
+      (0 until offSz).foreach(i => id(1 + i) = (heapOff >> (8 * i)).toByte)
+      (0 until lenSz).foreach(i => id(1 + offSz + i) = (o.length >> (8 * i)).toByte)
+      id
+    }
+    require(blockObjs.size <= width, "fixture: one indirect row max")
+    val heapHdrPatches = ArrayBuffer.empty[Int]
+    val blockAddrs = blockObjs.zipWithIndex.map { case (objs, bi) =>
+      w.align8(); val a = w.pos
+      w.ascii("FHDB"); w.u8(0)
+      heapHdrPatches += w.pos; w.u64(0)
+      val boff = bi * startSize
+      (0 until offSz).foreach(i => w.u8(((boff >> (8 * i)) & 0xff).toInt))
+      val ckPos = w.pos; w.u32(0)
+      cks += ((a, ckPos))
+      objs.foreach(o => w.raw(o))
+      w.zeros((startSize - hdrSz - objs.map(_.length).sum).toInt) // full-size block
+      a
+    }
+    val (rootAddr, curRows) =
+      if (blockAddrs.size == 1) (blockAddrs.head, 0)
+      else {
+        w.align8(); val a = w.pos
+        w.ascii("FHIB"); w.u8(0)
+        heapHdrPatches += w.pos; w.u64(0)
+        (0 until offSz).foreach(_ => w.u8(0)) // block offset 0
+        (0 until width).foreach { c =>
+          w.u64(if (c < blockAddrs.size) blockAddrs(c).toLong else UNDEF)
+        }
+        val ckPos = w.pos; w.u32(0)
+        cks += ((a, ckPos))
+        (a, 1)
+      }
+    val managed = blockObjs.size * startSize
+    w.align8(); val hdr = w.pos
+    w.ascii("FRHP"); w.u8(0)
+    w.u16(idLen); w.u16(0) // ID length, no I/O filters
+    w.u8(0x02) // checksum direct blocks
+    w.u32(maxObjSize)
+    w.u64(0); w.u64(UNDEF) // next huge id, huge B-tree
+    w.u64(0); w.u64(UNDEF) // free space, free-space manager
+    w.u64(managed); w.u64(managed); w.u64(managed) // managed/allocated/iterator
+    w.u64(objects.size.toLong) // managed object count
+    w.u64(0); w.u64(0); w.u64(0); w.u64(0) // huge/tiny sizes + counts
+    w.u16(width); w.u64(startSize); w.u64(65536L) // table width, start, max direct
+    w.u16(32) // max heap size (bits)
+    w.u16(1); w.u64(rootAddr.toLong); w.u16(curRows)
+    val ckPos = w.pos; w.u32(0)
+    cks += ((hdr, ckPos))
+    heapHdrPatches.foreach(p => w.patchU64(p, hdr.toLong))
+    (hdr.toLong, ids)
+  }
+
+  /** v2 B-tree name index over pre-built fixed-size records (sorted by the
+    * caller): single leaf when they fit, else depth 1 with internal-root
+    * separator records. Returns the header address. */
+  private def writeBtree2(w: W, typ: Int, records: Seq[Array[Byte]], nodeSize: Int,
+                          cks: ArrayBuffer[(Int, Int)]): Long = {
+    val recSize = records.head.length
+    val maxLeafRec = (nodeSize - 10) / recSize
+    def writeLeaf(recs: Seq[Array[Byte]]): Long = {
+      w.align8(); val a = w.pos
+      w.ascii("BTLF"); w.u8(0); w.u8(typ)
+      recs.foreach(r => w.raw(r))
+      val ckPos = w.pos; w.u32(0)
+      cks += ((a, ckPos))
+      a
+    }
+    val (rootAddr, nRecRoot, depth) =
+      if (records.size <= maxLeafRec) (writeLeaf(records), records.size, 0)
+      else {
+        // greedy split: maxLeafRec per leaf, next sorted record promoted to root
+        val leaves = ArrayBuffer.empty[Seq[Array[Byte]]]
+        val rootRecs = ArrayBuffer.empty[Array[Byte]]
+        var i = 0
+        while (i < records.size) {
+          val take = math.min(maxLeafRec, records.size - i)
+          leaves += records.slice(i, i + take); i += take
+          if (i < records.size) { rootRecs += records(i); i += 1 }
+        }
+        val leafInfo = leaves.map(l => (writeLeaf(l), l.size))
+        val nRecSz = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec.toLong max 1L)) / 8 + 1
+        w.align8(); val a = w.pos
+        w.ascii("BTIN"); w.u8(0); w.u8(typ)
+        rootRecs.foreach(r => w.raw(r))
+        leafInfo.foreach { case (addr, n) =>
+          w.u64(addr)
+          (0 until nRecSz.toInt).foreach(k => w.u8((n >> (8 * k)) & 0xff))
+        }
+        val ckPos = w.pos; w.u32(0)
+        cks += ((a, ckPos))
+        (a.toLong, rootRecs.size, 1)
+      }
+    w.align8(); val hdr = w.pos
+    w.ascii("BTHD"); w.u8(0); w.u8(typ)
+    w.u32(nodeSize.toLong); w.u16(recSize); w.u16(depth)
+    w.u8(100); w.u8(40) // split / merge percent
+    w.u64(rootAddr); w.u16(nRecRoot); w.u64(records.size.toLong)
+    val ckPos = w.pos; w.u32(0)
+    cks += ((hdr, ckPos))
+    hdr.toLong
+  }
+
+  /** Dense-storage file: superblock v3; root group whose 13 links live in a
+    * fractal heap + name B-tree v2 (netcdf-c above 8 links under
+    * creation-order tracking); `tas` carries 10 attributes in dense storage
+    * (root-indirect heap over 3 direct blocks, depth-1 name B-tree). */
+  private def buildProfileC(): Array[Byte] = {
+    val w = new W
+    val cks = ArrayBuffer.empty[(Int, Int)]
+    w.raw(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+    w.u8(3); w.u8(8); w.u8(8); w.u8(0)
+    w.u64(0); w.u64(UNDEF)
+    val eofPatch = w.pos; w.u64(0)
+    val rootPatch = w.pos; w.u64(0)
+    w.u32(0)
+
+    val timeVals = Array(0.0, 1.0, 2.0, 3.0)
+    val nT = timeVals.length
+    w.align8(); val timeDataAddr = w.pos
+    timeVals.foreach(v => w.raw(leD(v)))
+    val timeOh = objectHeaderV1(w, Seq(
+      msg(0x0001, dataspace(Seq(nT.toLong))),
+      msg(0x0003, dtFloat64),
+      msg(0x0008, layoutContiguous(timeDataAddr.toLong, nT * 8L)),
+      msg(0x000C, strAttr("units", "days since 2015-01-01"))))
+
+    val st = "C-STATION-42 ".getBytes("ASCII")
+    w.align8(); val stDataAddr = w.pos; w.raw(st)
+    val stOh = objectHeaderV1(w, Seq(
+      msg(0x0001, dataspace(Seq.empty)),
+      msg(0x0003, dtString(st.length)),
+      msg(0x0008, layoutContiguous(stDataAddr.toLong, st.length.toLong))))
+
+    // ten plain data variables -> 13 root links total (dense territory)
+    val varOhs = (0 until 10).map { vi =>
+      w.align8(); val dataAddr = w.pos
+      (0 until nT).foreach(t => w.raw(leD(vi * 10.0 + t * 0.25)))
+      f"v$vi%02d" -> objectHeaderV1(w, Seq(
+        msg(0x0001, dataspace(Seq(nT.toLong))),
+        msg(0x0003, dtFloat64),
+        msg(0x0008, layoutContiguous(dataAddr.toLong, nT * 8L))))
+    }
+
+    // tas: OHDR v2 dataset with 10 DENSE attributes
+    w.align8(); val tasDataAddr = w.pos
+    val tasVals = Array(20.0, 21.0, 22.0, 23.0)
+    tasVals.foreach(v => w.raw(leD(v)))
+    def attrV3(name: String, dt: Array[Byte], ds: Array[Byte],
+               data: Array[Byte]): Array[Byte] = {
+      val nameB = name.getBytes("ASCII") ++ Array[Byte](0)
+      val b = ByteBuffer.allocate(9 + nameB.length + dt.length + ds.length + data.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(0.toByte)
+      b.putShort(nameB.length.toShort); b.putShort(dt.length.toShort)
+      b.putShort(ds.length.toShort)
+      b.put(0.toByte) // ASCII
+      b.put(nameB); b.put(dt); b.put(ds); b.put(data)
+      b.array
+    }
+    def strAttrV3(name: String, value: String): Array[Byte] = {
+      val v = value.getBytes("ASCII") ++ Array[Byte](0)
+      attrV3(name, dtString(v.length), dataspace(Seq.empty), v)
+    }
+    val tasAttrs = Seq(
+      "long_name" -> "air temperature", "units" -> "degC",
+      "source" -> "graft-fixture", "comment" -> "dense attribute storage") ++
+      (0 until 6).map(i => s"q$i" -> s"level-$i")
+    val attrObjs = tasAttrs.map { case (n, v) => strAttrV3(n, v) }
+    // root-indirect heap: 256-byte blocks force 3 direct blocks for 10 attrs
+    val (attrHeapAddr, attrIds) =
+      writeFractalHeap(w, attrObjs, idLen = 8, maxObjSize = 65536L,
+        startSize = 256L, cks = cks)
+    // type-8 record: heap ID (8) + message flags (1) + corder (4) + hash (4)
+    val attrRecs = tasAttrs.zipWithIndex.map { case ((n, _), i) =>
+      val h = lookup3(n.getBytes("ASCII"))
+      val b = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(attrIds(i)); b.put(0.toByte); b.putInt(i); b.putInt(h)
+      b.array
+    }.sortBy(r => ByteBuffer.wrap(r, 13, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+      & 0xffffffffL)
+    // nodeSize 64 -> max 3 records per leaf -> depth-1 tree
+    val attrBtAddr = writeBtree2(w, typ = 8, records = attrRecs, nodeSize = 64, cks = cks)
+    val attrInfo = {
+      val b = ByteBuffer.allocate(2 + 2 + 24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0.toByte); b.put(0x03.toByte) // tracked + indexed
+      b.putShort(tasAttrs.size.toShort) // max creation index
+      b.putLong(attrHeapAddr); b.putLong(attrBtAddr); b.putLong(UNDEF)
+      b.array
+    }
+    val tasOh = objectHeaderV2(w, Seq(
+      0x0001 -> dataspace(Seq(nT.toLong)),
+      0x0003 -> dtFloat64,
+      0x0008 -> layoutContiguous(tasDataAddr.toLong, nT * 8L),
+      0x0015 -> attrInfo), tracked = true, cks = cks)
+
+    // root group: dense links
+    def linkBody(name: String, target: Long, corder: Long): Array[Byte] = {
+      val nb = name.getBytes("ASCII")
+      val b = ByteBuffer.allocate(2 + 8 + 1 + nb.length + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0x04.toByte) // version, creation order present
+      b.putLong(corder)
+      b.put(nb.length.toByte); b.put(nb); b.putLong(target)
+      b.array
+    }
+    val allLinks = (Seq("time" -> timeOh, "station" -> stOh, "tas" -> tasOh) ++
+      varOhs).zipWithIndex
+    val linkObjs = allLinks.map { case ((n, oh), i) => linkBody(n, oh.toLong, i.toLong) }
+    val (linkHeapAddr, linkIds) =
+      writeFractalHeap(w, linkObjs, idLen = 7, maxObjSize = 4096L,
+        startSize = 512L, cks = cks)
+    // type-5 record: hash (4) + heap ID (7)
+    val linkRecs = allLinks.map { case ((n, _), i) =>
+      val b = ByteBuffer.allocate(11).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(lookup3(n.getBytes("ASCII"))); b.put(linkIds(i))
+      b.array
+    }.sortBy(r => ByteBuffer.wrap(r, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+      & 0xffffffffL)
+    val linkBtAddr = writeBtree2(w, typ = 5, records = linkRecs, nodeSize = 512, cks = cks)
+    val linkInfo = {
+      val b = ByteBuffer.allocate(2 + 8 + 24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0.toByte); b.put(0x03.toByte) // tracked + indexed
+      b.putLong(allLinks.size.toLong) // max creation index
+      b.putLong(linkHeapAddr); b.putLong(linkBtAddr); b.putLong(UNDEF)
+      b.array
+    }
+    val groupInfo = Array[Byte](0, 0) // version 0, no flags
+    val rootOh = objectHeaderV2(w, Seq(
+      0x0002 -> linkInfo, 0x000A -> groupInfo), tracked = true, cks = cks)
+
+    w.patchU64(rootPatch, rootOh.toLong)
+    w.patchU64(eofPatch, w.pos.toLong)
+    fixChecksums(w, cks.toSeq)
+    w.bytes
+  }
+
   // -------------------------------------------------------------- tests
 
   test("profile A: v0 superblock, symbol-table group, chunked+shuffled+deflated data") {
@@ -448,6 +783,25 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(data.time.toSeq == Seq(0L, 1L, 2L).map(d => epoch2000 + d * 86400L * 1000000L))
     assert(data.cols.map(_._1) == Seq("pr"))
     assert(data.cols.head._3.toSeq == Seq(1.5, 2.5, 3.5))
+  }
+
+  test("profile C: dense links (fractal heap + B-tree v2) and dense attributes read") {
+    val data = Hdf5Source.readStation(buildProfileC(), "stationC.nc")
+    assert(data.station == "C-STATION-42")
+    val epoch2015 = java.time.Instant.parse("2015-01-01T00:00:00Z").getEpochSecond * 1000000L
+    assert(data.time.toSeq == Seq(0L, 1L, 2L, 3L).map(d => epoch2015 + d * 86400L * 1000000L))
+    // all 13 dense links resolve: tas + v00..v09 survive as data columns
+    val cols = data.cols.map(c => c._1 -> c).toMap
+    assert(cols.keySet == (Set("tas") ++ (0 until 10).map(i => f"v$i%02d")))
+    assert(cols("tas")._3.toSeq == Seq(20.0, 21.0, 22.0, 23.0))
+    assert(cols("v07")._3.toSeq == Seq(70.0, 70.25, 70.5, 70.75))
+    // all 10 dense attributes resolve through the root-indirect heap and the
+    // depth-1 name B-tree
+    val tasAttrs = data.attrs.forVar("tas")
+    assert(tasAttrs("long_name") == "air temperature")
+    assert(tasAttrs("units") == "degC")
+    assert((0 until 6).forall(i => tasAttrs(s"q$i") == s"level-$i"))
+    assert(tasAttrs.size == 10)
   }
 
   test("NcSource dispatches HDF5 transparently; distributed read round-trips") {
