@@ -854,6 +854,33 @@ object QueriesLlm {
       graft.multimodal.MultimodalOps.dHashNearDups(gray, "doc_id", "gray")
     }),
 
+    // mm4r: mm4's REAL-DECODE twin (VERDICT r11 #2) — the payload→PNG-decode→
+    // luma-raster on-ramp (imageGrayRaster + the from-scratch PNG fast path)
+    // under the cross-engine gate, the way mm3 gated the WAV path. The fixture
+    // materializes each doc's md5 grid as a REAL 9×8 truecolor PNG (cached
+    // parquet, like mm3); at 9×8 = (hashW+1)×hashH with r=g=b=v the box-mean
+    // luma raster is the identity, so the oracle recomputes the SAME grid as
+    // mm4 and the whole decode→hash→band→verify path is hash-exact.
+    "mm4r_dhash_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val nDocs = t(s, dir, "documents").count()
+      val cache = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mm4r_png_v1_${math.abs(dir.hashCode)}_$nDocs.parquet")
+      if (!cache.exists()) {
+        t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id")).as[Long]
+          .map { did =>
+            graft.multimodal.MultimodalOps.MediaRow(did, "image",
+              graft.multimodal.MultimodalOps.mm4FixturePng(did), Map.empty) }
+          .write.mode("overwrite").parquet(cache.getAbsolutePath)
+      }
+      val rows = s.read.parquet(cache.getAbsolutePath)
+        .as[graft.multimodal.MultimodalOps.MediaRow]
+      val gray = graft.multimodal.MultimodalOps.imageGrayRaster(rows)
+      graft.multimodal.MultimodalOps.dHashNearDups(gray, "id", "gray")
+    }),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.
@@ -1087,6 +1114,50 @@ object QueriesLlm {
         FROM pairs p JOIN w10 w ON p.b = w.b
         GROUP BY p.d"""
   }
+
+  /** mm4 AND mm4r oracle: the dHash pipeline replayed — same md5 raster
+    * synthesis, halves summed from shifted-1 powers (never bit 63 in one
+    * code), band self-join, bit_count(xor) verify. mm4r's payloads are real
+    * PNGs of the same grid (r=g=b=v, 9×8 identity box-mean), so the decoded
+    * raster equals the synthesized one value-for-value. */
+  private val mm4PairsSql: String =
+    """WITH g AS (
+          SELECT doc_id, doc_id // 4 AS gid,
+            list_transform(generate_series(0, 71), p ->
+              CAST(((('0x' || substring(md5(gid::VARCHAR || ':' || p::VARCHAR),
+                      1, 4))::BIGINT % 256)
+                    + (doc_id % 2) * ((p*13 + doc_id) % 2) * 2) % 256 AS INT))
+              AS gray
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_sum(list_transform(generate_series(0, 31), i ->
+              CASE WHEN gray[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
+                        gray[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
+                   THEN (1::BIGINT << i) ELSE 0 END)) AS hi,
+            list_sum(list_transform(generate_series(0, 31), i ->
+              CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] >
+                        gray[(i // 8) * 9 + (i % 8) + 2]
+                   THEN (1::BIGINT << i) ELSE 0 END)) AS lo
+          FROM g),
+        b AS (
+          SELECT doc_id, hi, lo,
+            unnest(['0:' || CAST(lo & 65535 AS VARCHAR),
+                    '1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
+                    '2:' || CAST(hi & 65535 AS VARCHAR),
+                    '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band
+          FROM h),
+        -- Spark's dHashNearDups drops band buckets larger than
+        -- maxBucketSize=2000 (skew guard); replicate the cap so both engines
+        -- compute the identical pair set at ANY scale factor (ADVICE r11)
+        bc AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) <= 2000),
+        p AS (
+          SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+            bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
+          FROM b a JOIN b b2 USING (band) JOIN bc USING (band)
+          WHERE a.doc_id < b2.doc_id)
+        SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+        FROM p WHERE hamming <= 3"""
 
   private val g1PagerankSql: String = {
     val rounds = (1 to 5).map { i =>
@@ -1928,45 +1999,11 @@ object QueriesLlm {
     "t20_linear_classifier" -> t20ClassifierSql,
     // mm4: the dHash pipeline replayed — same raster synthesis, halves summed
     // from shifted-1 powers (never bit 63 in one code), band self-join,
-    // bit_count(xor) verify
-    "mm4_dhash_neardups" ->
-      """WITH g AS (
-            SELECT doc_id, doc_id // 4 AS gid,
-              list_transform(generate_series(0, 71), p ->
-                CAST(((('0x' || substring(md5(gid::VARCHAR || ':' || p::VARCHAR),
-                        1, 4))::BIGINT % 256)
-                      + (doc_id % 2) * ((p*13 + doc_id) % 2) * 2) % 256 AS INT))
-                AS gray
-            FROM documents),
-          h AS (
-            SELECT doc_id,
-              list_sum(list_transform(generate_series(0, 31), i ->
-                CASE WHEN gray[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
-                          gray[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
-                     THEN (1::BIGINT << i) ELSE 0 END)) AS hi,
-              list_sum(list_transform(generate_series(0, 31), i ->
-                CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] >
-                          gray[(i // 8) * 9 + (i % 8) + 2]
-                     THEN (1::BIGINT << i) ELSE 0 END)) AS lo
-            FROM g),
-          b AS (
-            SELECT doc_id, hi, lo,
-              unnest(['0:' || CAST(lo & 65535 AS VARCHAR),
-                      '1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
-                      '2:' || CAST(hi & 65535 AS VARCHAR),
-                      '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band
-            FROM h),
-          -- Spark's dHashNearDups drops band buckets larger than
-          -- maxBucketSize=2000 (skew guard); replicate the cap so both engines
-          -- compute the identical pair set at ANY scale factor (ADVICE r11)
-          bc AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) <= 2000),
-          p AS (
-            SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
-              bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
-            FROM b a JOIN b b2 USING (band) JOIN bc USING (band)
-            WHERE a.doc_id < b2.doc_id)
-          SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
-          FROM p WHERE hamming <= 3""",
+    // bit_count(xor) verify. mm4r shares the oracle verbatim: its payloads
+    // are REAL PNGs of the same md5 grid (r=g=b=v, 9×8 identity box-mean),
+    // so decode-then-hash must equal synthesize-then-hash bit-for-bit.
+    "mm4_dhash_neardups" -> mm4PairsSql,
+    "mm4r_dhash_decode" -> mm4PairsSql,
     "samp6_dsir" ->
       """WITH toks AS (
             SELECT doc_id, (lang = 'en') AS tgt,

@@ -62,12 +62,16 @@ object MultimodalOps {
       * the same per-row tax the audio path carried. Walks the PNG chunk list,
       * inflates the concatenated IDAT zlib stream (JDK Inflater), reverses the
       * five per-row filters (None/Sub/Up/Average/Paeth, the PNG spec set), and
-      * fills a TYPE_INT_ARGB raster. Scope: 8-bit truecolor (color type 2) and
-      * truecolor+alpha (type 6), non-interlaced — the profile PNG encoders
-      * actually emit for photos — where `getRGB` parity with ImageIO is exact
-      * (MultimodalSpec pins it pixel-for-pixel). Grayscale (ImageIO expands it
-      * through a linear→sRGB colorspace transform, not a value copy), palette,
-      * 16-bit, and interlaced PNGs fall back to javax.imageio.
+      * fills a TYPE_INT_ARGB raster. Scope (r12): every 8-bit non-interlaced
+      * color type — grayscale (0), truecolor (2), palette (3, PLTE + optional
+      * tRNS alpha), gray+alpha (4), truecolor+alpha (6). For types 2/3/6
+      * `getRGB` parity with ImageIO is exact (MultimodalSpec pins it
+      * pixel-for-pixel). Grayscale decodes by the VALUE-COPY convention
+      * (v → rgb(v,v,v), what libpng/PIL/browsers do) — a DELIBERATE divergence
+      * from ImageIO, which routes gray through a linear→sRGB colorspace
+      * transform and brightens every mid-tone; MultimodalSpec pins the gray
+      * samples against the raw PNG bytes instead. 16-bit, sub-8-bit-palette,
+      * interlaced, and gray-with-tRNS PNGs fall back to javax.imageio.
       *
       * Robustness contract (ADVICE r11): all chunk-length / geometry bounds are
       * checked in Long (a length near Int.MaxValue wrapped the old int guards
@@ -86,6 +90,8 @@ object MultimodalOps {
         return None
       var o = 8
       var w = 0; var h = 0; var colorType = -1; var ok = false
+      var plte: Array[Byte] = null // palette entries, 3 bytes each
+      var trns: Array[Byte] = null // per-palette-entry alpha (may be shorter)
       val idat = new java.io.ByteArrayOutputStream()
       while (o + 8 <= p.length) {
         val lenL = u32be(p, o) // unsigned 32-bit: bounds-check in Long, never Int
@@ -99,9 +105,15 @@ object MultimodalOps {
             val bitDepth = p(body + 8) & 0xff
             colorType = p(body + 9) & 0xff
             val interlace = p(body + 12) & 0xff
-            if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+            if (bitDepth != 8 ||
+                (colorType != 0 && colorType != 2 && colorType != 3 &&
+                  colorType != 4 && colorType != 6) ||
                 interlace != 0 || w <= 0 || h <= 0 ||
                 w.toLong * h > (1L << 26)) return None // 64M-pixel sanity cap
+          case "PLTE" if len % 3 == 0 && len <= 768 =>
+            plte = java.util.Arrays.copyOfRange(p, body, body + len)
+          case "tRNS" if len <= 256 =>
+            trns = java.util.Arrays.copyOfRange(p, body, body + len)
           case "IDAT" => idat.write(p, body, len)
           case "IEND" => ok = true
           case _ => () // ancillary chunks skipped
@@ -109,7 +121,15 @@ object MultimodalOps {
         o = body + len + 4 // skip CRC
       }
       if (!ok || colorType < 0 || idat.size() == 0) return None
-      val ch = if (colorType == 6) 4 else 3
+      if (colorType == 3 && plte == null) return None
+      // gray/gray+alpha with a tRNS transparent-sample would need keying —
+      // rare; leave it to javax
+      if (trns != null && colorType != 3) return None
+      // bytes per pixel: gray 1, truecolor 3, palette-index 1, gray+alpha 2,
+      // truecolor+alpha 4
+      val ch = colorType match {
+        case 0 | 3 => 1; case 4 => 2; case 2 => 3; case _ => 4
+      }
       val stride = w * ch
       val raw = new Array[Byte]((stride + 1) * h)
       val inf = new java.util.zip.Inflater()
@@ -154,11 +174,25 @@ object MultimodalOps {
         var px = 0
         while (px < w) {
           val base = rowOff + 1 + px * ch
-          val r = raw(base) & 0xff
-          val g = raw(base + 1) & 0xff
-          val bl = raw(base + 2) & 0xff
-          val al = if (ch == 4) raw(base + 3) & 0xff else 255
-          img.setRGB(px, y, (al << 24) | (r << 16) | (g << 8) | bl)
+          val argb = colorType match {
+            case 0 => // grayscale: the value-copy convention (v,v,v) — see note
+              val v = raw(base) & 0xff
+              0xff000000 | (v << 16) | (v << 8) | v
+            case 4 => // gray + alpha
+              val v = raw(base) & 0xff
+              ((raw(base + 1) & 0xff) << 24) | (v << 16) | (v << 8) | v
+            case 3 => // palette index -> PLTE entry (+ tRNS alpha when present)
+              val i = raw(base) & 0xff
+              if (i * 3 + 2 >= plte.length) return None // index past palette
+              val al = if (trns != null && i < trns.length) trns(i) & 0xff else 255
+              (al << 24) | ((plte(i * 3) & 0xff) << 16) |
+                ((plte(i * 3 + 1) & 0xff) << 8) | (plte(i * 3 + 2) & 0xff)
+            case _ => // truecolor / truecolor+alpha
+              val al = if (ch == 4) raw(base + 3) & 0xff else 255
+              (al << 24) | ((raw(base) & 0xff) << 16) |
+                ((raw(base + 1) & 0xff) << 8) | (raw(base + 2) & 0xff)
+          }
+          img.setRGB(px, y, argb)
           px += 1
         }
         y += 1
@@ -374,6 +408,29 @@ object MultimodalOps {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** mm4r fixture synthesis (the [[sineWav]] pattern for images): the mm4 md5
+    * pixel grid rendered as a REAL 9×8 truecolor PNG. With r=g=b=v the integer
+    * luma is exactly v, and a 9×8 source under an (8+1)×8 target makes the
+    * box-mean raster the identity — so payloads round-trip the production
+    * decode path ([[ImageCodec.tryDecodePngFast]] → [[imageGrayRaster]]) while
+    * the raster stays analytically reproducible in SQL. */
+  def mm4FixturePng(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gid = docId / 4
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 72) {
+      val h = md.digest(s"$gid:$p".getBytes("UTF-8"))
+      // conv(substring(md5,1,4),16,10) % 256 == second digest byte
+      val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+      val v = ((base + (docId % 2) * ((p * 13 + docId) % 2) * 2) % 256).toInt
+      img.setRGB(p % 9, p / 9, (v << 16) | (v << 8) | v)
+      p += 1
+    }
+    ImageCodec.encodePng(img)
   }
 
   /** Real from-scratch video container parser (RIFF/AVI — same spirit as the
@@ -697,6 +754,26 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
       .distinct()
+  }
+
+  /** Over-cap ledger for [[dHashNearDups]]'s 4×16-bit bands (the
+    * [[graft.dedup.DedupOps.bandCapLedger]] "no silent caps" contract):
+    * reports how many band buckets the pair op dropped and how many members
+    * they held — a constant-color image corpus would otherwise silently
+    * under-report duplicates. */
+  def dHashCapStats(df: DataFrame, idCol: String, grayCol: String,
+                    maxBucketSize: Int = 2000): DataFrame = {
+    val dh = dHash(col(grayCol))
+    val parts = Seq(
+      dh.getField("lo").bitwiseAND(lit(65535L)),
+      shiftright(dh.getField("lo"), 16).bitwiseAND(lit(65535L)),
+      dh.getField("hi").bitwiseAND(lit(65535L)),
+      shiftright(dh.getField("hi"), 16).bitwiseAND(lit(65535L)))
+    val bandKeys = parts.zipWithIndex.map { case (c, b) =>
+      concat(lit(s"$b:"), c.cast("string")) }
+    graft.dedup.DedupOps.bandCapLedger(
+      df.select(col(idCol), explode(array(bandKeys: _*)).as("_band")),
+      "_band", maxBucketSize)
   }
 
   /** REAL image on-ramp for [[dHashNearDups]]: payload → decode (PNG fast path

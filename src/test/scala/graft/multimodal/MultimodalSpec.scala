@@ -359,16 +359,74 @@ class MultimodalSpec extends SparkSpec {
     png.write(pngChunk("IEND", Array.emptyByteArray))
     assertPixelParity(png.toByteArray)
 
-    // grayscale: fast path declines (ImageIO's gray decode is a colorspace
-    // transform, not a value copy), public entry still decodes via javax
-    val gray = new java.awt.image.BufferedImage(
-      6, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    for (y <- 0 until 4; x <- 0 until 6) gray.getRaster.setSample(x, y, 0, x * 40 + y)
-    val gbos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(gray, "png", gbos)
-    assert(ImageCodec.tryDecodePngFast(gbos.toByteArray).isEmpty)
-    assert(ImageCodec.tryDecode(gbos.toByteArray).isDefined)
     assert(ImageCodec.tryDecodePngFast("nope".getBytes).isEmpty)
+  }
+
+  test("PNG fast path: grayscale value-copy, palette with tRNS, gray+alpha (r12)") {
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def buildPng(w: Int, h: Int, colorType: Int, rows: Array[Array[Byte]],
+                 extra: Seq[(String, Array[Byte])] = Seq.empty): Array[Byte] = {
+      val raw = new java.io.ByteArrayOutputStream()
+      rows.foreach { r => raw.write(0); raw.write(r) } // filter 0 per row
+      val ihdr = Array[Byte](
+        ((w >> 24) & 0xff).toByte, ((w >> 16) & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        8, colorType.toByte, 0, 0, 0)
+      val png = new java.io.ByteArrayOutputStream()
+      png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      png.write(pngChunk("IHDR", ihdr))
+      extra.foreach { case (t, d) => png.write(pngChunk(t, d)) }
+      png.write(pngChunk("IDAT", deflate(raw.toByteArray)))
+      png.write(pngChunk("IEND", Array.emptyByteArray))
+      png.toByteArray
+    }
+
+    // grayscale (type 0): VALUE-COPY semantics pinned against the raw samples
+    // (deliberate divergence from ImageIO's linear->sRGB gray transform, which
+    // brightens mid-tones — the libpng/PIL/browser convention instead)
+    val gvals = Array.tabulate(4, 6)((y, x) => (x * 40 + y).toByte)
+    val gpng = buildPng(6, 4, 0, gvals)
+    val gfast = ImageCodec.tryDecodePngFast(gpng)
+    assert(gfast.isDefined, "fast path declined an 8-bit gray PNG")
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val v = gvals(y)(x) & 0xff
+      assert(gfast.get.getRGB(x, y) == (0xff000000 | (v << 16) | (v << 8) | v))
+    }
+    // ImageIO still decodes it too (no parity claim: its gray is colorimetric)
+    assert(ImageCodec.tryDecodeJavax(gpng).isDefined)
+
+    // palette (type 3) + tRNS: exact getRGB parity with ImageIO
+    val plte = Array[Byte](
+      10, 20, 30, 200.toByte, 100, 50, 0, 0, 0, 255.toByte, 255.toByte, 255.toByte)
+    val trns = Array[Byte](255.toByte, 128.toByte, 0)
+    val pidx = Array.tabulate(3, 5)((y, x) => ((x + y) % 4).toByte)
+    val ppng = buildPng(5, 3, 3, pidx, Seq("PLTE" -> plte, "tRNS" -> trns))
+    assertPixelParity(ppng)
+
+    // gray + alpha (type 4): value-copy gray, alpha carried
+    val garows = Array.tabulate(2, 6) { (y, i) =>
+      (if (i % 2 == 0) 60 * (i / 2) + y else 255 - 10 * i).toByte }
+    val gapng = buildPng(3, 2, 4, garows)
+    val gafast = ImageCodec.tryDecodePngFast(gapng)
+    assert(gafast.isDefined, "fast path declined a gray+alpha PNG")
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val v = garows(y)(2 * x) & 0xff
+      val a = garows(y)(2 * x + 1) & 0xff
+      assert(gafast.get.getRGB(x, y) == ((a << 24) | (v << 16) | (v << 8) | v))
+    }
+
+    // gray with a tRNS chunk: declined (transparent-sample keying) -> javax
+    val gtpng = buildPng(6, 4, 0, gvals, Seq("tRNS" -> Array[Byte](0, 5)))
+    assert(ImageCodec.tryDecodePngFast(gtpng).isEmpty)
   }
 
   test("image dHash near-dups: identical and slightly-brightened images pair, distinct don't") {
@@ -399,5 +457,16 @@ class MultimodalSpec extends SparkSpec {
     // brightness shift preserves every adjacent-pixel comparison -> hamming 0
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L)) // stripes pair with nobody
+
+    // no-silent-caps ledger: with the cap below the 3-member gradient bucket,
+    // the pair op drops it and dHashCapStats must report the drop
+    val capped = dHashNearDups(gray, "id", "gray", maxBucketSize = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 == 1L && p._2 == 3L))
+    val led = dHashCapStats(gray, "id", "gray", maxBucketSize = 2).collect().head
+    assert(led.getAs[Long]("n_buckets_capped") >= 4L, led.toString) // 4 shared bands
+    assert(led.getAs[Long]("n_members_excluded") >= 12L, led.toString)
+    val clear = dHashCapStats(gray, "id", "gray").collect().head
+    assert(clear.getAs[Long]("n_buckets_capped") == 0L)
   }
 }
