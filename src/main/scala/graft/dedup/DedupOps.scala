@@ -205,10 +205,70 @@ object DedupOps {
       b => concat(b.cast("string"), lit(":"),
         concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
 
+  // ───────────────────────── bucket-cap ledgers ─────────────────────────
+
+  /** The "no silent caps" contract for the banded-LSH family (the
+    * [[semanticDedupAuto]] stats rule applied to its older siblings, VERDICT
+    * r11 #3): a one-row over-cap ledger for any exploded (band-key, member)
+    * table. `n_buckets_capped` > 0 means the corresponding pair op dropped
+    * whole buckets (a viral boilerplate string, a constant-color image) and
+    * under-reported duplicates — the caller decides whether to raise the cap,
+    * pre-dedup exactly, or accept the recall loss. Aggregation-only (two
+    * partial-agg stages, model-sized output), never generates pairs. */
+  def bandCapLedger(banded: DataFrame, bandCol: String, maxBucketSize: Int): DataFrame =
+    banded.groupBy(col(bandCol)).agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("_n") > maxBucketSize, lit(1))).as("n_buckets_capped"),
+        coalesce(sum(when(col("_n") > maxBucketSize, col("_n"))), lit(0L))
+          .as("n_members_excluded"),
+        coalesce(max(col("_n")), lit(0L)).as("max_bucket"))
+
+  /** Over-cap ledger for [[lshCandidatePairs]] / [[minhashNearDups]] (and the
+    * corpus∪shard union of [[incrementalNearDups]] when passed pre-unioned):
+    * same shingle→minhash→band keys, no signature persist, no pairs. */
+  def minhashCapStats(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      maxBucketSize: Int = 500,
+                      strategy: HashStrategy = Md5Portable): DataFrame =
+    bandCapLedger(
+      df.select(col(idCol), explode(lshBandKeys(
+        minhashSignatureFromHashes(
+          array_distinct(transform(shingles(col(textCol), shingleN),
+            s => pmod(shingleHash(s, strategy), lit(1L << 32)))), k),
+        bands, k / bands)).as("_band")),
+      "_band", maxBucketSize)
+
+  /** Over-cap ledger for [[simhashNearDups]]'s 4×8-bit multi-index. */
+  def simhashCapStats(df: DataFrame, idCol: String, textCol: String,
+                      maxBucketSize: Int = 2000): DataFrame = {
+    val bandKeys = (0 until 4).map(b =>
+      concat(lit(s"$b:"),
+        shiftright(simhash32(col(textCol)), 8 * b).bitwiseAND(lit(255L)).cast("string")))
+    bandCapLedger(
+      df.select(col(idCol), explode(array(bandKeys: _*)).as("_band")),
+      "_band", maxBucketSize)
+  }
+
+  /** Over-cap ledger for [[embeddingNearDups]]'s hyperplane bands. */
+  def embeddingCapStats(df: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int = 48, bands: Int = 3, dim: Int = 64,
+                        seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
+    val rpb = nPlanes / bands
+    val planes = graft.ann.AnnOps.hyperplanes(nPlanes, dim, seed)
+    val sig = graft.ann.AnnOps.rhSignature(col(vecCol), planes)
+    val bandKeys = (0 until bands).map(b =>
+      concat(lit(s"$b:"), substring(sig, b * rpb + 1, rpb)))
+    bandCapLedger(
+      df.select(col(idCol), explode(array(bandKeys: _*)).as("_band")),
+      "_band", maxBucketSize)
+  }
+
   /** Candidate pairs from banded LSH: explode band keys, self-join per bucket with
     * id1 < id2, distinct. Buckets larger than `maxBucketSize` are dropped (skew guard --
     * at 100 TB a boilerplate-heavy bucket would otherwise go quadratic; its members
-    * still meet in other bands or exact dedup). */
+    * still meet in other bands or exact dedup; the drop is AUDITABLE via
+    * [[minhashCapStats]]/[[bandCapLedger]] — the "no silent caps" rule). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 500,

@@ -682,6 +682,41 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("bucket-cap ledgers report what the pair ops silently drop (no silent caps)") {
+    val rng = new scala.util.Random(17)
+    // 6 identical docs -> every band bucket they share holds 6 members; with
+    // maxBucketSize=4 the pair op drops them ALL (silently, by design) and the
+    // ledger must say so
+    val viral = "subscribe to our newsletter for updates " * 10
+    val docs = (0L until 6L).map(i => (i, viral)) ++
+      (10L until 20L).map(i => (i, doc(rng, 60)))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(df, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 < 6L && p._2 < 6L), "over-cap bucket leaked pairs")
+    val led = DedupOps.minhashCapStats(df, "doc_id", "text", maxBucketSize = 4)
+      .collect().head
+    assert(led.getAs[Long]("n_buckets_capped") >= 8L, led.toString) // all 8 bands
+    assert(led.getAs[Long]("n_members_excluded") >= 48L, led.toString) // 6 docs x 8 bands
+    assert(led.getAs[Long]("max_bucket") >= 6L)
+    // uncapped corpus: ledger all-clear
+    val clear = DedupOps.minhashCapStats(df, "doc_id", "text", maxBucketSize = 500)
+      .collect().head
+    assert(clear.getAs[Long]("n_buckets_capped") == 0L)
+    assert(clear.getAs[Long]("n_members_excluded") == 0L)
+    // simhash twin: identical docs share ALL 4 bands
+    val sled = DedupOps.simhashCapStats(df, "doc_id", "text", maxBucketSize = 4)
+      .collect().head
+    assert(sled.getAs[Long]("n_buckets_capped") >= 4L, sled.toString)
+    // embedding twin: identical vectors share every hyperplane band
+    val vecs = (0L until 6L).map(i => (i, Seq.fill(64)(0.5))) ++
+      (10L until 14L).map(i => (i, Seq.tabulate(64)(j => rng.nextGaussian())))
+    val eled = DedupOps.embeddingCapStats(vecs.toDF("id", "v"), "id", "v",
+      maxBucketSize = 4).collect().head
+    assert(eled.getAs[Long]("n_buckets_capped") >= 3L, eled.toString)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; normalization-insensitive") {
     val old = Seq((1L, "a b c"), (2L, "keep me"), (3L, "gone soon")).toDF("id", "text")
     val cur = Seq((1L, "a b  C"), // whitespace/case only -> same fingerprint
