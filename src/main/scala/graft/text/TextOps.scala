@@ -873,14 +873,16 @@ object TextOps {
   def charTrigramLangId(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String,
                         maxBroadcastGridRows: Long = 10000000L): DataFrame = {
-    val t = lower(col(textCol))
-    val tris = when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass trigram histogram (r12): the per-character explode +
+    // per-(doc,tri) shuffle the composed form paid is gone — the expression
+    // emits |distinct trigrams per doc| pre-counted rows at scan speed
+    // (graft.expr.CharTrigramCounts; parity with the substr form pinned in
+    // CharTrigramCountsSpec, oracle unchanged)
     val inst = docs
-      .select(col(idCol), col(langCol), explode(tris).as("tri"))
-      .groupBy(col(idCol), col(langCol), col("tri"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col(langCol),
+        explode(graft.expr.CharTrigramCounts.expr(lower(col(textCol)))).as("_tc"))
+      .select(col(idCol), col(langCol),
+        col("_tc.tri").as("tri"), col("_tc.tf").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = inst.groupBy(col("tri"), col(langCol).as("_ml"))
       .agg(sum(col("tf")).as("c"))
