@@ -24,8 +24,17 @@ object Bench {
     // (name, seconds, errorOrNull): failures are REPORTED, never silently folded
     // into the total as fast runs (round-1 bug: 9 crashed queries looked like 0.1s wins).
     // args, when given, select a query subset (scale smokes bench the heavy tail only).
+    // Parity twins whose BETTER implementation is already the benched default
+    // stay under the correctness gate (Verify runs every query) but out of the
+    // default timing sweep: d7 label-prop is diameter-bounded (rounds×edges) and
+    // alone cost ~10% of the 100× suite while d7s star contraction — the
+    // adjudicated default with the identical output contract and oracle — is
+    // benched right next to it (VERDICT r11 #4). Name it explicitly
+    // (`runMain graft.Bench d7_dedup_clusters`) to time it on demand.
+    val benchExcluded = Set("d7_dedup_clusters")
     val selected =
-      if (args.isEmpty) SparkEntry.queries
+      if (args.isEmpty) SparkEntry.queries.view
+        .filterKeys(k => !benchExcluded.contains(k)).toMap
       else {
         val unknown = args.toSet -- SparkEntry.queries.keySet
         require(unknown.isEmpty, s"unknown queries: $unknown")

@@ -409,4 +409,54 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("annServeStream: cell skew at the cap stays batch-exact with group-bounded state") {
+    import spark.implicits._
+    import graft.ann.AnnOps
+    implicit val sq = spark.sqlContext
+    // adversarial cell-size skew: cell 0 holds 300 of 310 vectors (the shape
+    // the IVF cap contract exists for); cells 1/2 hold 5 each
+    val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val rng = new scala.util.Random(13)
+    val corpus = ((0L until 300L).map { i =>
+      (i, centroids(0).map(_ + rng.nextGaussian() * 0.2))
+    } ++ (300L until 310L).map { i =>
+      (i, centroids(1 + (i % 2).toInt).map(_ + rng.nextGaussian() * 0.2))
+    }).toDF("cid", "cv")
+    // qMega probes the mega cell; qSmall's nProbe=1 nearest is a small cell,
+    // so its candidate set is 5 rows no matter how big cell 0 grows
+    val queries = Seq((1L, Seq(0.95, 0.05, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.97, 0.1, 0.0))).toDF("qid", "qv")
+    val batch = AnnOps.ivfTopK(corpus, "cid", "cv", queries, "qid", "qv",
+      centroids, nProbe = 1, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val out = StreamingOps.annServeStream(
+      input.toDF().toDF("qid", "t", "qv"), corpus,
+      "qid", "qv", "t", "cid", "cv", centroids, nProbe = 1, k = 3)
+    val q = out.writeStream.format("memory").queryName("ann_skew_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:10"), Seq(0.95, 0.05, 0.0, 0.0)),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:20"), Seq(0.0, 0.97, 0.1, 0.0)))
+      q.processAllAvailable()
+      input.addData((999L, Timestamp.valueOf("2024-01-01 02:00:00"),
+        Seq(1.0, 0.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT qid, rank, cid, cos FROM ann_skew_test WHERE qid < 999")
+        .as[(Long, Int, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed.size == 6) // 2 queries x k=3, skew notwithstanding
+      assert(streamed == batch)
+      // bounded-state pin: aggregation state rows track OPEN (query,time)
+      // groups (the watermark-advancer is the only one still open), never the
+      // corpus or the mega cell — candidate buffers die with their group
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"state rows $stateRows should be open groups only")
+    } finally q.stop()
+  }
 }
