@@ -403,7 +403,11 @@ object QueriesClean {
       // filesystem round-trips — 512-row chunks meant ~8k tiny files and 8x
       // the wall-clock of the identical-shape nc half (ZarrSinkSpec covers
       // small-chunk edges exhaustively; the store layout is oracle-invariant).
-      val ledger = graft.sources.ZarrSink.writeZarrStores(obs, out, chunkRows = 8192)
+      // Env-overridable for the SCALE chunk-count/latency tradeoff runs
+      // (object-store-shaped publish: per-chunk PUT is the real floor at
+      // scale, so 100× benches compare 8192 vs the library's 65536 default).
+      val chunkRows = sys.env.getOrElse("SPARK_GRAFT_S26_CHUNKROWS", "8192").toInt
+      val ledger = graft.sources.ZarrSink.writeZarrStores(obs, out, chunkRows = chunkRows)
       // ledger is station-cardinality (40 rows) — model-sized driver collect
       val paths = ledger.select("path").collect().map(_.getString(0)).toSeq
       graft.sources.ZarrSource.readStores(s, paths)

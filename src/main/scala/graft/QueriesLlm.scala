@@ -97,6 +97,14 @@ object QueriesLlm {
         threshold = 0.4, shingleN = 3, k = 32, bands = 8)
     }),
 
+    // d22: the r12 bucket-cap LEDGER itself under the cross-engine gate — the
+    // "no silent caps" audit companion to d2's banded LSH. The cap is
+    // deliberately tiny (4) so the corpus' real boilerplate buckets land over
+    // it and every ledger column carries signal; aggregation-only, no pairs.
+    "d22_cap_ledger" -> ((s, dir) =>
+      DedupOps.minhashCapStats(t(s, dir, "documents"), "doc_id", "text",
+        maxBucketSize = 4)),
+
     // d2x: the PRODUCTION hash path — same pipeline under XxHash64Fast (Spark-native
     // xxhash64, codegen'd, no hex round-trip). Rows-only BY DESIGN: xxhash64's seed is
     // Spark-specific so no cross-engine oracle exists; pair-parity with the md5 path
@@ -1248,7 +1256,9 @@ object QueriesLlm {
   /** Shared CTE chain: documents -> shingles -> minhash signatures -> banded LSH
     * candidate pairs -> jaccard-verified pairs. Used by d2 (the pair listing) and d7
     * (connected-components clustering of the same pairs). */
-  private val minhashVerifiedCte: String =
+  /** toks → shingles → h32 → minhash sig → exploded band keys: the shared
+    * front half of the d2-family oracles AND the d22 cap-ledger oracle. */
+  private val minhashBandsCte: String =
     s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM toks),
           h AS (SELECT doc_id,
@@ -1264,7 +1274,10 @@ object QueriesLlm {
                   unnest(list_transform(generate_series(0, 7), b ->
                     CAST(b AS VARCHAR) || ':' ||
                     array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ','))) AS band
-                FROM sig),
+                FROM sig)"""
+
+  private val minhashVerifiedCte: String =
+    s"""$minhashBandsCte,
           okbands AS (
             SELECT band FROM bands GROUP BY band
             HAVING COUNT(*) BETWEEN 2 AND 500),
@@ -1430,6 +1443,18 @@ object QueriesLlm {
     "d2_minhash_neardups" ->
       s"""WITH $minhashVerifiedCte
           SELECT id1, id2, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.4""",
+    // d22: the band table replayed into a one-row over-cap aggregate — the
+    // exact bandCapLedger columns (cap 4, matching the Spark side)
+    "d22_cap_ledger" ->
+      s"""WITH $minhashBandsCte,
+          bc AS (SELECT band, COUNT(*) AS n FROM bands GROUP BY band)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(CASE WHEN n > 4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_capped,
+                 CAST(COALESCE(SUM(CASE WHEN n > 4 THEN n END), 0) AS BIGINT)
+                   AS n_members_excluded,
+                 CAST(MAX(n) AS BIGINT) AS max_bucket
+          FROM bc""",
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashVerifiedCte,
           nd AS (SELECT id1, id2 FROM verified WHERE j >= 0.4),

@@ -429,6 +429,25 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.tryDecodePngFast(gtpng).isEmpty)
   }
 
+  test("mm4r fixture: PNG decode + box-mean raster reproduces the md5 grid exactly") {
+    import spark.implicits._
+    // the identity contract the mm4r oracle rests on: a 9x8 r=g=b=v PNG under
+    // the (8+1)x8 box-mean raster returns v verbatim at every cell
+    val ids = Seq(0L, 1L, 7L, 42L, 1001L)
+    val rows = ids.map(i => MediaRow(i, "image", mm4FixturePng(i), Map.empty)).toDS()
+    val gray = imageGrayRaster(rows).as[(Long, Seq[Int])].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ids.foreach { did =>
+      val gid = did / 4
+      val expected = (0 until 72).map { p =>
+        val h = md.digest(s"$gid:$p".getBytes("UTF-8"))
+        val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+        ((base + (did % 2) * ((p * 13 + did) % 2) * 2) % 256).toInt
+      }
+      assert(gray(did) == expected, s"doc $did raster drifted from the md5 grid")
+    }
+  }
+
   test("image dHash near-dups: identical and slightly-brightened images pair, distinct don't") {
     import spark.implicits._
     def png(f: (Int, Int) => Int): Array[Byte] = {
