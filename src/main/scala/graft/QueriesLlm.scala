@@ -28,6 +28,21 @@ object QueriesLlm {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Fixture-cache key component for the mm3/mm4r materialized-payload caches:
+    * corpus digest = count + doc_id sum/min/max (one aggregation job, four
+    * longs). Folding the id digest into the cache filename means a corpus at
+    * the same path whose doc_id SET changes while the row count stays equal
+    * can never silently reuse stale payloads (ADVICE r12). */
+  private def corpusDigest(s: SparkSession, dir: String): String = {
+    val r = t(s, dir, "documents").agg(
+      count(lit(1)),
+      coalesce(sum(col("doc_id").cast("long")), lit(0L)),
+      coalesce(min(col("doc_id").cast("long")), lit(0L)),
+      coalesce(max(col("doc_id").cast("long")), lit(0L))).head()
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}" +
+      s"_${r.getLong(2)}_${r.getLong(3)}"
+  }
+
   /** Marker sets chosen from the synthetic documents' vocabulary so language-ID is
     * non-vacuous on the test tables (real deployments pass real language markers). */
   private val TestMarkers: Map[String, Seq[String]] = Map(
@@ -712,12 +727,12 @@ object QueriesLlm {
       // timed query measures the real operator (container decode + PCM feature
       // pass), not javax.sound ENCODING of the fixture — exactly how a real
       // corpus would arrive (payloads on disk, not synthesized in-plan).
-      val nDocs = t(s, dir, "documents").count()
       // cache key carries a fixture-version token (ADVICE r11): any change to
       // the sineWav synthesis parameters must bump v so stale payloads from an
-      // earlier definition are never silently reused
+      // earlier definition are never silently reused; the corpusDigest folds
+      // the doc_id set in (ADVICE r12), not just the row count
       val cache = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mm3_wav_v2_${math.abs(dir.hashCode)}_$nDocs.parquet")
+        s"graft_mm3_wav_v2_${math.abs(dir.hashCode)}_${corpusDigest(s, dir)}.parquet")
       if (!cache.exists()) {
         t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("id")).as[Long]
@@ -872,9 +887,8 @@ object QueriesLlm {
     "mm4r_dhash_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val nDocs = t(s, dir, "documents").count()
       val cache = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mm4r_png_v1_${math.abs(dir.hashCode)}_$nDocs.parquet")
+        s"graft_mm4r_png_v1_${math.abs(dir.hashCode)}_${corpusDigest(s, dir)}.parquet")
       if (!cache.exists()) {
         t(s, dir, "documents")
           .select(col("doc_id").cast("long").as("id")).as[Long]

@@ -179,6 +179,16 @@ object DedupOps {
     graft.expr.MinHashSig.expr(h32, as, bs)
   }
 
+  /** Distinct hashed-shingle array (the minhash input) of a text column. The ONE
+    * definition of text→h32 used by both the pair ops (via [[sigTable]]) and the cap
+    * ledger ([[minhashCapStats]]) — sharing it guarantees the ledger audits the exact
+    * band keys the pair ops join on (ADVICE r12: an inlined copy could silently
+    * drift if the hashing or band-key format ever changes). */
+  private def hashedShingles(text: Column, shingleN: Int,
+                             strategy: HashStrategy): Column =
+    array_distinct(transform(shingles(text, shingleN),
+      s => pmod(shingleHash(s, strategy), lit(1L << 32))))
+
   /** (id, hashed-shingle array, minhash signature), CACHED. The cache is load-bearing,
     * not a convenience: projection collapse inlines the signature expression (and its
     * md5 hash-array child) into every band lambda — `bands` full signature
@@ -191,9 +201,7 @@ object DedupOps {
   private def sigTable(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, k: Int,
                        strategy: HashStrategy = Md5Portable): DataFrame =
-    df.withColumn("_h32",
-        array_distinct(transform(shingles(col(textCol), shingleN),
-          s => pmod(shingleHash(s, strategy), lit(1L << 32)))))
+    df.withColumn("_h32", hashedShingles(col(textCol), shingleN, strategy))
       .withColumn("_sig", minhashSignatureFromHashes(col("_h32"), k))
       .select(col(idCol), col("_h32"), col("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -225,16 +233,16 @@ object DedupOps {
 
   /** Over-cap ledger for [[lshCandidatePairs]] / [[minhashNearDups]] (and the
     * corpus∪shard union of [[incrementalNearDups]] when passed pre-unioned):
-    * same shingle→minhash→band keys, no signature persist, no pairs. */
+    * the SAME [[hashedShingles]]→minhash→[[lshBandKeys]] construction the pair
+    * ops use (shared helpers, so the audited keys cannot drift from the join
+    * keys), no signature persist, no pairs. */
   def minhashCapStats(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       maxBucketSize: Int = 500,
                       strategy: HashStrategy = Md5Portable): DataFrame =
     bandCapLedger(
       df.select(col(idCol), explode(lshBandKeys(
-        minhashSignatureFromHashes(
-          array_distinct(transform(shingles(col(textCol), shingleN),
-            s => pmod(shingleHash(s, strategy), lit(1L << 32)))), k),
+        minhashSignatureFromHashes(hashedShingles(col(textCol), shingleN, strategy), k),
         bands, k / bands)).as("_band")),
       "_band", maxBucketSize)
 

@@ -728,7 +728,16 @@ object MultimodalOps {
     * hamming ≤ 3 leaves at least one band untouched, so recall is EXACT at the
     * default radius) + exact Hamming verify via `bit_count(xor)`. The d6
     * simhash chassis on the image code: one shuffle on band keys, bucket-size
-    * cap reports nothing all-pairs, candidate verify runs inside buckets. */
+    * cap reports nothing all-pairs, candidate verify runs inside buckets.
+    *
+    * Gray-bit-depth caveat (ADVICE r12): rasters feeding this op come from
+    * [[imageGrayRaster]], where 8-bit gray PNGs decode by value-copy (the
+    * libpng/PIL convention) while 16-bit and gray+tRNS PNGs fall back to
+    * ImageIO's colorimetric linear→sRGB decode — so the SAME logical gray
+    * image encoded at different bit depths can yield different lumas, hence
+    * different dHash codes (and 8-bit gray hashes changed across the r11→r12
+    * fast-path upgrade). Color (truecolor/palette) images are unaffected;
+    * gray corpora mixing bit depths should normalize depth before hashing. */
   def dHashNearDups(df: DataFrame, idCol: String, grayCol: String,
                     maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     require(maxHamming <= 3,

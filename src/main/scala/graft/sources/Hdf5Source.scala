@@ -275,6 +275,12 @@ object Hdf5Source {
       require(u8(addr + 4) == 0, s"unsupported fractal heap version ${u8(addr + 4)}")
       require(u16(addr + 7) == 0, "filtered fractal heap unsupported")
       val width = u16(addr + 110)
+      // allocated managed space (header offset 54): when the root is a single
+      // direct block this IS that block's size — a writer may have doubled the
+      // root block (startSize, 2*startSize, ...) before ever converting to an
+      // indirect root, so assuming startSize would reject valid heaps
+      // (ADVICE r12)
+      val allocManaged = u64(addr + 54)
       val startSize = u64(addr + 112)
       val maxDirectSize = u64(addr + 120)
       val maxHeapBits = u16(addr + 128)
@@ -287,7 +293,8 @@ object Hdf5Source {
       }
       val blocks: Seq[(Long, Long, Long)] =
         if (rootAddr == Undef) Seq.empty
-        else if (curRows == 0) Seq(direct(rootAddr, startSize))
+        else if (curRows == 0)
+          Seq(direct(rootAddr, if (allocManaged > 0) allocManaged else startSize))
         else {
           require(sig(rootAddr, "FHIB"), "bad fractal heap indirect block signature")
           val maxDirectRows = (java.lang.Long.numberOfTrailingZeros(maxDirectSize) -

@@ -643,7 +643,7 @@ class Hdf5SourceSpec extends SparkSpec {
       msg(0x0008, layoutContiguous(timeDataAddr.toLong, nT * 8L)),
       msg(0x000C, strAttr("units", "days since 2015-01-01"))))
 
-    val st = "C-STATION-42 ".getBytes("ASCII")
+    val st = "C-STATION-42\u0000".getBytes("ASCII")
     w.align8(); val stDataAddr = w.pos; w.raw(st)
     val stOh = objectHeaderV1(w, Seq(
       msg(0x0001, dataspace(Seq.empty)),
