@@ -44,14 +44,75 @@ object MultimodalOps {
     javax.imageio.ImageIO.setUseCache(false)
 
     def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      tryDecodePngFast(payload).orElse(tryDecodeJavax(payload))
+      tryDecodePngFast(payload)
+        .orElse(tryDecodeJpegReused(payload))
+        .orElse(tryDecodeJavax(payload))
 
-    /** The javax.imageio path (JPEG, gray/palette/interlaced PNG, anything the
-      * fast path declines). */
+    /** The generic javax.imageio path (gray/palette/interlaced PNG, GIF, BMP,
+      * anything the fast paths decline). */
     private[multimodal] def tryDecodeJavax(
         payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case _: Exception => None }
+
+    /** Minimal byte-array ImageInputStream: `ImageIO.read` wraps every call in
+      * a MemoryCacheImageInputStream that re-buffers bytes already in memory.
+      * Media payloads arrive as byte arrays, so serve the reader directly. */
+    private final class ByteArrayImageInputStream(b: Array[Byte])
+        extends javax.imageio.stream.ImageInputStreamImpl {
+      override def read(): Int = {
+        bitOffset = 0
+        if (streamPos >= b.length) -1
+        else { val v = b(streamPos.toInt) & 0xff; streamPos += 1; v }
+      }
+      override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+        bitOffset = 0
+        if (streamPos >= b.length) -1
+        else {
+          val n = math.min(len.toLong, b.length - streamPos).toInt
+          System.arraycopy(b, streamPos.toInt, dst, off, n)
+          streamPos += n; n
+        }
+      }
+      override def length(): Long = b.length.toLong
+      override def isCached: Boolean = true
+      override def isCachedMemory: Boolean = true
+    }
+
+    private val jpegReader = new ThreadLocal[javax.imageio.ImageReader]()
+
+    /** Reused-reader JPEG path (VERDICT r12 #1 — the last per-row javax SPI
+      * dispatch site): `ImageIO.read` re-runs the reader-SPI registry scan,
+      * allocates a fresh reader AND a caching stream wrapper on every call —
+      * measured 82–134 µs/frame vs 46 µs with a per-thread cached reader over
+      * a byte-array stream on mm5's thumbnail-class JPEGs (the mm3 WAV
+      * lesson: dispatch, not decode, dominates small media). Same underlying
+      * JPEG plugin, so pixels are identical to [[tryDecodeJavax]]
+      * (MultimodalSpec pins it). Readers are not thread-safe → ThreadLocal;
+      * executor threads are long-lived, so at most one reader per thread. A
+      * decode failure can leave reader state dirty: dispose + drop, and the
+      * caller's orElse falls back to the generic path (which will also fail
+      * on truly corrupt bytes → payload drops, the documented contract). */
+    private[multimodal] def tryDecodeJpegReused(
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (payload.length < 3 || (payload(0) & 0xff) != 0xff ||
+          (payload(1) & 0xff) != 0xd8) return None // not JPEG (SOI magic)
+      var rd = jpegReader.get()
+      if (rd == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+        if (!it.hasNext) return None
+        rd = it.next(); jpegReader.set(rd)
+      }
+      try {
+        rd.setInput(new ByteArrayImageInputStream(payload))
+        Option(rd.read(0))
+      } catch {
+        case _: Exception =>
+          try rd.dispose() catch { case _: Exception => () }
+          jpegReader.remove()
+          None
+      }
+    }
 
     private def u32be(b: Array[Byte], o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -239,6 +300,27 @@ object MultimodalOps {
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** JPEG encode at an explicit quality (fixture synthesis only — operators
+      * never re-encode JPEG). At quality 1.0 the scaled quantization tables are
+      * all-ones, so an image whose every 8×8 block is a flat gray (r=g=b=v)
+      * round-trips the encode→decode path EXACTLY: flat blocks have a DC-only
+      * DCT (DC = 8·(v−128), divisible by 8; AC float noise quantizes to 0) and
+      * gray pixels carry Cb=Cr=128 which chroma subsampling cannot disturb —
+      * verified block-exact across the md5 value range in MultimodalSpec. */
+    def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.setOutput(out)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); out.close() }
       bos.toByteArray
     }
   }
@@ -433,6 +515,42 @@ object MultimodalOps {
     ImageCodec.encodePng(img)
   }
 
+  /** mm5 fixture synthesis (the [[sineWav]]/[[mm4FixturePng]] pattern for
+    * video): a REAL MJPEG AVI of six 72×64 frames in two 3-frame "shots".
+    * Every 8×8 JPEG block is a flat gray whose value derives from
+    * md5(doc:shot:cell) plus a small per-frame jitter, so the full production
+    * path — container walk ([[VideoCodec.frames]]) → per-frame JPEG decode →
+    * 9×8 box-mean luma raster — is analytically reproducible in SQL: flat
+    * gray blocks round-trip JPEG encode/decode exactly (see
+    * [[ImageCodec.encodeJpeg]]) and the 72×64→9×8 box mean is the identity on
+    * block values. Shot boundaries give consecutive frames independent grids
+    * (dHash hamming ≈ 32) while within-shot jitter keeps hamming small — the
+    * keyframe-detection signal mm5 gates. */
+  def mm5FixtureAvi(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val frames = (0 until 6).map { f =>
+      val sid = f / 3
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < 72) {
+        val h = md.digest(s"$docId:$sid:$p".getBytes("UTF-8"))
+        val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+        val v = ((base + (f % 3) * ((p * 13 + f) % 2) * 2) % 256).toInt
+        val bx = p % 9; val by = p / 9
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+          y += 1
+        }
+        p += 1
+      }
+      ImageCodec.encodeJpeg(img, 1.0f)
+    }
+    VideoCodec.buildMjpegAvi(frames, 72, 64)
+  }
+
   /** Real from-scratch video container parser (RIFF/AVI — same spirit as the
     * from-scratch NcSource/ZarrSource format readers): walks the RIFF chunk tree,
     * reads the `avih` main header (width/height/total frames) and the first video
@@ -507,6 +625,39 @@ object MultimodalOps {
           out += java.util.Arrays.copyOfRange(payload, off, off + len)
       }
       out.result()
+    }
+
+    /** Minimal MJPEG-AVI WRITER (fixture synthesis + spec fixtures only —
+      * operators never encode video): RIFF('AVI ') with an `hdrl` list
+      * (avih + a vids/MJPG strl) and a `movi` list of `00dc` JPEG frame
+      * chunks, all per the public AVI RIFF layout [[tryParse]] reads back. */
+    def buildMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+      def u32(v: Long): Array[Byte] = Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+      def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def fccB(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def chunk(id: String, data: Array[Byte]): Array[Byte] =
+        fccB(id) ++ u32(data.length.toLong) ++ data ++
+          (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+      def list(subtype: String, children: Array[Byte]): Array[Byte] =
+        chunk("LIST", fccB(subtype) ++ children)
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val avih = chunk("avih",
+        u32(40000L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++ // usec/frame, bps, pad, flags
+          u32(frames.size.toLong) ++ u32(0L) ++ u32(1L) ++ u32(maxFrame.toLong) ++
+          u32(width.toLong) ++ u32(height.toLong) ++ Array.fill(16)(0.toByte))
+      val strh = chunk("strh",
+        fccB("vids") ++ fccB("MJPG") ++ u32(0L) ++ u16(0) ++ u16(0) ++
+          u32(0L) ++ u32(1L) ++ u32(25L) ++ u32(0L) ++ // initial, scale, rate, start
+          u32(frames.size.toLong) ++ u32(maxFrame.toLong) ++ u32(0xffffffffL) ++
+          u32(0L) ++ u16(0) ++ u16(0) ++ u16(width) ++ u16(height))
+      val strf = chunk("strf",
+        u32(40L) ++ u32(width.toLong) ++ u32(height.toLong) ++ u16(1) ++ u16(24) ++
+          fccB("MJPG") ++ u32(width.toLong * height * 3) ++
+          u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+      val body = fccB("AVI ") ++ hdrl ++ movi
+      fccB("RIFF") ++ u32(body.length.toLong) ++ body
     }
   }
 

@@ -448,6 +448,84 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("buildMjpegAvi round-trips through the AVI parser: header + byte-exact frames") {
+    val fr = Seq(jpegBytes(24, 16), jpegBytes(24, 16), jpegBytes(24, 16))
+    val avi = VideoCodec.buildMjpegAvi(fr, 24, 16)
+    val info = VideoCodec.tryParse(avi)
+    assert(info.exists(i => i.width == 24 && i.height == 16 &&
+      i.nFrames == 3 && i.handler == "MJPG"), info)
+    val back = VideoCodec.frames(avi)
+    assert(back.size == 3)
+    back.zip(fr).foreach { case (b, f) => assert(java.util.Arrays.equals(b, f)) }
+    // odd-length frame payloads survive the even-padding rule byte-exact
+    val odd = Array[Byte](1, 2, 3)
+    val back2 = VideoCodec.frames(VideoCodec.buildMjpegAvi(Seq(odd, odd), 8, 8))
+    assert(back2.size == 2 && back2.forall(java.util.Arrays.equals(_, odd)))
+  }
+
+  test("encodeJpeg: flat gray 8x8 blocks round-trip exactly; reused reader == ImageIO") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // flat-block exactness across the md5 value range (the mm5 oracle contract)
+    for (doc <- Seq(0, 3, 17, 255)) {
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val vals = (0 until 72).map { p =>
+        val h = md.digest(s"blk:$doc:$p".getBytes("UTF-8"))
+        (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+      }
+      for (p <- 0 until 72; y <- (p / 9) * 8 until (p / 9) * 8 + 8;
+           x <- (p % 9) * 8 until (p % 9) * 8 + 8)
+        img.setRGB(x, y, (vals(p) << 16) | (vals(p) << 8) | vals(p))
+      val jpeg = ImageCodec.encodeJpeg(img, 1.0f)
+      val dec = ImageCodec.tryDecodeJpegReused(jpeg).get
+      for (p <- 0 until 72) {
+        val v = vals(p)
+        assert((dec.getRGB((p % 9) * 8 + 3, (p / 9) * 8 + 5) & 0xffffff) ==
+          ((v << 16) | (v << 8) | v), s"doc $doc block $p value $v drifted")
+      }
+      // reused-reader path is pixel-identical to the generic ImageIO path
+      val gen = ImageCodec.tryDecodeJavax(jpeg).get
+      for (y <- 0 until 64; x <- 0 until 72)
+        assert(dec.getRGB(x, y) == gen.getRGB(x, y), s"parity drift at $x,$y")
+    }
+    // parity also on a NON-flat lossy JPEG (default-quality gradient)
+    val grad = new java.awt.image.BufferedImage(
+      40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 40)
+      grad.setRGB(x, y, ((x * 6) << 16) | ((y * 8) << 8) | ((x + y) * 3))
+    val lossy = ImageCodec.encodeJpeg(grad, 0.75f)
+    val a = ImageCodec.tryDecodeJpegReused(lossy).get
+    val b = ImageCodec.tryDecodeJavax(lossy).get
+    for (y <- 0 until 30; x <- 0 until 40) assert(a.getRGB(x, y) == b.getRGB(x, y))
+    // declines non-JPEG magic; survives corrupt bytes after the magic (falls
+    // back None, and the reader keeps working on the next good payload)
+    assert(ImageCodec.tryDecodeJpegReused(pngBytes()).isEmpty)
+    assert(ImageCodec.tryDecodeJpegReused(
+      Array(0xff.toByte, 0xd8.toByte, 9, 9, 9)).isEmpty)
+    assert(ImageCodec.tryDecodeJpegReused(lossy).isDefined)
+  }
+
+  test("mm5 fixture: AVI walk + JPEG decode + box-mean raster reproduces the md5 grid") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 123L)
+    val rows = ids.map(i => MediaRow(i, "video", mm5FixtureAvi(i), Map.empty)).toDS()
+    val frames = sampleVideoFrames(rows)
+      .map { case (id, idx, f) => MediaRow(id * 16 + idx, "image", f, Map.empty) }
+    val gray = imageGrayRaster(frames).as[(Long, Seq[Int])].collect().toMap
+    assert(gray.size == ids.size * 6)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (did <- ids; f <- 0 until 6) {
+      val sid = f / 3
+      val expected = (0 until 72).map { p =>
+        val h = md.digest(s"$did:$sid:$p".getBytes("UTF-8"))
+        val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+        ((base + (f % 3) * ((p * 13 + f) % 2) * 2) % 256).toInt
+      }
+      assert(gray(did * 16 + f) == expected,
+        s"doc $did frame $f raster drifted from the md5 grid")
+    }
+  }
+
   test("image dHash near-dups: identical and slightly-brightened images pair, distinct don't") {
     import spark.implicits._
     def png(f: (Int, Int) => Int): Array[Byte] = {
