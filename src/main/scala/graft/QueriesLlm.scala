@@ -43,6 +43,28 @@ object QueriesLlm {
       s"_${r.getLong(2)}_${r.getLong(3)}"
   }
 
+  /** Shared media fixture cache (mm3/mm4r/mm5/pipe6): synthesize one MediaRow
+    * per document id, MATERIALIZED once per (tag, path, corpus digest) to a
+    * tmp parquet and re-read on later runs — so the timed query measures the
+    * real operator (container/codec decode + features), never the fixture
+    * synthesis (VERDICT r10 bench-hygiene rule). `tag` carries the fixture
+    * version token: any synthesis change must bump it. */
+  private def mediaFixture(s: SparkSession, dir: String, tag: String,
+      synth: Long => graft.multimodal.MultimodalOps.MediaRow)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MultimodalOps.MediaRow] = {
+    import s.implicits._
+    val cache = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${math.abs(dir.hashCode)}_${corpusDigest(s, dir)}.parquet")
+    if (!cache.exists()) {
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(synth)
+        .write.mode("overwrite").parquet(cache.getAbsolutePath)
+    }
+    s.read.parquet(cache.getAbsolutePath)
+      .as[graft.multimodal.MultimodalOps.MediaRow]
+  }
+
   /** Marker sets chosen from the synthetic documents' vocabulary so language-ID is
     * non-vacuous on the test tables (real deployments pass real language markers). */
   private val TestMarkers: Map[String, Seq[String]] = Map(
@@ -727,24 +749,11 @@ object QueriesLlm {
       // timed query measures the real operator (container decode + PCM feature
       // pass), not javax.sound ENCODING of the fixture — exactly how a real
       // corpus would arrive (payloads on disk, not synthesized in-plan).
-      // cache key carries a fixture-version token (ADVICE r11): any change to
-      // the sineWav synthesis parameters must bump v so stale payloads from an
-      // earlier definition are never silently reused; the corpusDigest folds
-      // the doc_id set in (ADVICE r12), not just the row count
-      val cache = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mm3_wav_v2_${math.abs(dir.hashCode)}_${corpusDigest(s, dir)}.parquet")
-      if (!cache.exists()) {
-        t(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("id")).as[Long]
-          .map { did =>
-            graft.multimodal.MultimodalOps.MediaRow(did, "audio",
-              graft.multimodal.MultimodalOps.sineWav(
-                51 + (did % 7).toInt, 800 + (did % 5).toInt * 160),
-              Map.empty) }
-          .write.mode("overwrite").parquet(cache.getAbsolutePath)
-      }
-      val rows = s.read.parquet(cache.getAbsolutePath)
-        .as[graft.multimodal.MultimodalOps.MediaRow]
+      val rows = mediaFixture(s, dir, "mm3_wav_v2", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "audio",
+          graft.multimodal.MultimodalOps.sineWav(
+            51 + (did % 7).toInt, 800 + (did % 5).toInt * 160),
+          Map.empty))
       graft.multimodal.MultimodalOps.audioFrameFeatures(rows, windowSamples = 256)
         .toDF()
         .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
@@ -887,20 +896,41 @@ object QueriesLlm {
     "mm4r_dhash_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val cache = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mm4r_png_v1_${math.abs(dir.hashCode)}_${corpusDigest(s, dir)}.parquet")
-      if (!cache.exists()) {
-        t(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("id")).as[Long]
-          .map { did =>
-            graft.multimodal.MultimodalOps.MediaRow(did, "image",
-              graft.multimodal.MultimodalOps.mm4FixturePng(did), Map.empty) }
-          .write.mode("overwrite").parquet(cache.getAbsolutePath)
-      }
-      val rows = s.read.parquet(cache.getAbsolutePath)
-        .as[graft.multimodal.MultimodalOps.MediaRow]
+      val rows = mediaFixture(s, dir, "mm4r_png_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "image",
+          graft.multimodal.MultimodalOps.mm4FixturePng(did), Map.empty))
       val gray = graft.multimodal.MultimodalOps.imageGrayRaster(rows)
       graft.multimodal.MultimodalOps.dHashNearDups(gray, "id", "gray")
+    }),
+
+    // pipe6: image-curation funnel (VERDICT r12 #6 — the cap-ledger audit
+    // contract demonstrated END-TO-END, not just as the standalone d22): real
+    // PNG decode (mm4r's corpus, shared cache) → dHash near-dup drop (LAION
+    // keep-smallest-id rule) → contrast quality gate on survivors → one-row
+    // funnel ledger whose columns INCLUDE the dHashCapStats bucket audit, so
+    // a capped band (silently under-reported duplicates) is visible in the
+    // same row as the counts it would distort.
+    "pipe6_image_curation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm4r_png_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "image",
+          graft.multimodal.MultimodalOps.mm4FixturePng(did), Map.empty))
+      // one decode pass feeds all three consumers (pairs, ledger, contrast)
+      val gray = graft.multimodal.MultimodalOps.imageGrayRaster(rows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.multimodal.MultimodalOps.dHashNearDups(gray, "id", "gray")
+      // keep-smallest-id: any image with a near-dup partner of smaller id drops
+      val dropped = pairs.select(col("id2").as("id")).distinct()
+      val survivors = gray.join(dropped, Seq("id"), "left_anti")
+        .select(col("id"),
+          (array_max(col("gray")) - array_min(col("gray"))).as("_contrast"))
+      val funnel = gray.agg(count(lit(1)).as("n_input"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dup_dropped")))
+        .crossJoin(survivors.agg(
+          count(when(col("_contrast") < 128, lit(1))).as("n_low_contrast"),
+          count(when(col("_contrast") >= 128, lit(1))).as("n_kept")))
+      funnel.crossJoin(
+        graft.multimodal.MultimodalOps.dHashCapStats(gray, "id", "gray"))
     }),
 
     // mm5: the VIDEO on-ramp under the gate (VERDICT r12 #1) — real MJPEG-AVI
@@ -915,18 +945,9 @@ object QueriesLlm {
     "mm5_video_keyframes" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val cache = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mm5_avi_v1_${math.abs(dir.hashCode)}_${corpusDigest(s, dir)}.parquet")
-      if (!cache.exists()) {
-        t(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("id")).as[Long]
-          .map { did =>
-            graft.multimodal.MultimodalOps.MediaRow(did, "video",
-              graft.multimodal.MultimodalOps.mm5FixtureAvi(did), Map.empty) }
-          .write.mode("overwrite").parquet(cache.getAbsolutePath)
-      }
-      val rows = s.read.parquet(cache.getAbsolutePath)
-        .as[graft.multimodal.MultimodalOps.MediaRow]
+      val rows = mediaFixture(s, dir, "mm5_avi_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "video",
+          graft.multimodal.MultimodalOps.mm5FixtureAvi(did), Map.empty))
       // frame key = docId*16 + frameIdx (nFrames < 16): one long keeps the
       // raster kernel's MediaRow contract; split back relationally after
       val frames = graft.multimodal.MultimodalOps.sampleVideoFrames(rows)
@@ -1186,8 +1207,13 @@ object QueriesLlm {
     * code), band self-join, bit_count(xor) verify. mm4r's payloads are real
     * PNGs of the same grid (r=g=b=v, 9×8 identity box-mean), so the decoded
     * raster equals the synthesized one value-for-value. */
-  private val mm4PairsSql: String =
-    """WITH g AS (
+  /** Shared CTE block for mm4/mm4r/pipe6: the md5 grid, its dHash halves, and
+    * the 4×16-bit band explode — the analytic twin of mm4FixturePng →
+    * imageGrayRaster → dHash. The bc CTE replicates Spark's
+    * maxBucketSize=2000 skew cap so both engines compute the identical pair
+    * set at ANY scale factor (ADVICE r11). */
+  private val mm4GridCtes: String =
+    """g AS (
           SELECT doc_id, doc_id // 4 AS gid,
             list_transform(generate_series(0, 71), p ->
               CAST(((('0x' || substring(md5(gid::VARCHAR || ':' || p::VARCHAR),
@@ -1196,7 +1222,7 @@ object QueriesLlm {
               AS gray
           FROM documents),
         h AS (
-          SELECT doc_id,
+          SELECT doc_id, gray,
             list_sum(list_transform(generate_series(0, 31), i ->
               CASE WHEN gray[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
                         gray[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
@@ -1213,17 +1239,43 @@ object QueriesLlm {
                     '2:' || CAST(hi & 65535 AS VARCHAR),
                     '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band
           FROM h),
-        -- Spark's dHashNearDups drops band buckets larger than
-        -- maxBucketSize=2000 (skew guard); replicate the cap so both engines
-        -- compute the identical pair set at ANY scale factor (ADVICE r11)
         bc AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) <= 2000),
         p AS (
           SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
             bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
           FROM b a JOIN b b2 USING (band) JOIN bc USING (band)
-          WHERE a.doc_id < b2.doc_id)
+          WHERE a.doc_id < b2.doc_id)"""
+
+  private val mm4PairsSql: String =
+    s"""WITH $mm4GridCtes
         SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
         FROM p WHERE hamming <= 3"""
+
+  /** pipe6's analytic twin: the mm4 pair set under the keep-smallest-id drop
+    * rule, a contrast gate on survivors, and the d22-style bucket ledger —
+    * one row, ledger columns inline with the funnel counts. */
+  private val pipe6Sql: String =
+    s"""WITH $mm4GridCtes,
+        dropped AS (SELECT DISTINCT id2 AS doc_id FROM p WHERE hamming <= 3),
+        surv AS (
+          SELECT h.doc_id, list_max(gray) - list_min(gray) AS contrast
+          FROM h LEFT JOIN dropped USING (doc_id)
+          WHERE dropped.doc_id IS NULL),
+        bn AS (SELECT band, COUNT(*) AS n FROM b GROUP BY band),
+        ledger AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_capped,
+                 CAST(COALESCE(SUM(CASE WHEN n > 2000 THEN n END), 0) AS BIGINT)
+                   AS n_members_excluded,
+                 CAST(MAX(n) AS BIGINT) AS max_bucket
+          FROM bn)
+        SELECT (SELECT COUNT(*) FROM g) AS n_input,
+               (SELECT COUNT(*) FROM dropped) AS n_dup_dropped,
+               (SELECT COUNT(*) FROM surv WHERE contrast < 128) AS n_low_contrast,
+               (SELECT COUNT(*) FROM surv WHERE contrast >= 128) AS n_kept,
+               n_buckets, n_buckets_capped, n_members_excluded, max_bucket
+        FROM ledger"""
 
   /** mm5's analytic twin: rebuild each (video, frame)'s flat-block gray grid
     * from the md5(doc:shot:cell)+jitter synthesis (exact through the JPEG
@@ -2125,6 +2177,7 @@ object QueriesLlm {
     "mm4_dhash_neardups" -> mm4PairsSql,
     "mm4r_dhash_decode" -> mm4PairsSql,
     "mm5_video_keyframes" -> mm5KeyframesSql,
+    "pipe6_image_curation" -> pipe6Sql,
     "samp6_dsir" ->
       """WITH toks AS (
             SELECT doc_id, (lang = 'en') AS tgt,

@@ -171,6 +171,15 @@ object MultimodalOps {
                   colorType != 4 && colorType != 6) ||
                 interlace != 0 || w <= 0 || h <= 0 ||
                 w.toLong * h > (1L << 26)) return None // 64M-pixel sanity cap
+            // size crossover (r13, measured in PngTailBench): the fast path's
+            // win is the per-call dispatch tax, which amortizes away with
+            // pixel count — 2.95x at 9x8, parity at 64x48, 0.89x at 256x192.
+            // Route LARGE images back to javax, but ONLY for the color types
+            // where the two paths are pixel-identical (truecolor 2, palette
+            // 3, truecolor+alpha 6); gray 0 and gray+alpha 4 stay here at any
+            // size so their value-copy raster semantics never depend on size.
+            if ((colorType == 2 || colorType == 3 || colorType == 6) &&
+                w.toLong * h > 16384) return None
           case "PLTE" if len % 3 == 0 && len <= 768 =>
             plte = java.util.Arrays.copyOfRange(p, body, body + len)
           case "tRNS" if len <= 256 =>

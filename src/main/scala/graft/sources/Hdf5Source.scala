@@ -321,8 +321,15 @@ object Hdf5Source {
       heap.resolve(uN(idOff + 1, heap.offSz))
     }
 
-    /** Record offsets of every record in a v2 B-tree of depth <= 1 (a name
-      * index over thousands of links/attrs before depth 2 is ever needed). */
+    /** Record offsets of every record in a v2 B-tree of ANY depth (r13,
+      * VERDICT r12 #7 — depth ≤ 1 previously refused station files with
+      * hundreds of dense attributes). Internal-node child-pointer entries are
+      * (address, child-record count[, subtree total-record count when the
+      * child is itself internal]); both count fields are sized by the
+      * THEORETICAL maxima the header's node size implies, computed per depth
+      * exactly as the public format spec prescribes (records-per-leaf from
+      * node space, then per-internal-level from the space left by one child
+      * entry). Internal records are real records too. */
     private def btree2Records(addr: Long, expectType: Int): Seq[Long] = {
       require(sig(addr, "BTHD"), "bad v2 B-tree header signature")
       require(u8(addr + 4) == 0, s"unsupported v2 B-tree version ${u8(addr + 4)}")
@@ -333,26 +340,40 @@ object Hdf5Source {
       val depth = u16(addr + 12)
       val rootAddr = u64(addr + 16)
       val nRecRoot = u16(addr + 24)
-      require(depth <= 1, s"v2 B-tree depth $depth unsupported (<= 1)")
       if (rootAddr == Undef) return Seq.empty
-      def leaf(a: Long, n: Int): Seq[Long] = {
-        require(sig(a, "BTLF"), "bad v2 B-tree leaf signature")
-        (0 until n).map(i => a + 6 + i.toLong * recSize)
+      val space = nodeSize - 10 // node minus sig/ver/type/checksum
+      def encSize(v: Long): Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(v max 1L)) / 8 + 1
+      // maxN(d): max records a depth-d node can hold; totN(d): max records in
+      // a depth-d subtree — these size the count fields of child pointers
+      val maxN = new Array[Long](depth + 1)
+      val totN = new Array[Long](depth + 1)
+      maxN(0) = space / recSize; totN(0) = maxN(0)
+      var d = 1
+      while (d <= depth) {
+        val entrySz = 8 + encSize(maxN(d - 1)) +
+          (if (d >= 2) encSize(totN(d - 1)) else 0)
+        maxN(d) = (space - entrySz) / (recSize + entrySz)
+        totN(d) = (maxN(d) + 1) * totN(d - 1) + maxN(d)
+        d += 1
       }
-      if (depth == 0) leaf(rootAddr, nRecRoot)
-      else {
-        require(sig(rootAddr, "BTIN"), "bad v2 B-tree internal node signature")
-        // internal records are real records too; child pointers follow them
-        val own = (0 until nRecRoot).map(i => rootAddr + 6 + i.toLong * recSize)
-        val maxLeafRec = (nodeSize - 10) / recSize // node minus sig/ver/type/checksum
-        val nRecSz = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec max 1L)).toInt / 8 + 1
-        val ptrs = rootAddr + 6 + nRecRoot.toLong * recSize
-        val kids = (0 to nRecRoot).flatMap { i =>
-          val pp = ptrs + i.toLong * (8 + nRecSz)
-          leaf(u64(pp), uN(pp + 8, nRecSz).toInt)
+      def node(a: Long, n: Int, dep: Int): Seq[Long] =
+        if (dep == 0) {
+          require(sig(a, "BTLF"), "bad v2 B-tree leaf signature")
+          (0 until n).map(i => a + 6 + i.toLong * recSize)
+        } else {
+          require(sig(a, "BTIN"), "bad v2 B-tree internal node signature")
+          val own = (0 until n).map(i => a + 6 + i.toLong * recSize)
+          val cntSz = encSize(maxN(dep - 1))
+          val entrySz = 8 + cntSz + (if (dep >= 2) encSize(totN(dep - 1)) else 0)
+          val ptrs = a + 6 + n.toLong * recSize
+          val kids = (0 to n).flatMap { i =>
+            val pp = ptrs + i.toLong * entrySz
+            node(u64(pp), uN(pp + 8, cntSz).toInt, dep - 1)
+          }
+          own ++ kids
         }
-        own ++ kids
-      }
+      node(rootAddr, nRecRoot, depth)
     }
 
     // ---------------------------------------------------------- datatypes

@@ -448,6 +448,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG size gate (r13): large color routes to javax, gray stays value-copy fast") {
+    def mk(tpe: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, tpe)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (((x * 3) % 256) << 16) | (((y * 5) % 256) << 8) | ((x + y) % 256))
+      ImageCodec.encodePng(img)
+    }
+    val bigColor = mk(java.awt.image.BufferedImage.TYPE_INT_RGB, 160, 120)
+    val smallColor = mk(java.awt.image.BufferedImage.TYPE_INT_RGB, 64, 48)
+    // 160*120 = 19200 > 16384: fast path declines, tryDecode still succeeds
+    assert(ImageCodec.tryDecodePngFast(bigColor).isEmpty)
+    assert(ImageCodec.tryDecode(bigColor).exists(i => i.getWidth == 160))
+    assert(ImageCodec.tryDecodePngFast(smallColor).isDefined)
+    // gray is NOT size-gated (value-copy semantics must not depend on size)
+    val bigGray = {
+      val img = new java.awt.image.BufferedImage(
+        160, 120, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 120; x <- 0 until 160)
+        img.getRaster.setSample(x, y, 0, (x * 2 + y) % 256)
+      ImageCodec.encodePng(img)
+    }
+    val g = ImageCodec.tryDecodePngFast(bigGray)
+    assert(g.isDefined, "large gray must stay on the value-copy fast path")
+    assert((g.get.getRGB(10, 10) & 0xff) == (10 * 2 + 10) % 256) // value-copy
+  }
+
   test("buildMjpegAvi round-trips through the AVI parser: header + byte-exact frames") {
     val fr = Seq(jpegBytes(24, 16), jpegBytes(24, 16), jpegBytes(24, 16))
     val avi = VideoCodec.buildMjpegAvi(fr, 24, 16)

