@@ -948,14 +948,11 @@ object QueriesLlm {
       val rows = mediaFixture(s, dir, "mm5_avi_v1", did =>
         graft.multimodal.MultimodalOps.MediaRow(did, "video",
           graft.multimodal.MultimodalOps.mm5FixtureAvi(did), Map.empty))
-      // frame key = docId*16 + frameIdx (nFrames < 16): one long keeps the
-      // raster kernel's MediaRow contract; split back relationally after
-      val frames = graft.multimodal.MultimodalOps.sampleVideoFrames(rows)
-        .map { case (id, idx, f) =>
-          graft.multimodal.MultimodalOps.MediaRow(id * 16 + idx, "image", f, Map.empty) }
-      val dh = graft.multimodal.MultimodalOps.imageGrayRaster(frames)
-        .select(floor(col("id") / 16).cast("long").as("doc_id"),
-          pmod(col("id"), lit(16)).cast("long").as("frame_idx"),
+      // fused walk→decode→raster kernel (r13): one typed boundary per frame
+      // instead of three (tuple → MediaRow → row re-serialized the ~KB frame
+      // payload twice per frame)
+      val dh = graft.multimodal.MultimodalOps.videoGrayRasters(rows)
+        .select(col("id").as("doc_id"), col("frame_idx").cast("long"),
           graft.multimodal.MultimodalOps.dHash(col("gray")).as("dh"))
         .select(col("doc_id"), col("frame_idx"),
           col("dh.hi").as("hi"), col("dh.lo").as("lo"))

@@ -45,7 +45,8 @@ object MultimodalOps {
 
     def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       tryDecodePngFast(payload)
-        .orElse(tryDecodeJpegReused(payload))
+        .orElse(JpegCodec.tryDecode(payload)) // from-scratch baseline decoder
+        .orElse(tryDecodeJpegReused(payload)) // progressive/large/odd-sampling
         .orElse(tryDecodeJavax(payload))
 
     /** The generic javax.imageio path (gray/palette/interlaced PNG, GIF, BMP,
@@ -80,6 +81,54 @@ object MultimodalOps {
     }
 
     private val jpegReader = new ThreadLocal[javax.imageio.ImageReader]()
+    private val jpegScratch = new ThreadLocal[java.awt.image.BufferedImage]()
+
+    /** [[tryDecode]] that may return a PER-THREAD SCRATCH image (r13): on a
+      * frame corpus every decode otherwise allocates + zero-fills a fresh
+      * BufferedImage (3M × ~18 KB on mm5's 100× run — pure GC churn). When
+      * consecutive JPEG decodes on a thread share geometry, the reader
+      * decodes INTO the previous image via ImageReadParam.setDestination.
+      * CONTRACT: the returned image is only valid until the next call on the
+      * same thread — for strictly per-row consumers (imageGrayRaster, resize,
+      * decodeBatch: compute, then drop the reference) — callers that hold
+      * images across rows must use [[tryDecode]]. Non-JPEG payloads and
+      * geometry changes take the allocating paths unchanged. */
+    private[multimodal] def tryDecodeScratch(
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      tryDecodePngFast(payload)
+        .orElse(JpegCodec.tryDecode(payload)) // from-scratch baseline decoder
+        .orElse(tryDecodeJpegScratch(payload))
+        .orElse(tryDecodeJavax(payload))
+
+    private def tryDecodeJpegScratch(
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (payload.length < 3 || (payload(0) & 0xff) != 0xff ||
+          (payload(1) & 0xff) != 0xd8) return None
+      var rd = jpegReader.get()
+      if (rd == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+        if (!it.hasNext) return None
+        rd = it.next(); jpegReader.set(rd)
+      }
+      try {
+        rd.setInput(new ByteArrayImageInputStream(payload))
+        val w = rd.getWidth(0); val h = rd.getHeight(0) // header-only parse
+        val param = rd.getDefaultReadParam
+        val scratch = jpegScratch.get()
+        if (scratch != null && scratch.getWidth == w && scratch.getHeight == h)
+          param.setDestination(scratch)
+        val img = rd.read(0, param)
+        if (img ne scratch) jpegScratch.set(img) // adopt the new geometry/type
+        Option(img)
+      } catch {
+        case _: Exception =>
+          // a type-mismatched destination or dirty reader state: drop both and
+          // let the caller's orElse retry through the plain allocating path
+          try rd.dispose() catch { case _: Exception => () }
+          jpegReader.remove(); jpegScratch.remove()
+          tryDecodeJpegReused(payload)
+      }
+    }
 
     /** Reused-reader JPEG path (VERDICT r12 #1 — the last per-row javax SPI
       * dispatch site): `ImageIO.read` re-runs the reader-SPI registry scan,
@@ -278,6 +327,15 @@ object MultimodalOps {
       val (sw, sh) = (img.getWidth, img.getHeight)
       val w = math.max(sw / stride, 1)
       val h = math.max(sh / stride, 1)
+      // bulk pixel grab (r13): one pass per image instead of a virtually-
+      // dispatched call per pixel (the mm5 lesson). Alpha is averaged, so the
+      // zero-copy grab is only safe when the source's alpha bits are real
+      // (ARGB model, or the JPEG wrap which pre-sets 0xFF)
+      val px =
+        if (img.getColorModel.hasAlpha || (img.getColorModel eq JpegCodec.RgbModel))
+          packedArgbOrCopy(img)
+        else img.getRGB(0, 0, sw, sh, null, 0, sw)
+      val dst = new Array[Int](w * h)
       val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
       var y = 0
       while (y < h) {
@@ -287,10 +345,11 @@ object MultimodalOps {
           var sy = y * stride
           val ey = math.min(sy + stride, sh)
           while (sy < ey) {
+            val row = sy * sw
             var sx = x * stride
             val ex = math.min(sx + stride, sw)
             while (sx < ex) {
-              val p = img.getRGB(sx, sy)
+              val p = px(row + sx)
               a += (p >>> 24) & 0xff; r += (p >>> 16) & 0xff
               g += (p >>> 8) & 0xff; b += p & 0xff
               n += 1; sx += 1
@@ -298,11 +357,12 @@ object MultimodalOps {
             sy += 1
           }
           def avg(s: Long) = ((s + n / 2) / n).toInt
-          out.setRGB(x, y, (avg(a) << 24) | (avg(r) << 16) | (avg(g) << 8) | avg(b))
+          dst(y * w + x) = (avg(a) << 24) | (avg(r) << 16) | (avg(g) << 8) | avg(b)
           x += 1
         }
         y += 1
       }
+      out.setRGB(0, 0, w, h, dst, 0, w)
       out
     }
 
@@ -310,6 +370,75 @@ object MultimodalOps {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    /** From-scratch PNG ENCODER (r13 — the write-side twin of the decode fast
+      * paths): `ImageIO.write` pays writer-SPI dispatch, a caching stream
+      * wrapper, AND a level-6 deflate per call — the [[resize]] hot path pays
+      * it per image at corpus scale. Emits 8-bit truecolor (or +alpha when
+      * the source has it), filter 0 on every row, one IDAT, level-1 deflate
+      * (the s26 zarr-writer tradeoff: encode speed over a few % of size —
+      * resize output is intermediate data, not an archival artifact).
+      * Pixel-exact round-trip through any spec-conforming decoder
+      * (MultimodalSpec pins both our fast path and ImageIO). */
+    def encodePngFast(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val hasAlpha = img.getColorModel.hasAlpha
+      val bpp = if (hasAlpha) 4 else 3
+      // one bulk grab (zero-copy for fast-path images); alpha bits are only
+      // read when the color model declares alpha, so the grab is always safe
+      val px = packedArgbOrCopy(img)
+      val raw = new Array[Byte](h * (1 + w * bpp))
+      var o = 0
+      var y = 0
+      while (y < h) {
+        raw(o) = 0 // filter: None
+        o += 1
+        val row = y * w
+        var x = 0
+        while (x < w) {
+          val p = px(row + x)
+          raw(o) = ((p >> 16) & 0xff).toByte
+          raw(o + 1) = ((p >> 8) & 0xff).toByte
+          raw(o + 2) = (p & 0xff).toByte
+          if (hasAlpha) { raw(o + 3) = ((p >>> 24) & 0xff).toByte; o += 4 }
+          else o += 3
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater(1)
+      defl.setInput(raw); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream(comp.size() + 64)
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), 0, 8)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        def be32(v: Long): Array[Byte] = Array.tabulate(4)(i =>
+          ((v >> (8 * (3 - i))) & 0xff).toByte)
+        val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        out.write(be32(data.length.toLong), 0, 4)
+        out.write(t, 0, 4); out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t); crc.update(data)
+        out.write(be32(crc.getValue), 0, 4)
+      }
+      val ihdr = new Array[Byte](13)
+      def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+        a(off) = ((v >> 24) & 0xff).toByte; a(off + 1) = ((v >> 16) & 0xff).toByte
+        a(off + 2) = ((v >> 8) & 0xff).toByte; a(off + 3) = (v & 0xff).toByte
+      }
+      putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = (if (hasAlpha) 6 else 2).toByte // truecolor (+alpha)
+      // compression 0, filter 0, interlace 0 already zero
+      chunk("IHDR", ihdr)
+      chunk("IDAT", comp.toByteArray)
+      chunk("IEND", Array.empty[Byte])
+      out.toByteArray
     }
 
     /** JPEG encode at an explicit quality (fixture synthesis only — operators
@@ -696,7 +825,7 @@ object MultimodalOps {
     import spark.implicits._
     ds.mapPartitions(_.map { r =>
       val real = r.kind match {
-        case "image" => ImageCodec.tryDecode(r.payload).map(img =>
+        case "image" => ImageCodec.tryDecodeScratch(r.payload).map(img =>
           Decoded(r.id, r.kind, img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents, 1, "imageio"))
         case "audio" => AudioCodec.tryDecode(r.payload).map { case (rate, bits, ch, fr) =>
@@ -821,11 +950,11 @@ object MultimodalOps {
     import spark.implicits._
     ds.mapPartitions(_.map { r =>
       val n = r.payload.length
-      val realImg = if (r.kind == "image") ImageCodec.tryDecode(r.payload) else None
+      val realImg = if (r.kind == "image") ImageCodec.tryDecodeScratch(r.payload) else None
       realImg match {
         case Some(img) =>
           val small = ImageCodec.boxResize(img, stride)
-          r.copy(payload = ImageCodec.encodePng(small),
+          r.copy(payload = ImageCodec.encodePngFast(small),
             meta = r.meta + ("resize_stride" -> stride.toString,
               "orig_bytes" -> n.toString, "resize_codec" -> "imageio",
               "orig_w" -> img.getWidth.toString, "orig_h" -> img.getHeight.toString,
@@ -870,6 +999,15 @@ object MultimodalOps {
     * and wraps Java's long), so the hash itself is SQL-oracle-exact. Pure
     * Catalyst HOF — hashes at scan speed, no UDF. */
   def dHash(gray: Column, hashW: Int = 8, hashH: Int = 8): Column = {
+    require(hashW * hashH == 64, "dHash is a 64-bit code: hashW*hashH must be 64")
+    graft.expr.DHash64.expr(gray, hashW) // native (r13); HOF twin kept below
+  }
+
+  /** The pre-r13 HOF formulation of [[dHash]], kept as the parity reference
+    * (MultimodalSpec pins native == HOF on random rasters): ~64 interpreted
+    * lambda bodies per row made it the measured per-row floor of the image
+    * family at 100×. */
+  private[multimodal] def dHashHof(gray: Column, hashW: Int = 8, hashH: Int = 8): Column = {
     require(hashW * hashH == 64, "dHash is a 64-bit code: hashW*hashH must be 64")
     val powers = typedlit((0 until 32).map(1L << _))
     def half(offset: Int): Column =
@@ -955,37 +1093,92 @@ object MultimodalOps {
                      (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     ds.mapPartitions(_.flatMap { r =>
-      ImageCodec.tryDecode(r.payload).map { img =>
-        val (tw, th) = (hashW + 1, hashH)
-        val (sw, sh) = (img.getWidth, img.getHeight)
-        val gray = new Array[Int](tw * th)
-        var y = 0
-        while (y < th) {
-          val sy0 = y * sh / th
-          val sy1 = math.max((y + 1) * sh / th, sy0 + 1)
-          var x = 0
-          while (x < tw) {
-            val sx0 = x * sw / tw
-            val sx1 = math.max((x + 1) * sw / tw, sx0 + 1)
-            var sum = 0L; var n = 0L
-            var sy = sy0
-            while (sy < sy1) {
-              var sx = sx0
-              while (sx < sx1) {
-                val p = img.getRGB(sx, sy)
-                sum += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
-                  (p & 0xff) * 114) / 1000
-                n += 1; sx += 1
-              }
-              sy += 1
-            }
-            gray(y * tw + x) = ((sum + n / 2) / n).toInt
-            x += 1
-          }
-          y += 1
-        }
-        (r.id, gray.toSeq)
-      }
+      ImageCodec.tryDecodeScratch(r.payload)
+        .map(img => (r.id, grayRasterOf(img, hashW, hashH).toSeq))
     }).toDF("id", "gray")
+  }
+
+  /** Packed (A)RGB ints of an image, ZERO-COPY when the raster already is a
+    * stride==width packed int array (the JPEG fast path's wrap — which
+    * pre-sets 0xFF alpha bits — and the PNG fast path's TYPE_INT_ARGB);
+    * one bulk getRGB otherwise (javax 3BYTE_BGR etc). Alpha bits are only
+    * trustworthy when the color model has alpha or is the JPEG wrap —
+    * [[boxResize]] checks that; luma readers ignore alpha entirely. */
+  private def packedArgbOrCopy(img: java.awt.image.BufferedImage): Array[Int] = {
+    val r = img.getRaster
+    (r.getSampleModel, r.getDataBuffer) match {
+      case (sm: java.awt.image.SinglePixelPackedSampleModel,
+            db: java.awt.image.DataBufferInt)
+          if sm.getScanlineStride == img.getWidth && db.getNumBanks == 1 &&
+            db.getOffset == 0 && r.getSampleModelTranslateX == 0 &&
+            r.getSampleModelTranslateY == 0 =>
+        db.getData
+      case _ =>
+        img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    }
+  }
+
+  /** The box-mean luma kernel shared by [[imageGrayRaster]] and
+    * [[videoGrayRasters]]: one bulk pixel grab per image (the per-pixel
+    * getRGB call runs the ColorModel conversion through a virtual dispatch
+    * per pixel — on a 3M-frame corpus that was billions of calls; the JPEG/
+    * PNG fast-path images hand over their int array zero-copy), then exact
+    * integer box means with half-up rounding. */
+  private def grayRasterOf(img: java.awt.image.BufferedImage,
+                           hashW: Int, hashH: Int): Array[Int] = {
+    val (tw, th) = (hashW + 1, hashH)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val px = packedArgbOrCopy(img)
+    val gray = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy0 = y * sh / th
+      val sy1 = math.max((y + 1) * sh / th, sy0 + 1)
+      var x = 0
+      while (x < tw) {
+        val sx0 = x * sw / tw
+        val sx1 = math.max((x + 1) * sw / tw, sx0 + 1)
+        var sum = 0L; var n = 0L
+        var sy = sy0
+        while (sy < sy1) {
+          val row = sy * sw
+          var sx = sx0
+          while (sx < sx1) {
+            val p = px(row + sx)
+            sum += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+              (p & 0xff) * 114) / 1000
+            n += 1; sx += 1
+          }
+          sy += 1
+        }
+        gray(y * tw + x) = ((sum + n / 2) / n).toInt
+        x += 1
+      }
+      y += 1
+    }
+    gray
+  }
+
+  /** FUSED video on-ramp (r13): container walk → per-frame JPEG decode →
+    * box-mean luma raster in ONE mapPartitions pass, emitting
+    * (id, frame_idx, gray) rows directly. Equivalent to
+    * [[sampleVideoFrames]] + a MediaRow re-wrap + [[imageGrayRaster]], minus
+    * two typed-encoder boundaries per FRAME (tuple→MediaRow→row: each one
+    * re-serializes the ~KB frame payload and the meta map through the
+    * case-class encoder — pure overhead on a multi-million-frame corpus).
+    * Undecodable frames drop, like imageGrayRaster's contract. */
+  def videoGrayRasters(ds: Dataset[MediaRow], stride: Int = 1,
+                       hashW: Int = 8, hashH: Int = 8)
+                      (implicit spark: SparkSession): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      VideoCodec.frames(r.payload).iterator.zipWithIndex
+        .filter(_._2 % stride == 0)
+        .flatMap { case (f, i) =>
+          ImageCodec.tryDecodeScratch(f)
+            .map(img => (r.id, i, grayRasterOf(img, hashW, hashH).toSeq))
+        }
+    }).toDF("id", "frame_idx", "gray")
   }
 }

@@ -474,6 +474,59 @@ class MultimodalSpec extends SparkSpec {
     assert((g.get.getRGB(10, 10) & 0xff) == (10 * 2 + 10) % 256) // value-copy
   }
 
+  test("dHash native expression == HOF formulation; codegen == interpreted (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    // random 72-cell rasters + a flat one (all bits unset); short/empty
+    // arrays are asserted on the native path alone below — the HOF's
+    // element_at THROWS on out-of-range (Spark 4 strict indexing), so the
+    // native expression is strictly more total there
+    val rows = (0 until 300).map(i => (i.toLong, Seq.fill(72)(rnd.nextInt(256)))) ++
+      Seq((300L, Seq.fill(72)(9)))
+    val df = rows.toDF("id", "gray")
+    def both() = df.select(col("id"),
+        dHash(col("gray")).as("n"), dHashHof(col("gray")).as("h"))
+      .select(col("id"), col("n.hi"), col("n.lo"), col("h.hi"), col("h.lo"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = both()
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    val gen = both()
+    assert(interp.toSeq == gen.toSeq, "codegen/interpreted drift")
+    gen.foreach { case (id, nhi, nlo, hhi, hlo) =>
+      assert(nhi == hhi && nlo == hlo, s"native != HOF for raster $id")
+    }
+    assert(gen.find(_._1 == 300L).exists(r => r._2 == 0L && r._3 == 0L))
+    // native is total on short/empty rasters: out-of-range cells -> unset bits
+    val edge = Seq((0L, Seq.fill(10)(7)), (1L, Seq.empty[Int])).toDF("id", "gray")
+      .select(dHash(org.apache.spark.sql.functions.col("gray")).as("d"))
+      .select(col("d.hi"), col("d.lo")).as[(Long, Long)].collect()
+    assert(edge.forall(r => r._1 == 0L && r._2 == 0L))
+  }
+
+  test("encodePngFast: pixel-exact round-trip via both our fast path and ImageIO") {
+    for (alpha <- Seq(false, true)) {
+      val tpe = if (alpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val img = new java.awt.image.BufferedImage(37, 23, tpe) // odd dims on purpose
+      for (y <- 0 until 23; x <- 0 until 37) {
+        val a = if (alpha) ((x * 11 + y * 7) % 256) << 24 else 0xff000000
+        img.setRGB(x, y, a | (((x * 5) % 256) << 16) | (((y * 9) % 256) << 8) | ((x ^ y) % 256))
+      }
+      val png = ImageCodec.encodePngFast(img)
+      val viaFast = ImageCodec.tryDecodePngFast(png)
+      val viaJavax = ImageCodec.tryDecodeJavax(png)
+      assert(viaFast.isDefined && viaJavax.isDefined, s"alpha=$alpha undecodable")
+      for (y <- 0 until 23; x <- 0 until 37) {
+        val want = if (alpha) img.getRGB(x, y)
+                   else img.getRGB(x, y) | 0xff000000
+        assert(viaFast.get.getRGB(x, y) == want, s"fast drift $x,$y alpha=$alpha")
+        assert(viaJavax.get.getRGB(x, y) == want, s"javax drift $x,$y alpha=$alpha")
+      }
+    }
+  }
+
   test("buildMjpegAvi round-trips through the AVI parser: header + byte-exact frames") {
     val fr = Seq(jpegBytes(24, 16), jpegBytes(24, 16), jpegBytes(24, 16))
     val avi = VideoCodec.buildMjpegAvi(fr, 24, 16)

@@ -48,6 +48,11 @@ object PngTailBench {
       println(f"${w}x$h${if (gated) " (gated->javax)" else ""}: " +
         f"fast 8-bit $fast8%8.2f | javax 8-bit $javax8%8.2f " +
         f"(${javax8 / fast8}%.2fx) | javax 16-bit gray $javax16%8.2f us/img")
+      // write side (the resize hot path): ImageIO.write vs encodePngFast
+      val encJavax = time(n)(png(rgb8))
+      val encFast = time(n)(ImageCodec.encodePngFast(rgb8))
+      println(f"${w}x$h encode: fast $encFast%8.2f | ImageIO.write $encJavax%8.2f " +
+        f"(${encJavax / encFast}%.2fx) us/img")
     }
   }
 }
