@@ -11,8 +11,11 @@ package graft.multimodal
   * precision, grayscale or 3-component YCbCr with 4:4:4 (1×1) or 4:2:0 (2×2)
   * chroma sampling, restart markers. Progressive (SOF2), arithmetic coding,
   * 12-bit, CMYK/Adobe-RGB, and other sampling shapes DECLINE → the caller
-  * falls back to javax. Large images also decline (the PNG-size-gate lesson:
-  * the fast path's win is per-call overhead, which amortizes away).
+  * falls back to javax. So do LARGE payloads/images: the measured win region
+  * (JpegCrossoverProbe/JpegStageProbe, SCALE.md r13) is small sparse streams
+  * — thumbnails and DC-heavy video frames — where the JNI path's fixed
+  * per-call cost dominates; on dense entropy streams the native decoder's
+  * per-byte Huffman speed wins, so payloads over ~4 KB decline.
   *
   * Pixel parity: every stage reimplements the PUBLISHED algorithm the JDK's
   * native decoder (libjpeg) uses — the Annex-K canonical Huffman decode, the
@@ -25,9 +28,10 @@ package graft.multimodal
   * documented divergence from ImageIO's colorimetric gray handling. */
 object JpegCodec {
 
-  /** pixels beyond this decline to javax (per-call overhead amortizes away
-    * on large images — the measured PNG crossover, kept conservative) */
-  private val MaxPixels = 1 << 18 // 512x512
+  /** measured win-region gates (see scaladoc): beyond either, decline to the
+    * javax path, whose native per-byte decode speed wins on dense streams */
+  private val MaxPixels = 1 << 16 // 256x256
+  private val MaxBytes = 4096
 
   // zigzag index -> natural (row-major) index
   private val ZigNat: Array[Int] = Array(
@@ -37,6 +41,11 @@ object JpegCodec {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
   def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload.length > MaxBytes) None else tryDecodeUngated(payload)
+
+  /** gate-free entry for parity pins and the probe micro-benches. */
+  private[multimodal] def tryDecodeUngated(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try decodeImpl(payload)
     catch { case scala.util.control.NonFatal(_) => None }
 
@@ -130,7 +139,21 @@ object JpegCodec {
         pos += 1; acc = (acc << 8) | v; n += 8
       } else { hitMarker = true; acc <<= 8; n += 8 }
     }
-    def ensure(k: Int): Unit = while (n < k) pull()
+    def ensure(k: Int): Unit = {
+      // fast lane: gulp 4 stuffing-free bytes at a time (the common case —
+      // 0xFF bytes are rare in entropy data); fall back per-byte at 0xFF,
+      // markers, and the tail
+      while (n < k) {
+        if (n <= 32 && pos + 4 <= b.length) {
+          val b0 = b(pos) & 0xff; val b1 = b(pos + 1) & 0xff
+          val b2 = b(pos + 2) & 0xff; val b3 = b(pos + 3) & 0xff
+          if (b0 != 0xff && b1 != 0xff && b2 != 0xff && b3 != 0xff) {
+            acc = (acc << 32) | ((b0.toLong << 24) | (b1 << 16) | (b2 << 8) | b3)
+            n += 32; pos += 4
+          } else pull()
+        } else pull()
+      }
+    }
     def peek8(): Int = { ensure(8); ((acc >>> (n - 8)) & 0xff).toInt }
     def skip(k: Int): Unit = { n -= k }
     def getBit(): Int = { ensure(1); n -= 1; ((acc >>> n) & 1L).toInt }
@@ -305,12 +328,15 @@ object JpegCodec {
         while (x < w) { val v = y0.plane(ro + x); px(po + x) = 0xff000000 | (v << 16) | (v << 8) | v; x += 1 }
         yy += 1
       }
+    } else if (all11) {
+      yccToRgb(comps(0).plane, comps(0).pw, comps(1).plane, comps(2).plane,
+        comps(1).pw, w, h, px)
     } else {
-      val (cb, cr) =
-        if (all11) (comps(1).plane, comps(2).plane)
-        else (fancyUpsampleH2V2(comps(1), w, h), fancyUpsampleH2V2(comps(2), w, h))
-      val cw = if (all11) comps(1).pw else ((w + 1) / 2) * 2
-      yccToRgb(comps(0).plane, comps(0).pw, cb, cr, cw, w, h, px)
+      // fused fancy-upsample + color convert: materializing two full-size
+      // chroma planes cost ~6 image-size memory passes (measured dominant on
+      // flat large images); the per-row column sums are all the state the
+      // separable triangle filter needs
+      yccToRgbH2V2(comps(0).plane, comps(0).pw, comps(1), comps(2), w, h, px)
     }
     // zero-copy wrap: a packed INT_RGB raster directly over px (setRGB's
     // bulk copy was ~half the fixed per-image overhead). px carries 0xFF
@@ -383,8 +409,10 @@ object JpegCodec {
   private final val ConstBits = 13
   private final val Pass1Bits = 2
 
-  @inline private def descale(x: Long, n: Int): Int =
-    ((x + (1L << (n - 1))) >> n).toInt
+  // 32-bit fixed-point like the reference implementation: valid streams stay
+  // within int range at every step; invalid ones wrap identically to C int32
+  @inline private def descale(x: Int, n: Int): Int =
+    (x + (1 << (n - 1))) >> n
   @inline private def clampSample(v: Int): Int =
     if (v < 0) 0 else if (v > 255) 255 else v
 
@@ -402,17 +430,17 @@ object JpegCodec {
         var i = 0
         while (i < 8) { ws(col + 8 * i) = dc; i += 1 }
       } else {
-        var z2 = c(col + 16).toLong; var z3 = c(col + 48).toLong
+        var z2 = c(col + 16); var z3 = c(col + 48)
         var z1 = (z2 + z3) * C13_0541
         val t2 = z1 - z3 * C13_1847
         val t3 = z1 + z2 * C13_0765
-        z2 = c(col).toLong; z3 = c(col + 32).toLong
+        z2 = c(col); z3 = c(col + 32)
         val t0 = (z2 + z3) << ConstBits
         val t1 = (z2 - z3) << ConstBits
         val t10 = t0 + t3; val t13 = t0 - t3
         val t11 = t1 + t2; val t12 = t1 - t2
-        var a0 = c(col + 56).toLong; var a1 = c(col + 40).toLong
-        var a2 = c(col + 24).toLong; var a3 = c(col + 8).toLong
+        var a0 = c(col + 56); var a1 = c(col + 40)
+        var a2 = c(col + 24); var a3 = c(col + 8)
         z1 = a0 + a3; z2 = a1 + a2
         var zz3 = a0 + a2; var z4 = a1 + a3
         val z5 = (zz3 + z4) * C13_1175
@@ -438,21 +466,21 @@ object JpegCodec {
       val out = off + row * stride
       if (ws(r + 1) == 0 && ws(r + 2) == 0 && ws(r + 3) == 0 && ws(r + 4) == 0 &&
           ws(r + 5) == 0 && ws(r + 6) == 0 && ws(r + 7) == 0) {
-        val dc = clampSample(descale(ws(r).toLong, Pass1Bits + 3) + 128)
+        val dc = clampSample(descale(ws(r), Pass1Bits + 3) + 128)
         var i = 0
         while (i < 8) { plane(out + i) = dc; i += 1 }
       } else {
-        var z2 = ws(r + 2).toLong; var z3 = ws(r + 6).toLong
+        var z2 = ws(r + 2); var z3 = ws(r + 6)
         var z1 = (z2 + z3) * C13_0541
         val t2 = z1 - z3 * C13_1847
         val t3 = z1 + z2 * C13_0765
-        z2 = ws(r).toLong; z3 = ws(r + 4).toLong
+        z2 = ws(r); z3 = ws(r + 4)
         val t0 = (z2 + z3) << ConstBits
         val t1 = (z2 - z3) << ConstBits
         val t10 = t0 + t3; val t13 = t0 - t3
         val t11 = t1 + t2; val t12 = t1 - t2
-        var a0 = ws(r + 7).toLong; var a1 = ws(r + 5).toLong
-        var a2 = ws(r + 3).toLong; var a3 = ws(r + 1).toLong
+        var a0 = ws(r + 7); var a1 = ws(r + 5)
+        var a2 = ws(r + 3); var a3 = ws(r + 1)
         z1 = a0 + a3; z2 = a1 + a2
         var zz3 = a0 + a2; var z4 = a1 + a3
         val z5 = (zz3 + z4) * C13_1175
@@ -474,40 +502,6 @@ object JpegCodec {
     }
   }
 
-  // --------------------------------------- fancy (triangular) h2v2 upsample
-
-  /** the reference decoder's default h2v2 chroma upsample: a 3/4·near +
-    * 1/4·far triangle filter in both directions, edges replicated. Operates
-    * on the REAL downsampled geometry (ceil(w/2) × ceil(h/2)); output is
-    * (2·ceil(w/2)) wide. */
-  private def fancyUpsampleH2V2(c: Comp, w: Int, h: Int): Array[Int] = {
-    val dw = (w + 1) / 2; val dh = (h + 1) / 2
-    val ow = dw * 2
-    val out = new Array[Int](ow * (dh * 2))
-    val colsum = new Array[Int](dw)
-    var oy = 0
-    while (oy < dh * 2) {
-      val near = oy >> 1
-      val far = if ((oy & 1) == 0) math.max(near - 1, 0) else math.min(near + 1, dh - 1)
-      val nOff = near * c.pw; val fOff = far * c.pw
-      var i = 0
-      while (i < dw) { colsum(i) = 3 * c.plane(nOff + i) + c.plane(fOff + i); i += 1 }
-      val oOff = oy * ow
-      // horizontal triangle pass over the column sums
-      out(oOff) = (colsum(0) * 4 + 8) >> 4
-      var x = 0
-      while (x < dw) {
-        val thisc = colsum(x)
-        if (x > 0) out(oOff + 2 * x) = (thisc * 3 + colsum(x - 1) + 8) >> 4
-        if (x < dw - 1) out(oOff + 2 * x + 1) = (thisc * 3 + colsum(x + 1) + 7) >> 4
-        else out(oOff + 2 * x + 1) = (thisc * 4 + 7) >> 4
-        x += 1
-      }
-      oy += 1
-    }
-    out
-  }
-
   // ------------------------------------------------- fixed-point YCC -> RGB
 
   private val crR = new Array[Int](256)
@@ -524,6 +518,57 @@ object JpegCodec {
       crG(i) = -46802 * x
       cbG(i) = -22554 * x + 32768
       i += 1
+    }
+  }
+
+  /** FUSED h2v2 fancy upsample + YCC→RGB: the same separable triangle filter
+    * as [[fancyUpsampleH2V2]] (identical integer formulas → identical
+    * pixels), evaluated inline per output pixel from per-row column sums so
+    * the full-size chroma planes are never materialized. */
+  private def yccToRgbH2V2(yp: Array[Int], yStride: Int, cbC: Comp, crC: Comp,
+                           w: Int, h: Int, px: Array[Int]): Unit = {
+    val dw = (w + 1) / 2; val dh = (h + 1) / 2
+    val cbSum = new Array[Int](dw)
+    val crSum = new Array[Int](dw)
+    var oy = 0
+    while (oy < h) {
+      val near = oy >> 1
+      val far = if ((oy & 1) == 0) math.max(near - 1, 0)
+                else math.min(near + 1, dh - 1)
+      val nCb = near * cbC.pw; val fCb = far * cbC.pw
+      val nCr = near * crC.pw; val fCr = far * crC.pw
+      var i = 0
+      while (i < dw) {
+        cbSum(i) = 3 * cbC.plane(nCb + i) + cbC.plane(fCb + i)
+        crSum(i) = 3 * crC.plane(nCr + i) + crC.plane(fCr + i)
+        i += 1
+      }
+      val yO = oy * yStride; val pO = oy * w
+      var x = 0
+      while (x < w) {
+        val dx = x >> 1
+        var u = 0; var v = 0
+        if ((x & 1) == 0) {
+          if (dx == 0) { u = (cbSum(0) * 4 + 8) >> 4; v = (crSum(0) * 4 + 8) >> 4 }
+          else {
+            u = (cbSum(dx) * 3 + cbSum(dx - 1) + 8) >> 4
+            v = (crSum(dx) * 3 + crSum(dx - 1) + 8) >> 4
+          }
+        } else {
+          if (dx == dw - 1) { u = (cbSum(dx) * 4 + 7) >> 4; v = (crSum(dx) * 4 + 7) >> 4 }
+          else {
+            u = (cbSum(dx) * 3 + cbSum(dx + 1) + 7) >> 4
+            v = (crSum(dx) * 3 + crSum(dx + 1) + 7) >> 4
+          }
+        }
+        val yy = yp(yO + x)
+        val r = clampSample(yy + crR(v))
+        val g = clampSample(yy + ((cbG(u) + crG(v)) >> 16))
+        val bl = clampSample(yy + cbB(u))
+        px(pO + x) = 0xff000000 | (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      oy += 1
     }
   }
 

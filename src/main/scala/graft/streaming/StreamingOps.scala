@@ -363,6 +363,49 @@ object StreamingOps {
   final case class SpikeBufState(buf: List[Obs])
   final case class SpikeHit(key: String, ts: Long, value: Double)
 
+  final case class FrameHash(videoId: Long, frameIdx: Long, hi: Long, lo: Long)
+  final case class KeyframeState(lastIdx: Long, hi: Long, lo: Long)
+  final case class KeyframeOut(videoId: Long, frameIdx: Long, hamming: Long,
+                               isKeyframe: Int)
+
+  /** Streaming twin of mm5's keyframe detection (shot boundaries on a LIVE
+    * frame feed — the video-curation serving shape): per video, state is ONE
+    * (lastIdx, hi, lo) dHash triple; a frame is a keyframe when it is the
+    * video's first seen frame or its Hamming distance to the previous frame
+    * exceeds `maxHamming`. In-order feeds (the container-walk order a frame
+    * extractor produces) reproduce the batch lag-window flags EXACTLY
+    * (StreamingSpec pins batch == streaming across a mid-video batch split).
+    * Out-of-order frames within a micro-batch are handled by sorting;
+    * cross-batch stragglers older than the held frame compare against it and
+    * do NOT move state backward — the bounded-state approximation the other
+    * streaming twins document (state stays O(videos), not O(frames)). */
+  def keyframeStream(ds: Dataset[FrameHash], maxHamming: Int = 10)
+                    (implicit spark: SparkSession): Dataset[KeyframeOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.videoId)
+      .flatMapGroupsWithState[KeyframeState, KeyframeOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (vid: Long, rows: Iterator[FrameHash], state: GroupState[KeyframeState]) =>
+          val sorted = rows.toSeq.sortBy(_.frameIdx)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyframeOut]
+          var st = state.getOption.orNull
+          sorted.foreach { f =>
+            if (st == null) {
+              out += KeyframeOut(vid, f.frameIdx, 0L, 1)
+              st = KeyframeState(f.frameIdx, f.hi, f.lo)
+            } else {
+              val ham = java.lang.Long.bitCount(st.hi ^ f.hi) +
+                java.lang.Long.bitCount(st.lo ^ f.lo)
+              out += KeyframeOut(vid, f.frameIdx, ham.toLong,
+                if (ham > maxHamming) 1 else 0)
+              if (f.frameIdx >= st.lastIdx) st = KeyframeState(f.frameIdx, f.hi, f.lo)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming 1-point spike confirmation — W6's 1-pt pattern
     * (`qaqc_unusual_large_jumps.py:128-299`; see the batch [[graft.ops.SpikeOps]])
     * on a live feed. The decision for point i needs the diffs (d₋₁, d, d₊₁, d₊₂),

@@ -20,7 +20,7 @@ object JpegParityProbe {
         img.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0) smooth else noisy)
       }
       val jpeg = ImageCodec.encodeJpeg(img, q)
-      val ours = JpegCodec.tryDecode(jpeg)
+      val ours = JpegCodec.tryDecodeUngated(jpeg)
       val ref = ImageCodec.tryDecodeJavax(jpeg).get
       if (ours.isEmpty) { println(f"$w%3dx$h%-3d q=$q%.2f DECLINED"); fails += 1 }
       else {
@@ -74,7 +74,7 @@ object JpegSpeedProbe {
         while (i < n) { f; i += 1 }
         (System.nanoTime() - t0) / 1000.0 / n
       }
-      val tOurs = time(JpegCodec.tryDecode(jpeg))
+      val tOurs = time(JpegCodec.tryDecodeUngated(jpeg))
       val tJavax = time(ImageCodec.tryDecodeJpegReused(jpeg))
       println(f"q=$q%.2f bytes=${jpeg.length} luma-sampling=$samp ours=$tOurs%7.2f us reusedJavax=$tJavax%7.2f us (${tJavax / tOurs}%.2fx)")
     }
@@ -86,7 +86,7 @@ object JpegFlatProbe {
   def main(args: Array[String]): Unit = {
     val frames = MultimodalOps.VideoCodec.frames(MultimodalOps.mm5FixtureAvi(7L))
     val jpeg = frames.head
-    val ours = JpegCodec.tryDecode(jpeg).get
+    val ours = JpegCodec.tryDecodeUngated(jpeg).get
     val ref = ImageCodec.tryDecodeJavax(jpeg).get
     var diff = 0
     for (y <- 0 until 64; x <- 0 until 72)
@@ -98,8 +98,60 @@ object JpegFlatProbe {
       while (i < n) { f; i += 1 }
       (System.nanoTime() - t0) / 1000.0 / n
     }
-    val tO = time(JpegCodec.tryDecode(jpeg))
+    val tO = time(JpegCodec.tryDecodeUngated(jpeg))
     val tJ = time(ImageCodec.tryDecodeJpegReused(jpeg))
     println(f"flat frame bytes=${jpeg.length} diff=$diff ours=$tO%7.2f us reusedJavax=$tJ%7.2f us (${tJ / tO}%.2fx)")
+  }
+}
+
+/** size-crossover probe: where does JNI libjpeg overtake the JVM decoder? */
+object JpegCrossoverProbe {
+  def main(args: Array[String]): Unit = {
+    for ((w, h, n) <- Seq((72, 64, 30000), (128, 96, 10000), (256, 192, 3000),
+                          (400, 300, 1500), (512, 384, 800))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(9)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0)
+          ((x * 255 / w) << 16) | ((y * 255 / h) << 8) else rnd.nextInt(1 << 24))
+      val jpeg = ImageCodec.encodeJpeg(img, 0.85f)
+      def time(f: => Unit): Double = {
+        var i = 0; while (i < n / 10) { f; i += 1 }
+        val t0 = System.nanoTime(); i = 0
+        while (i < n) { f; i += 1 }
+        (System.nanoTime() - t0) / 1000.0 / n
+      }
+      val tO = time(JpegCodec.tryDecodeUngated(jpeg))
+      val tJ = time(ImageCodec.tryDecodeJpegReused(jpeg))
+      println(f"$w%4dx$h%-4d (${w * h}%7d px, ${jpeg.length}%6d B) ours=$tO%8.1f us javax=$tJ%8.1f us (${tJ / tO}%.2fx)")
+    }
+  }
+}
+
+/** isolate stage costs: flat (no Huffman/IDCT work) vs noisy at same size */
+object JpegStageProbe {
+  def main(args: Array[String]): Unit = {
+    for (flat <- Seq(true, false)) {
+      val (w, h, n) = (256, 192, 4000)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (flat) (((x / 8) * 37 + (y / 8) * 91) % 256)
+                else rnd.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val jpeg = ImageCodec.encodeJpeg(img, if (flat) 1.0f else 0.85f)
+      def time(f: => Unit): Double = {
+        var i = 0; while (i < n / 10) { f; i += 1 }
+        val t0 = System.nanoTime(); i = 0
+        while (i < n) { f; i += 1 }
+        (System.nanoTime() - t0) / 1000.0 / n
+      }
+      val tO = time(JpegCodec.tryDecodeUngated(jpeg))
+      val tJ = time(ImageCodec.tryDecodeJpegReused(jpeg))
+      println(f"${if (flat) "flat " else "noisy"} ${w}x$h ${jpeg.length}%6d B ours=$tO%8.1f javax=$tJ%8.1f (${tJ / tO}%.2fx)")
+    }
   }
 }

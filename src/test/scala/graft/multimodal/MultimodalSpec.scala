@@ -505,6 +505,52 @@ class MultimodalSpec extends SparkSpec {
     assert(edge.forall(r => r._1 == 0L && r._2 == 0L))
   }
 
+  test("JpegCodec: bit-exact vs the javax decoder on color JPEGs; gray Y value-copy") {
+    val rnd = new scala.util.Random(11)
+    for ((w, h) <- Seq((8, 8), (37, 23), (72, 64), (127, 85)); q <- Seq(1.0f, 0.75f, 0.5f)) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0)
+          (((x * 255) / math.max(w - 1, 1)) << 16) | (((y * 255) / math.max(h - 1, 1)) << 8)
+          else rnd.nextInt(1 << 24))
+      val jpeg = ImageCodec.encodeJpeg(img, q)
+      val ours = JpegCodec.tryDecodeUngated(jpeg)
+      val ref = ImageCodec.tryDecodeJavax(jpeg).get
+      assert(ours.isDefined, s"${w}x$h q=$q declined")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ours.get.getRGB(x, y) == ref.getRGB(x, y),
+          s"pixel drift at $x,$y (${w}x$h q=$q)")
+    }
+    // grayscale: our value-copy Y equals the javax raster SAMPLES (getRGB on
+    // javax's TYPE_BYTE_GRAY applies a colorspace transform — the documented
+    // PNG-gray-style divergence; the raw samples are the parity surface)
+    val gimg = new java.awt.image.BufferedImage(
+      40, 24, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40)
+      gimg.getRaster.setSample(x, y, 0, (x * 6 + y * 3) % 256)
+    val gjpeg = ImageCodec.encodeJpeg(gimg, 0.9f)
+    val gOurs = JpegCodec.tryDecodeUngated(gjpeg).get
+    val gRef = ImageCodec.tryDecodeJavax(gjpeg).get
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val ourY = gOurs.getRGB(x, y) & 0xff
+      assert(ourY == gRef.getRaster.getSample(x, y, 0), s"gray Y drift at $x,$y")
+      assert((gOurs.getRGB(x, y) >> 8 & 0xff) == ourY) // value-copy r=g=b
+    }
+    // the byte gate: >4KB payloads decline here but still decode via javax
+    val big = new java.awt.image.BufferedImage(
+      200, 150, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 150; x <- 0 until 200) big.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bigJpeg = ImageCodec.encodeJpeg(big, 0.95f)
+    assert(bigJpeg.length > 4096 && JpegCodec.tryDecode(bigJpeg).isEmpty)
+    assert(ImageCodec.tryDecode(bigJpeg).exists(_.getWidth == 200))
+    // progressive-free scope: corrupt/truncated payloads drop, never throw
+    assert(JpegCodec.tryDecode(bigJpeg.take(60)).isEmpty)
+    // the mm5 fixture frame rides the gated-in fast path end-to-end
+    val frame = VideoCodec.frames(mm5FixtureAvi(3L)).head
+    assert(frame.length <= 4096 && JpegCodec.tryDecode(frame).isDefined)
+  }
+
   test("encodePngFast: pixel-exact round-trip via both our fast path and ImageIO") {
     for (alpha <- Seq(false, true)) {
       val tpe = if (alpha) java.awt.image.BufferedImage.TYPE_INT_ARGB

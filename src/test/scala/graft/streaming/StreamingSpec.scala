@@ -459,4 +459,59 @@ class StreamingSpec extends SparkSpec {
       assert(stateRows <= 2, s"state rows $stateRows should be open groups only")
     } finally q.stop()
   }
+
+  test("streaming keyframe detector == batch mm5 flags across a mid-video batch split") {
+    implicit val sq = spark.sqlContext
+    import graft.multimodal.MultimodalOps
+    // real fixture frames -> the BATCH kernels (walk -> decode -> raster ->
+    // native dHash) produce the hashes; the stream twin must reproduce the
+    // batch lag-window flags on the in-order feed
+    val vids = Seq(3L, 8L)
+    val rows = vids.map(v =>
+      MultimodalOps.MediaRow(v, "video", MultimodalOps.mm5FixtureAvi(v), Map.empty))
+      .toDS()
+    val hashes = MultimodalOps.videoGrayRasters(rows)
+      .select(org.apache.spark.sql.functions.col("id").as("videoId"),
+        org.apache.spark.sql.functions.col("frame_idx").cast("long").as("frameIdx"),
+        MultimodalOps.dHash(org.apache.spark.sql.functions.col("gray")).as("dh"))
+      .select(org.apache.spark.sql.functions.col("videoId"),
+        org.apache.spark.sql.functions.col("frameIdx"),
+        org.apache.spark.sql.functions.col("dh.hi").as("hi"),
+        org.apache.spark.sql.functions.col("dh.lo").as("lo"))
+      .as[StreamingOps.FrameHash].collect().sortBy(f => (f.videoId, f.frameIdx))
+    // batch truth: frame 0 or hamming > 10 vs previous frame
+    val batchFlags = hashes.groupBy(_.videoId).flatMap { case (v, fs) =>
+      fs.sortBy(_.frameIdx).sliding(2).flatMap {
+        case Array(a, b) =>
+          val ham = java.lang.Long.bitCount(a.hi ^ b.hi) +
+            java.lang.Long.bitCount(a.lo ^ b.lo)
+          Seq((v, b.frameIdx) -> (if (ham > 10) 1 else 0))
+        case _ => Seq.empty
+      } ++ Seq((v, 0L) -> 1)
+    }.toMap
+    val input = MemoryStream[StreamingOps.FrameHash]
+    val out = StreamingOps.keyframeStream(input.toDS())
+    val q = out.writeStream.format("memory").queryName("keyframe_test")
+      .outputMode("append").start()
+    try {
+      // split MID-VIDEO: frames 0-2 of each video in batch 1, 3-5 in batch 2
+      input.addData(hashes.filter(_.frameIdx < 3).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(hashes.filter(_.frameIdx >= 3).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT videoId, frameIdx, isKeyframe FROM keyframe_test")
+        .as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed.size == vids.size * 6)
+      assert(streamed == batchFlags, "streaming flags drifted from the batch lag window")
+      // the shot boundary at frame 3 must have survived the batch split
+      vids.foreach(v => assert(streamed((v, 3L)) == 1, s"video $v shot boundary lost"))
+      // within-shot frames are not keyframes
+      vids.foreach(v => assert(streamed((v, 1L)) == 0 && streamed((v, 4L)) == 0))
+      // bounded state: one row per video
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == vids.size.toLong)
+    } finally q.stop()
+  }
 }
