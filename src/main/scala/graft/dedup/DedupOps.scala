@@ -233,17 +233,20 @@ object DedupOps {
 
   /** Over-cap ledger for [[lshCandidatePairs]] / [[minhashNearDups]] (and the
     * corpus∪shard union of [[incrementalNearDups]] when passed pre-unioned):
-    * the SAME [[hashedShingles]]→minhash→[[lshBandKeys]] construction the pair
-    * ops use (shared helpers, so the audited keys cannot drift from the join
-    * keys), no signature persist, no pairs. */
+    * built on the SAME persisted [[sigTable]] the pair ops use, so the
+    * audited keys cannot drift from the join keys (ADVICE r12) AND the
+    * signature evaluates once per row — an earlier inline form put the
+    * signature expression inside the band lambda, where projection collapse
+    * re-evaluated the full md5-shingle chain `bands` times per row (d22 at
+    * 100×: 104 s solo → the sigTable route, SCALE.md r13). No pairs. */
   def minhashCapStats(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       maxBucketSize: Int = 500,
                       strategy: HashStrategy = Md5Portable): DataFrame =
     bandCapLedger(
-      df.select(col(idCol), explode(lshBandKeys(
-        minhashSignatureFromHashes(hashedShingles(col(textCol), shingleN, strategy), k),
-        bands, k / bands)).as("_band")),
+      sigTable(df, idCol, textCol, shingleN, k, strategy)
+        .select(col(idCol),
+          explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band")),
       "_band", maxBucketSize)
 
   /** Over-cap ledger for [[simhashNearDups]]'s 4×8-bit multi-index. */
