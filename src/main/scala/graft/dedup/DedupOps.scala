@@ -231,22 +231,105 @@ object DedupOps {
           .as("n_members_excluded"),
         coalesce(max(col("_n")), lit(0L)).as("max_bucket"))
 
-  /** Over-cap ledger for [[lshCandidatePairs]] / [[minhashNearDups]] (and the
-    * corpus∪shard union of [[incrementalNearDups]] when passed pre-unioned):
-    * built on the SAME persisted [[sigTable]] the pair ops use, so the
-    * audited keys cannot drift from the join keys (ADVICE r12) AND the
-    * signature evaluates once per row — an earlier inline form put the
+  /** Over-cap ledger for [[lshCandidatePairs]] / [[minhashNearDups]] given a
+    * CALLER-SUPPLIED signature table (any frame with `idCol` and a `_sig`
+    * array column — i.e. the persisted [[sigTable]] a pair op in the same job
+    * already built). This is the genuine-sharing path (ADVICE r13): running
+    * the audit alongside `lshCandidatePairs` adds zero cached footprint, and
+    * the audited band keys are BY CONSTRUCTION the join keys (same `_sig`,
+    * same [[lshBandKeys]] rendering). Lazy; no pairs. */
+  def minhashCapStatsFromSig(sig: DataFrame, idCol: String,
+                             k: Int = 32, bands: Int = 8,
+                             maxBucketSize: Int = 500): DataFrame =
+    bandCapLedger(
+      sig.select(col(idCol),
+        explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band")),
+      "_band", maxBucketSize)
+
+  /** Self-contained over-cap ledger for [[lshCandidatePairs]] /
+    * [[minhashNearDups]] (and the corpus∪shard union of
+    * [[incrementalNearDups]] when passed pre-unioned). The signature must
+    * still evaluate exactly once per row — an earlier inline form put the
     * signature expression inside the band lambda, where projection collapse
     * re-evaluated the full md5-shingle chain `bands` times per row (d22 at
-    * 100×: 104 s solo → the sigTable route, SCALE.md r13). No pairs. */
+    * 100×: 104 s solo → 13.5 s, SCALE.md r13) — but a ledger-private persist
+    * of the full sigTable pinned a corpus-sized (id, _h32, _sig) cache entry
+    * per call forever, with the `_h32` shingle arrays never read (ADVICE
+    * r13). Now: persist ONLY the (id, _sig) projection the ledger needs,
+    * aggregate EAGERLY (the output is one audit row — this is the
+    * training-query class of BASELINE.md's cache-release contract), unpersist
+    * before returning, and hand back the materialized row. Leak-free for
+    * library callers; audits sharing a pair op's own sigTable should use
+    * [[minhashCapStatsFromSig]] instead. */
   def minhashCapStats(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       maxBucketSize: Int = 500,
-                      strategy: HashStrategy = Md5Portable): DataFrame =
+                      strategy: HashStrategy = Md5Portable): DataFrame = {
+    val spark = df.sparkSession
+    val sig = df
+      .withColumn("_sig",
+        minhashSignatureFromHashes(
+          hashedShingles(col(textCol), shingleN, strategy), k))
+      .select(col(idCol), col("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ledger = minhashCapStatsFromSig(sig, idCol, k, bands, maxBucketSize)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ledger.collect().toSeq, 1), ledger.schema)
+    } finally sig.unpersist(blocking = false)
+  }
+
+  /** Banded-Hamming pair chassis over PRECOMPUTED 64-bit codes, split as two
+    * signed 32-bit-halves-in-long columns (hi = bits 32..63, lo = 0..31): the
+    * shared candidate engine behind image dHash near-dup
+    * ([[graft.multimodal.MultimodalOps.dHashNearDups]]), audio energy-hash
+    * near-dup (mm7), and any future 64-bit perceptual code. 4×16-bit
+    * multi-index bands — the pigeonhole guarantee makes recall EXACT at
+    * hamming ≤ 3 (a ≤3-bit difference leaves at least one of four bands
+    * untouched) — then exact `bit_count(xor)` verify inside buckets. One
+    * shuffle on band keys; `maxBucketSize` caps the in-bucket quadratic
+    * (audit with [[bandCapLedger]] over the same band keys — no silent caps).
+    * Output: (id1, id2, hamming), id1 < id2, distinct. */
+  def hamming64Pairs(df: DataFrame, idCol: String, hiCol: String, loCol: String,
+                     maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    df.select(struct(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo"))
+          .as("_rec"),
+        explode(hamming64BandKeys(col(hiCol), col(loCol))).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("hamming",
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
+      .distinct()
+  }
+
+  /** The 4×16-bit band keys of a 64-bit (hi, lo) code — ONE definition shared
+    * by [[hamming64Pairs]] and its cap ledgers so audited keys cannot drift
+    * from join keys (the minhashCapStats rule). */
+  def hamming64BandKeys(hi: Column, lo: Column): Column = {
+    val parts = Seq(
+      lo.bitwiseAND(lit(65535L)),
+      shiftright(lo, 16).bitwiseAND(lit(65535L)),
+      hi.bitwiseAND(lit(65535L)),
+      shiftright(hi, 16).bitwiseAND(lit(65535L)))
+    array(parts.zipWithIndex.map { case (c, b) =>
+      concat(lit(s"$b:"), c.cast("string")) }: _*)
+  }
+
+  /** Over-cap ledger for [[hamming64Pairs]]'s bands (precomputed-code form of
+    * [[graft.multimodal.MultimodalOps.dHashCapStats]]). */
+  def hamming64CapStats(df: DataFrame, idCol: String, hiCol: String, loCol: String,
+                        maxBucketSize: Int = 2000): DataFrame =
     bandCapLedger(
-      sigTable(df, idCol, textCol, shingleN, k, strategy)
-        .select(col(idCol),
-          explode(lshBandKeys(col("_sig"), bands, k / bands)).as("_band")),
+      df.select(col(idCol),
+        explode(hamming64BandKeys(col(hiCol), col(loCol))).as("_band")),
       "_band", maxBucketSize)
 
   /** Over-cap ledger for [[simhashNearDups]]'s 4×8-bit multi-index. */

@@ -23,9 +23,11 @@ package graft.multimodal
   * shifts), the triangular "fancy" h2v2 chroma upsample, and the SCALEBITS=16
   * fixed-point YCbCr→RGB conversion — so decoded RGB matches the javax path
   * BIT-EXACTLY on color images (MultimodalSpec pins it across qualities,
-  * geometries, and both sampling shapes). Grayscale JPEGs decode by the
-  * VALUE-COPY convention (v → rgb(v,v,v)) like the PNG gray fast path — a
-  * documented divergence from ImageIO's colorimetric gray handling. */
+  * geometries, and both sampling shapes). Grayscale JPEGs decode
+  * COLORIMETRICALLY through the JDK's own CS_GRAY→sRGB LUT ([[GrayToArgb]]),
+  * matching the javax fallback bit-exactly — gray semantics must not depend
+  * on which side of the size gate a payload lands (ADVICE r13; gray PNGs
+  * keep value-copy, which is why they are exempt from the PNG size gate). */
 object JpegCodec {
 
   /** measured win-region gates (see scaladoc): beyond either, decline to the
@@ -325,7 +327,7 @@ object JpegCodec {
       while (yy < h) {
         val ro = yy * y0.pw; val po = yy * w
         var x = 0
-        while (x < w) { val v = y0.plane(ro + x); px(po + x) = 0xff000000 | (v << 16) | (v << 8) | v; x += 1 }
+        while (x < w) { px(po + x) = GrayToArgb(y0.plane(ro + x)); x += 1 }
         yy += 1
       }
     } else if (all11) {
@@ -345,6 +347,21 @@ object JpegCodec {
     val raster = java.awt.image.Raster.createPackedRaster(
       new java.awt.image.DataBufferInt(px, px.length), w, h, w, RgbMasks, null)
     Some(new java.awt.image.BufferedImage(RgbModel, raster, false, null))
+  }
+
+  /** javax's grayscale presentation of sample v, as one 256-entry LUT built
+    * by running the JDK's OWN TYPE_BYTE_GRAY → sRGB conversion (the CS_GRAY
+    * ColorSpace transform ImageIO applies in getRGB, e.g. 128 → ~186):
+    * bit-exact with the javax fallback BY CONSTRUCTION, so the same logical
+    * gray image decodes to identical ARGB — and identical dHash — on both
+    * sides of the size gate (ADVICE r13: the previous value-copy convention
+    * made gray decode semantics payload-size-dependent). */
+  private lazy val GrayToArgb: Array[Int] = {
+    val img = new java.awt.image.BufferedImage(256, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var v = 0
+    while (v < 256) { img.getRaster.setSample(v, 0, 0, v); v += 1 }
+    img.getRGB(0, 0, 256, 1, null, 0, 256)
   }
 
   private val RgbMasks = Array(0xff0000, 0x00ff00, 0x0000ff)

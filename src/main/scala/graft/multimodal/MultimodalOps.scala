@@ -1034,34 +1034,19 @@ object MultimodalOps {
     * ImageIO's colorimetric linear→sRGB decode — so the SAME logical gray
     * image encoded at different bit depths can yield different lumas, hence
     * different dHash codes (and 8-bit gray hashes changed across the r11→r12
-    * fast-path upgrade). Color (truecolor/palette) images are unaffected;
-    * gray corpora mixing bit depths should normalize depth before hashing. */
+    * fast-path upgrade). Gray JPEGs, by contrast, decode COLORIMETRICALLY on
+    * BOTH sides of the JpegCodec size gate (r14: [[JpegCodec.GrayToArgb]]
+    * matches the javax fallback bit-exactly, so a gray JPEG's dHash never
+    * depends on payload size — note this changed small-gray-JPEG hashes vs
+    * r13's value-copy convention, a one-time break called out in BASELINE).
+    * Color (truecolor/palette) images are unaffected; gray corpora mixing
+    * bit depths should normalize depth before hashing. */
   def dHashNearDups(df: DataFrame, idCol: String, grayCol: String,
-                    maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
-    require(maxHamming <= 3,
-      "4x16-bit banding guarantees recall only for maxHamming <= 3")
-    val h = df.select(col(idCol), dHash(col(grayCol)).as("_dh"))
-    val parts = Seq(
-      col("_dh.lo").bitwiseAND(lit(65535L)),
-      shiftright(col("_dh.lo"), 16).bitwiseAND(lit(65535L)),
-      col("_dh.hi").bitwiseAND(lit(65535L)),
-      shiftright(col("_dh.hi"), 16).bitwiseAND(lit(65535L)))
-    val bandKeys = parts.zipWithIndex.map { case (c, b) =>
-      concat(lit(s"$b:"), c.cast("string")) }
-    h.select(struct(col(idCol).as("id"), col("_dh").as("dh")).as("_rec"),
-        explode(array(bandKeys: _*)).as("_band"))
-      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
-      .filter(size(col("_recs")).between(2, maxBucketSize))
-      .select(explode(col("_recs")).as("a"), col("_recs"))
-      .select(col("a"), explode(col("_recs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .withColumn("hamming",
-        (bit_count(col("a.dh.hi").bitwiseXOR(col("b.dh.hi"))) +
-          bit_count(col("a.dh.lo").bitwiseXOR(col("b.dh.lo")))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
-      .distinct()
-  }
+                    maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame =
+    graft.dedup.DedupOps.hamming64Pairs(
+      df.select(col(idCol), dHash(col(grayCol)).as("_dh"))
+        .select(col(idCol), col("_dh.hi").as("_hi"), col("_dh.lo").as("_lo")),
+      idCol, "_hi", "_lo", maxHamming, maxBucketSize)
 
   /** Over-cap ledger for [[dHashNearDups]]'s 4×16-bit bands (the
     * [[graft.dedup.DedupOps.bandCapLedger]] "no silent caps" contract):
@@ -1071,16 +1056,9 @@ object MultimodalOps {
   def dHashCapStats(df: DataFrame, idCol: String, grayCol: String,
                     maxBucketSize: Int = 2000): DataFrame = {
     val dh = dHash(col(grayCol))
-    val parts = Seq(
-      dh.getField("lo").bitwiseAND(lit(65535L)),
-      shiftright(dh.getField("lo"), 16).bitwiseAND(lit(65535L)),
-      dh.getField("hi").bitwiseAND(lit(65535L)),
-      shiftright(dh.getField("hi"), 16).bitwiseAND(lit(65535L)))
-    val bandKeys = parts.zipWithIndex.map { case (c, b) =>
-      concat(lit(s"$b:"), c.cast("string")) }
-    graft.dedup.DedupOps.bandCapLedger(
-      df.select(col(idCol), explode(array(bandKeys: _*)).as("_band")),
-      "_band", maxBucketSize)
+    graft.dedup.DedupOps.hamming64CapStats(
+      df.select(col(idCol), dh.getField("hi").as("_hi"), dh.getField("lo").as("_lo")),
+      idCol, "_hi", "_lo", maxBucketSize)
   }
 
   /** REAL image on-ramp for [[dHashNearDups]]: payload → decode (PNG fast path
@@ -1103,13 +1081,24 @@ object MultimodalOps {
     * pre-sets 0xFF alpha bits — and the PNG fast path's TYPE_INT_ARGB);
     * one bulk getRGB otherwise (javax 3BYTE_BGR etc). Alpha bits are only
     * trustworthy when the color model has alpha or is the JPEG wrap —
-    * [[boxResize]] checks that; luma readers ignore alpha entirely. */
+    * [[boxResize]] checks that; luma readers ignore alpha entirely.
+    *
+    * The zero-copy branch additionally requires a DirectColorModel with the
+    * standard 0xff0000/0xff00/0xff R/G/B masks and non-premultiplied alpha
+    * (ADVICE r13): a SinglePixelPackedSampleModel+DataBufferInt raster can
+    * also be TYPE_INT_BGR (masks reversed — zero-copying it would swap the
+    * 299/114 luma weights) or TYPE_INT_ARGB_PRE (components premultiplied
+    * where getRGB would have un-premultiplied). Those fall through to the
+    * bulk getRGB copy, which normalizes through the ColorModel. */
   private def packedArgbOrCopy(img: java.awt.image.BufferedImage): Array[Int] = {
     val r = img.getRaster
-    (r.getSampleModel, r.getDataBuffer) match {
-      case (sm: java.awt.image.SinglePixelPackedSampleModel,
+    (img.getColorModel, r.getSampleModel, r.getDataBuffer) match {
+      case (cm: java.awt.image.DirectColorModel,
+            sm: java.awt.image.SinglePixelPackedSampleModel,
             db: java.awt.image.DataBufferInt)
-          if sm.getScanlineStride == img.getWidth && db.getNumBanks == 1 &&
+          if cm.getRedMask == 0xff0000 && cm.getGreenMask == 0xff00 &&
+            cm.getBlueMask == 0xff && !cm.isAlphaPremultiplied &&
+            sm.getScanlineStride == img.getWidth && db.getNumBanks == 1 &&
             db.getOffset == 0 && r.getSampleModelTranslateX == 0 &&
             r.getSampleModelTranslateY == 0 =>
         db.getData
@@ -1180,5 +1169,195 @@ object MultimodalOps {
             .map(img => (r.id, i, grayRasterOf(img, hashW, hashH).toSeq))
         }
     }).toDF("id", "frame_idx", "gray")
+  }
+
+  /** Per-video KEYFRAME dHashes — the video "fingerprint set" (mm5's shot
+    * detection folded to its useful residue): dHash every frame raster, then
+    * a per-video lag window marks frame 0 and every shot boundary (hamming to
+    * the previous frame > `shotThresh`) as keyframes and keeps ONLY those.
+    * Input is [[videoGrayRasters]]' (id, frame_idx, gray) shape; output
+    * (id, frame_idx, hi, lo) is ~2-5 rows per video instead of every frame —
+    * the reduction that makes cross-video work (mm6) scale-feasible: all
+    * pairing downstream touches keyframes only, never the frame firehose. */
+  def videoKeyframeHashes(frames: DataFrame, shotThresh: Int = 10): DataFrame = {
+    val dh = frames
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+        dHash(col("gray")).as("_dh"))
+      .select(col("id"), col("frame_idx"),
+        col("_dh.hi").as("hi"), col("_dh.lo").as("lo"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_idx")
+    dh.withColumn("_hamming",
+        bit_count(col("hi").bitwiseXOR(lag("hi", 1).over(w))) +
+          bit_count(col("lo").bitwiseXOR(lag("lo", 1).over(w))))
+      .filter(col("frame_idx") === 0 || col("_hamming") > shotThresh)
+      .select("id", "frame_idx", "hi", "lo")
+  }
+
+  /** CROSS-video near-dup — the LAION-video dedup primitive (two videos
+    * sharing most keyframe codes are duplicates; re-encodes, resolution
+    * twins, trims): keyframe hashes ([[videoKeyframeHashes]], PERSISTED — it
+    * sits behind the full container-walk+decode pass and feeds three
+    * consumers) → banded-Hamming keyframe pairs across DIFFERENT videos (the
+    * [[graft.dedup.DedupOps.hamming64Pairs]] 4×16 chassis inlined so video
+    * identity rides the bucket records; same pigeonhole-exact recall at
+    * hamming ≤ 3) → video-level roll-up: per ordered video pair, how many of
+    * each side's keyframes found a partner, similarity = matched keyframes /
+    * total keyframes across both sides (symmetric), kept at ≥ `minSim`.
+    *
+    * Scale shape: ONE window shuffle per video for keyframes, one band-key
+    * shuffle over keyframes only (≈2-5 rows/video, NOT frames), bucket-capped
+    * quadratic, one grouped roll-up, two joins against the per-video keyframe
+    * counts (id-keyed, tiny rows). No all-pairs anywhere; the decode pass
+    * runs ONCE (the persist — callers unpersist after consuming, or rely on
+    * the harness per-query cache clear, the d2 sigTable contract).
+    * Output: (vid1, vid2, nkf1, nkf2, n_shared1, n_shared2, sim). */
+  def videoNearDups(frames: DataFrame, shotThresh: Int = 10,
+                    maxHamming: Int = 3, maxBucketSize: Int = 2000,
+                    minSim: Double = 0.5): DataFrame =
+    videoNearDupsFromKeyframes(
+      videoKeyframeHashes(frames, shotThresh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxHamming, maxBucketSize, minSim)
+
+  /** [[videoNearDups]] on a CALLER-SUPPLIED (id, frame_idx, hi, lo) keyframe
+    * table — the sharing entry for compositions that also need the keyframes
+    * for a cap ledger or funnel counts (pipe7): the caller persists kf once
+    * and every consumer rides the same decode pass (the
+    * minhashCapStatsFromSig rule). */
+  def videoNearDupsFromKeyframes(kf: DataFrame,
+                    maxHamming: Int = 3, maxBucketSize: Int = 2000,
+                    minSim: Double = 0.5): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    val nkf = kf.groupBy(col("id")).agg(count(lit(1)).as("nkf"))
+    val pairs = kf
+      .select(struct(col("id"), col("frame_idx"), col("hi"), col("lo")).as("_rec"),
+        explode(graft.dedup.DedupOps.hamming64BandKeys(col("hi"), col("lo")))
+          .as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(col("a.id") < col("b.id")) // ordered pairs, never within one video
+      .filter(bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+        bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) <= maxHamming)
+      .select(col("a.id").as("vid1"), col("b.id").as("vid2"),
+        col("a.frame_idx").as("f1"), col("b.frame_idx").as("f2"))
+      .distinct()
+    val rolled = pairs.groupBy(col("vid1"), col("vid2"))
+      .agg(countDistinct(col("f1")).as("n_shared1"),
+        countDistinct(col("f2")).as("n_shared2"))
+    rolled
+      .join(nkf.select(col("id").as("vid1"), col("nkf").as("nkf1")), Seq("vid1"))
+      .join(nkf.select(col("id").as("vid2"), col("nkf").as("nkf2")), Seq("vid2"))
+      .withColumn("sim", round((col("n_shared1") + col("n_shared2")).cast("double") /
+        (col("nkf1") + col("nkf2")), 4))
+      .filter(col("sim") >= minSim)
+      .select(col("vid1"), col("vid2"), col("nkf1"), col("nkf2"),
+        col("n_shared1"), col("n_shared2"), col("sim"))
+  }
+
+  /** mm6 fixture synthesis ([[mm5FixtureAvi]] with PLANTED cross-video
+    * structure): same six-frame two-shot MJPEG AVI, but shot grids key on the
+    * video's GROUP (gid = docId/4, the [[mm4FixturePng]] rule) instead of the
+    * video, plus the mm4-style tiny per-video brightness jitter — so the four
+    * group members share both shots with keyframe dHashes a few bits apart
+    * (cross-video near-dups at hamming ≤ 3, usually) while different groups
+    * stay independent md5 grids (hamming ≈ 32). Analytically exact through
+    * the JPEG round-trip and box mean, like mm5. */
+  def mm6FixtureAvi(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gid = docId / 4
+    val frames = (0 until 6).map { f =>
+      val sid = f / 3
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < 72) {
+        val h = md.digest(s"g$gid:$sid:$p".getBytes("UTF-8"))
+        val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+        val v = ((base + (f % 3) * ((p * 13 + f) % 2) * 2
+          + (docId % 4) * ((p * 7 + docId) % 2) * 2) % 256).toInt
+        val bx = p % 9; val by = p / 9
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+          y += 1
+        }
+        p += 1
+      }
+      ImageCodec.encodeJpeg(img, 1.0f)
+    }
+    VideoCodec.buildMjpegAvi(frames, 72, 64)
+  }
+
+  /** Constant-block PCM16 WAV (the [[sineWav]] pattern in step form): sample
+    * value `levels(w)` for every sample of block w. A constant block's RMS is
+    * exactly |level| (the square and its square root are both IEEE-exact for
+    * |level| ≤ 32767), so [[audioFrameFeatures]] windows aligned to the
+    * blocks make the whole energy profile — and anything derived from it —
+    * analytically reproducible in SQL. */
+  def stepWav(levels: Array[Int], blockSamples: Int, rate: Int = 8000): Array[Byte] = {
+    val n = levels.length * blockSamples
+    val data = new Array[Byte](n * 2)
+    var w = 0
+    while (w < levels.length) {
+      val s = levels(w)
+      var i = w * blockSamples
+      val until = i + blockSamples
+      while (i < until) {
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** mm7 fixture synthesis: a 65-block step WAV (64 energy deltas = one
+    * 64-bit hash) whose levels key on the GROUP (gid = docId/4) via md5 plus
+    * a small per-video jitter — the [[mm6FixtureAvi]] planted-duplicate rule
+    * in 1-D. Block levels land in [1000, 29000) with md5-uniform gaps, so an
+    * ±6 jitter flips a sign-of-delta comparison only when two adjacent levels
+    * happen within 6 of each other (rare) — group members hash a few bits
+    * apart, distinct groups ≈ 32 bits. */
+  def mm7FixtureWav(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gid = docId / 4
+    val levels = Array.tabulate(65) { w =>
+      val h = md.digest(s"a$gid:$w".getBytes("UTF-8"))
+      val base = 1000 + (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)) % 28000
+      (base + (docId % 4).toInt * ((w * 13 + docId) % 2).toInt * 2)
+    }
+    stepWav(levels, blockSamples = 256)
+  }
+
+  /** Sign-of-delta ENERGY hash over a per-window RMS array — dHash's idea in
+    * 1-D for audio (mm7): bit i (0-based, i < 64) is set when window i+1 is
+    * louder than window i. Encoded as the same signed 32-bit-halves (hi, lo)
+    * struct [[dHash]] uses, so the [[graft.dedup.DedupOps.hamming64Pairs]]
+    * chassis and cap ledger apply unchanged. Audios shorter than 65 windows
+    * set only the bits whose BOTH windows exist (element_at null ⇒ bit 0) —
+    * same rule in the SQL oracle. Pure Column HOF over the materialized
+    * windowRms array: no re-evaluation trap (the array is a concrete column,
+    * not an inlined expression). */
+  def energyHash64(windowRms: Column): Column = {
+    val powers = typedlit((0 until 32).map(1L << _))
+    def half(offset: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+        acc + when(
+          coalesce(element_at(windowRms, i.cast("int") + (offset + 2)) >
+            element_at(windowRms, i.cast("int") + (offset + 1)), lit(false)),
+          element_at(powers, i.cast("int") + 1)).otherwise(lit(0L)))
+    struct(half(32).as("hi"), half(0).as("lo"))
   }
 }

@@ -345,14 +345,21 @@ object Hdf5Source {
       def encSize(v: Long): Int =
         (63 - java.lang.Long.numberOfLeadingZeros(v max 1L)) / 8 + 1
       // maxN(d): max records a depth-d node can hold; totN(d): max records in
-      // a depth-d subtree — these size the count fields of child pointers
+      // a depth-d subtree — these size the count fields of child pointers.
+      // The child-record-count field has ONE header-wide width at every depth:
+      // encSize(leaf max) — libhdf5's hdr->max_nrec_size, "uses leaf # of
+      // records because its the largest" (H5B2hdr.c) — while the subtree-total
+      // field keeps the per-depth encSize(totN(child depth)) width
+      // (cum_max_nrec_size). A per-child-depth count width drifts entry
+      // offsets on depth≥2 trees whenever encSize(leaf max) differs from
+      // encSize(internal max), e.g. large nodes with small records (ADVICE r13).
       val maxN = new Array[Long](depth + 1)
       val totN = new Array[Long](depth + 1)
       maxN(0) = space / recSize; totN(0) = maxN(0)
+      val cntSz = encSize(maxN(0))
       var d = 1
       while (d <= depth) {
-        val entrySz = 8 + encSize(maxN(d - 1)) +
-          (if (d >= 2) encSize(totN(d - 1)) else 0)
+        val entrySz = 8 + cntSz + (if (d >= 2) encSize(totN(d - 1)) else 0)
         maxN(d) = (space - entrySz) / (recSize + entrySz)
         totN(d) = (maxN(d) + 1) * totN(d - 1) + maxN(d)
         d += 1
@@ -364,7 +371,6 @@ object Hdf5Source {
         } else {
           require(sig(a, "BTIN"), "bad v2 B-tree internal node signature")
           val own = (0 until n).map(i => a + 6 + i.toLong * recSize)
-          val cntSz = encSize(maxN(dep - 1))
           val entrySz = 8 + cntSz + (if (dep >= 2) encSize(totN(dep - 1)) else 0)
           val ptrs = a + 6 + n.toLong * recSize
           val kids = (0 to n).flatMap { i =>

@@ -505,7 +505,7 @@ class MultimodalSpec extends SparkSpec {
     assert(edge.forall(r => r._1 == 0L && r._2 == 0L))
   }
 
-  test("JpegCodec: bit-exact vs the javax decoder on color JPEGs; gray Y value-copy") {
+  test("JpegCodec: bit-exact vs the javax decoder on color AND gray JPEGs") {
     val rnd = new scala.util.Random(11)
     for ((w, h) <- Seq((8, 8), (37, 23), (72, 64), (127, 85)); q <- Seq(1.0f, 0.75f, 0.5f)) {
       val img = new java.awt.image.BufferedImage(
@@ -522,9 +522,10 @@ class MultimodalSpec extends SparkSpec {
         assert(ours.get.getRGB(x, y) == ref.getRGB(x, y),
           s"pixel drift at $x,$y (${w}x$h q=$q)")
     }
-    // grayscale: our value-copy Y equals the javax raster SAMPLES (getRGB on
-    // javax's TYPE_BYTE_GRAY applies a colorspace transform — the documented
-    // PNG-gray-style divergence; the raw samples are the parity surface)
+    // grayscale: our colorimetric LUT output equals javax's getRGB presentation
+    // BIT-EXACTLY (ADVICE r13 — the same logical gray image must decode to
+    // identical ARGB/dHash on both sides of the size gate; the previous
+    // value-copy convention made gray semantics payload-size-dependent)
     val gimg = new java.awt.image.BufferedImage(
       40, 24, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until 24; x <- 0 until 40)
@@ -532,11 +533,14 @@ class MultimodalSpec extends SparkSpec {
     val gjpeg = ImageCodec.encodeJpeg(gimg, 0.9f)
     val gOurs = JpegCodec.tryDecodeUngated(gjpeg).get
     val gRef = ImageCodec.tryDecodeJavax(gjpeg).get
-    for (y <- 0 until 24; x <- 0 until 40) {
-      val ourY = gOurs.getRGB(x, y) & 0xff
-      assert(ourY == gRef.getRaster.getSample(x, y, 0), s"gray Y drift at $x,$y")
-      assert((gOurs.getRGB(x, y) >> 8 & 0xff) == ourY) // value-copy r=g=b
-    }
+    for (y <- 0 until 24; x <- 0 until 40)
+      assert((gOurs.getRGB(x, y) & 0xffffff) == (gRef.getRGB(x, y) & 0xffffff),
+        s"gray colorimetric drift at $x,$y")
+    // and the transform is genuinely non-identity for mid grays (128 -> ~186)
+    // — i.e. the parity above is colorimetric, not value-copy in disguise
+    val midSample = gRef.getRaster.getSample(10, 23, 0) // encoded from 129
+    assert(midSample > 0 && midSample < 255 &&
+      (gRef.getRGB(10, 23) & 0xff) != midSample)
     // the byte gate: >4KB payloads decline here but still decode via javax
     val big = new java.awt.image.BufferedImage(
       200, 150, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -577,22 +577,27 @@ class Hdf5SourceSpec extends SparkSpec {
 
   /** v2 B-tree name index over pre-built fixed-size records (sorted by the
     * caller), at WHATEVER depth the node size forces (r13: depth 2+ for the
-    * hundreds-of-attributes profile). Child-pointer count fields are sized by
-    * the same theoretical per-depth maxima the reader derives from the header
-    * (records-per-leaf from node space, then per-internal-level from the
-    * space one child entry leaves; subtree totals size the extra field that
-    * appears when the child is itself internal). Returns the header address. */
+    * hundreds-of-attributes profile). The child-pointer record-count field
+    * uses one header-wide width (from the leaf max — libhdf5's
+    * max_nrec_size) at every depth; the subtree-total field that appears when
+    * the child is itself internal is sized by that child depth's theoretical
+    * subtree max (cum_max_nrec_size), and the same widths enter the
+    * internal-capacity recurrence. Returns the header address. */
   private def writeBtree2(w: W, typ: Int, records: Seq[Array[Byte]], nodeSize: Int,
-                          cks: ArrayBuffer[(Int, Int)]): Long = {
+                          cks: ArrayBuffer[(Int, Int)],
+                          forceDepth: Int = 0): Long = {
     val recSize = records.head.length
     val space = nodeSize - 10
     def encSize(v: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(v max 1L)) / 8 + 1
     val maxN = ArrayBuffer[Long](space / recSize)
     val totN = ArrayBuffer[Long](space / recSize)
+    // child-count field: ONE header-wide width from the LEAF max at every
+    // depth (libhdf5 hdr->max_nrec_size); subtree-total field stays per-depth
+    val cntSz = encSize(maxN(0))
     def extend(d: Int): Unit = while (maxN.size <= d) {
       val dd = maxN.size
-      val entrySz = 8 + encSize(maxN(dd - 1)) +
+      val entrySz = 8 + cntSz +
         (if (dd >= 2) encSize(totN(dd - 1)) else 0)
       maxN += (space - entrySz) / (recSize + entrySz)
       totN += (maxN(dd) + 1) * totN(dd - 1) + maxN(dd)
@@ -622,7 +627,6 @@ class Hdf5SourceSpec extends SparkSpec {
           if (i < recs.size) { ownRecs += recs(i); i += 1 }
         }
         val childInfo = children.map(c => build(c, d - 1))
-        val cntSz = encSize(maxN(d - 1))
         val totSz = if (d >= 2) encSize(totN(d - 1)) else 0
         w.align8(); val a = w.pos
         w.ascii("BTIN"); w.u8(0); w.u8(typ)
@@ -636,8 +640,8 @@ class Hdf5SourceSpec extends SparkSpec {
         cks += ((a, ckPos))
         (a.toLong, ownRecs.size, recs.size.toLong)
       }
-    var depth = 0
-    extend(0)
+    var depth = forceDepth
+    extend(depth)
     while ({ extend(depth); records.size > totN(depth) }) depth += 1
     val (rootAddr, nRecRoot, _) = build(records, depth)
     w.align8(); val hdr = w.pos
@@ -655,7 +659,9 @@ class Hdf5SourceSpec extends SparkSpec {
     * creation-order tracking); `tas` carries 10 attributes in dense storage
     * (root-indirect heap over 3 direct blocks, depth-1 name B-tree). */
   private def buildProfileC(nQAttrs: Int = 6,
-                            doubledLinkRoot: Boolean = false): Array[Byte] = {
+                            doubledLinkRoot: Boolean = false,
+                            attrNodeSize: Int = 64,
+                            attrForceDepth: Int = 0): Array[Byte] = {
     val w = new W
     val cks = ArrayBuffer.empty[(Int, Int)]
     w.raw(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
@@ -731,8 +737,9 @@ class Hdf5SourceSpec extends SparkSpec {
       b.array
     }.sortBy(r => ByteBuffer.wrap(r, 13, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
       & 0xffffffffL)
-    // nodeSize 64 -> max 3 records per leaf -> depth-1 tree
-    val attrBtAddr = writeBtree2(w, typ = 8, records = attrRecs, nodeSize = 64, cks = cks)
+    // default nodeSize 64 -> max 3 records per leaf -> depth-1 tree
+    val attrBtAddr = writeBtree2(w, typ = 8, records = attrRecs,
+      nodeSize = attrNodeSize, cks = cks, forceDepth = attrForceDepth)
     val attrInfo = {
       val b = ByteBuffer.allocate(2 + 2 + 24).order(ByteOrder.LITTLE_ENDIAN)
       b.put(0.toByte); b.put(0x03.toByte) // tracked + indexed
@@ -859,6 +866,27 @@ class Hdf5SourceSpec extends SparkSpec {
     // data columns are untouched by the attr-index depth
     val cols = data.cols.map(c => c._1 -> c).toMap
     assert(cols("tas")._3.toSeq == Seq(20.0, 21.0, 22.0, 23.0))
+  }
+
+  test("profile C wide nodes: header-wide child-count width when leaf/internal widths diverge (ADVICE r13)") {
+    // nodeSize 4608 with 17-byte attr records: leaf max = 4598/17 = 270
+    // (2-byte count encoding) but internal max = (4598-10)/27 = 169 (1 byte)
+    // — the first B-tree shape where libhdf5's header-wide count width
+    // (encSize(leaf max) at EVERY depth, H5B2 hdr->max_nrec_size) differs
+    // from a per-child-depth width. A depth-2 tree here would previously
+    // parse the internal node's pointer entries one byte short and walk
+    // garbage child addresses. Occupancy is synthetic (forceDepth pins
+    // depth 2 without the ~46k records natural splitting would need);
+    // libhdf5's reader, like ours, trusts the header's depth and per-node
+    // record counts, so the byte layout is exactly the divergence region.
+    val data = Hdf5Source.readStation(
+      buildProfileC(nQAttrs = 60, attrNodeSize = 4608, attrForceDepth = 2),
+      "stationE.nc")
+    assert(data.station == "C-STATION-42")
+    val tasAttrs = data.attrs.forVar("tas")
+    assert((0 until 60).forall(i => tasAttrs(s"q$i") == s"level-$i"),
+      "an attribute fell out of the wide-node B-tree walk")
+    assert(tasAttrs.size == 64)
   }
 
   test("profile C doubled root: heap offsets past startSize resolve via allocated size") {
