@@ -29,18 +29,19 @@ object QueriesLlm {
   private def r4(c: Column): Column = round(c, 4)
 
   /** Fixture-cache key component for the mm3/mm4r materialized-payload caches:
-    * corpus digest = count + doc_id sum/min/max (one aggregation job, four
-    * longs). Folding the id digest into the cache filename means a corpus at
-    * the same path whose doc_id SET changes while the row count stays equal
-    * can never silently reuse stale payloads (ADVICE r12). */
+    * corpus digest = count + an ORDER-INDEPENDENT hash of the doc_id set
+    * (sum of xxhash64 over each id — one aggregation job, two longs).
+    * Folding the set hash into the cache filename means a corpus at the same
+    * path whose doc_id SET changes while the row count stays equal can never
+    * silently reuse stale payloads: unlike the previous count+sum+min+max
+    * digest, distinct id sets colliding requires an xxhash64 sum collision,
+    * not just an arithmetic coincidence like {1,4,5,10} vs {1,3,6,10}
+    * (ADVICE r13). */
   private def corpusDigest(s: SparkSession, dir: String): String = {
     val r = t(s, dir, "documents").agg(
       count(lit(1)),
-      coalesce(sum(col("doc_id").cast("long")), lit(0L)),
-      coalesce(min(col("doc_id").cast("long")), lit(0L)),
-      coalesce(max(col("doc_id").cast("long")), lit(0L))).head()
-    s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}" +
-      s"_${r.getLong(2)}_${r.getLong(3)}"
+      coalesce(sum(xxhash64(col("doc_id").cast("long"))), lit(0L))).head()
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}"
   }
 
   /** Shared media fixture cache (mm3/mm4r/mm5/pipe6): synthesize one MediaRow
@@ -965,6 +966,63 @@ object QueriesLlm {
             .cast("int").as("is_keyframe"))
     }),
 
+    // mm6: CROSS-video near-dup (VERDICT r13 #1) — the LAION-video dedup
+    // primitive: per-video keyframe dHash sets (the mm5 shot-detection residue)
+    // → banded-Hamming keyframe pairs across videos → video-level similarity
+    // roll-up. The fixture plants shared shots (grids keyed on gid = doc/4
+    // with a small per-video brightness jitter), so the four group members
+    // pair at sim 1.0-ish while groups stay independent. Analytic oracle:
+    // rebuilds every keyframe hash in SQL and does the (tiny) all-pairs rollup.
+    "mm6_video_neardups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "video",
+          graft.multimodal.MultimodalOps.mm6FixtureAvi(did), Map.empty))
+      graft.multimodal.MultimodalOps.videoNearDups(
+        graft.multimodal.MultimodalOps.videoGrayRasters(rows))
+    }),
+
+    // pipe7: video-curation funnel (pipe6's contract for video) — ONE persisted
+    // keyframe table (behind the container-walk+decode pass) feeds the
+    // cross-video pair op, the keep-smallest-id drop, the survivor count, AND
+    // the hamming-band cap ledger, all in one audit row.
+    "pipe7_video_curation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "video",
+          graft.multimodal.MultimodalOps.mm6FixtureAvi(did), Map.empty))
+      val kf = graft.multimodal.MultimodalOps.videoKeyframeHashes(
+          graft.multimodal.MultimodalOps.videoGrayRasters(rows))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.multimodal.MultimodalOps.videoNearDupsFromKeyframes(kf)
+      val dropped = pairs.select(col("vid2").as("id")).distinct()
+      kf.select(col("id")).distinct().agg(count(lit(1)).as("n_input"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dup_dropped")))
+        .withColumn("n_kept", col("n_input") - col("n_dup_dropped"))
+        .crossJoin(graft.dedup.DedupOps.hamming64CapStats(kf, "id", "hi", "lo"))
+    }),
+
+    // mm7: AUDIO near-dup pairs (VERDICT r13 #3) — sign-of-delta energy hash
+    // (dHash in 1-D: 64 bits over 65 window-RMS deltas) through the shared
+    // banded-Hamming chassis; gives audio the first-class pairs op text,
+    // image, and video already have. Step-WAV fixture: constant 256-sample
+    // blocks make window RMS EXACTLY the md5-derived block level, so the
+    // whole container→PCM→RMS→hash→pairs path has an analytic oracle.
+    "mm7_audio_neardups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val rows = mediaFixture(s, dir, "mm7_wav_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "audio",
+          graft.multimodal.MultimodalOps.mm7FixtureWav(did), Map.empty))
+      val h = graft.multimodal.MultimodalOps
+        .audioFrameFeatures(rows, windowSamples = 256).toDF()
+        .select(col("id"),
+          graft.multimodal.MultimodalOps.energyHash64(col("windowRms")).as("_eh"))
+        .select(col("id"), col("_eh.hi").as("_hi"), col("_eh.lo").as("_lo"))
+      DedupOps.hamming64Pairs(h, "id", "_hi", "_lo")
+        .select(col("id1"), col("id2"), col("hamming"))
+    }),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.
@@ -1310,6 +1368,62 @@ object QueriesLlm {
           CAST(CASE WHEN frame_idx = 0 OR hamming > 10 THEN 1 ELSE 0 END AS INT)
             AS is_keyframe
         FROM k"""
+
+  /** mm6/pipe7 shared analytic CTEs: rebuild every video's keyframe dHash
+    * from the group-keyed md5 synthesis (mm5's oracle with gid = doc//4 shot
+    * grids and the mm4-style per-video jitter — both exact through the JPEG
+    * round-trip and box mean), ending in `kf(doc_id, frame_idx, hi, lo)` and
+    * `nkf(doc_id, nkf)`. */
+  private val mm6KfCtes: String =
+    """fr AS (
+          SELECT doc_id, t.f, t.f // 3 AS sid
+          FROM documents CROSS JOIN generate_series(0, 5) t(f)),
+        g AS (
+          SELECT doc_id, f,
+            list_transform(generate_series(0, 71), p ->
+              CAST((('0x' || substring(md5('g' || (doc_id // 4)::VARCHAR || ':' ||
+                        sid::VARCHAR || ':' || p::VARCHAR), 1, 4))::BIGINT % 240)
+                    + (f % 3) * ((p*13 + f) % 2) * 2
+                    + (doc_id % 4) * ((p*7 + doc_id) % 2) * 2 AS INT)) AS gray
+          FROM fr),
+        h AS (
+          SELECT doc_id, f AS frame_idx,
+            CAST(list_sum(list_transform(generate_series(0, 31), i ->
+              CASE WHEN gray[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
+                        gray[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
+                   THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi,
+            CAST(list_sum(list_transform(generate_series(0, 31), i ->
+              CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] >
+                        gray[(i // 8) * 9 + (i % 8) + 2]
+                   THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo
+          FROM g),
+        k AS (
+          SELECT doc_id, frame_idx, hi, lo,
+            bit_count(xor(hi, lag(hi) OVER w)) +
+              bit_count(xor(lo, lag(lo) OVER w)) AS hamming
+          FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        kf AS (
+          SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, hi, lo
+          FROM k WHERE frame_idx = 0 OR hamming > 10),
+        nkf AS (SELECT doc_id, COUNT(*) AS nkf FROM kf GROUP BY doc_id),
+        rolled AS (
+          SELECT p.vid1, p.vid2, n1.nkf AS nkf1, n2.nkf AS nkf2,
+                 p.n_shared1, p.n_shared2,
+                 ROUND((p.n_shared1 + p.n_shared2)::DOUBLE /
+                       (n1.nkf + n2.nkf), 4) + 0 AS sim
+          FROM (
+            SELECT vid1, vid2,
+                   COUNT(DISTINCT f1) AS n_shared1, COUNT(DISTINCT f2) AS n_shared2
+            FROM (
+              SELECT a.doc_id AS vid1, b.doc_id AS vid2,
+                     a.frame_idx AS f1, b.frame_idx AS f2
+              FROM kf a JOIN kf b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+            GROUP BY vid1, vid2) p
+          JOIN nkf n1 ON p.vid1 = n1.doc_id
+          JOIN nkf n2 ON p.vid2 = n2.doc_id
+          WHERE ROUND((p.n_shared1 + p.n_shared2)::DOUBLE /
+                      (n1.nkf + n2.nkf), 4) >= 0.5)"""
 
   private val g1PagerankSql: String = {
     val rounds = (1 to 5).map { i =>
@@ -2174,6 +2288,52 @@ object QueriesLlm {
     "mm4_dhash_neardups" -> mm4PairsSql,
     "mm4r_dhash_decode" -> mm4PairsSql,
     "mm5_video_keyframes" -> mm5KeyframesSql,
+    "mm6_video_neardups" ->
+      s"""WITH $mm6KfCtes
+          SELECT vid1, vid2, nkf1, nkf2, n_shared1, n_shared2, sim FROM rolled""",
+    "pipe7_video_curation" ->
+      s"""WITH $mm6KfCtes,
+          dropped AS (SELECT DISTINCT vid2 FROM rolled),
+          bands AS (
+            SELECT doc_id, '0:' || (lo & 65535)::VARCHAR AS band FROM kf
+            UNION ALL SELECT doc_id, '1:' || ((lo >> 16) & 65535)::VARCHAR FROM kf
+            UNION ALL SELECT doc_id, '2:' || (hi & 65535)::VARCHAR FROM kf
+            UNION ALL SELECT doc_id, '3:' || ((hi >> 16) & 65535)::VARCHAR FROM kf),
+          bc AS (SELECT band, COUNT(*) AS n FROM bands GROUP BY band),
+          vids AS (SELECT COUNT(DISTINCT doc_id) AS nv FROM kf)
+          SELECT (SELECT nv FROM vids) AS n_input,
+                 (SELECT COUNT(*) FROM dropped) AS n_dup_dropped,
+                 (SELECT nv FROM vids) - (SELECT COUNT(*) FROM dropped) AS n_kept,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_capped,
+                 CAST(COALESCE(SUM(CASE WHEN n > 2000 THEN n END), 0) AS BIGINT)
+                   AS n_members_excluded,
+                 CAST(MAX(n) AS BIGINT) AS max_bucket
+          FROM bc""",
+    "mm7_audio_neardups" ->
+      """WITH lv AS (
+          SELECT doc_id, t.w,
+            CAST(1000 + (('0x' || substring(md5('a' || (doc_id // 4)::VARCHAR ||
+                     ':' || w::VARCHAR), 1, 6))::BIGINT % 28000)
+              + (doc_id % 4) * ((w*13 + doc_id) % 2) * 2 AS BIGINT) AS lvl
+          FROM documents CROSS JOIN generate_series(0, 64) t(w)),
+        d AS (
+          SELECT c.doc_id, c.w, CASE WHEN n.lvl > c.lvl THEN 1 ELSE 0 END AS bit
+          FROM lv c JOIN lv n ON n.doc_id = c.doc_id AND n.w = c.w + 1
+          WHERE c.w < 64),
+        eh AS (
+          SELECT doc_id,
+            CAST(COALESCE(SUM(CASE WHEN w >= 32 AND bit = 1
+                   THEN (1::BIGINT << (w - 32)) END), 0) AS BIGINT) AS hi,
+            CAST(COALESCE(SUM(CASE WHEN w < 32 AND bit = 1
+                   THEN (1::BIGINT << w) END), 0) AS BIGINT) AS lo
+          FROM d GROUP BY doc_id)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+            AS hamming
+        FROM eh a JOIN eh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""",
     "pipe6_image_curation" -> pipe6Sql,
     "samp6_dsir" ->
       """WITH toks AS (

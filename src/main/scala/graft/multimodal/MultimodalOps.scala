@@ -1276,9 +1276,13 @@ object MultimodalOps {
       var p = 0
       while (p < 72) {
         val h = md.digest(s"g$gid:$sid:$p".getBytes("UTF-8"))
-        val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
-        val v = ((base + (f % 3) * ((p * 13 + f) % 2) * 2
-          + (docId % 4) * ((p * 7 + docId) % 2) * 2) % 256).toInt
+        // base capped at 239: max jitter is 4 (shot) + 6 (video) = 10, so no
+        // cell ever wraps mod 256 — a wrap would turn a +2 brightness jitter
+        // into a 254-level jump, flipping comparisons hard enough to mark
+        // spurious within-shot keyframes (caught by the {0,3} keyframe pin)
+        val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 240
+        val v = (base + (f % 3) * ((p * 13 + f) % 2) * 2
+          + (docId % 4) * ((p * 7 + docId) % 2) * 2).toInt
         val bx = p % 9; val by = p / 9
         var y = by * 8
         while (y < by * 8 + 8) {
@@ -1346,8 +1350,8 @@ object MultimodalOps {
     * louder than window i. Encoded as the same signed 32-bit-halves (hi, lo)
     * struct [[dHash]] uses, so the [[graft.dedup.DedupOps.hamming64Pairs]]
     * chassis and cap ledger apply unchanged. Audios shorter than 65 windows
-    * set only the bits whose BOTH windows exist (element_at null ⇒ bit 0) —
-    * same rule in the SQL oracle. Pure Column HOF over the materialized
+    * set only the bits whose BOTH windows exist (try_element_at null ⇒ bit
+    * 0) — same rule in the SQL oracle. Pure Column HOF over the materialized
     * windowRms array: no re-evaluation trap (the array is a concrete column,
     * not an inlined expression). */
   def energyHash64(windowRms: Column): Column = {
@@ -1355,8 +1359,8 @@ object MultimodalOps {
     def half(offset: Int): Column =
       aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
         acc + when(
-          coalesce(element_at(windowRms, i.cast("int") + (offset + 2)) >
-            element_at(windowRms, i.cast("int") + (offset + 1)), lit(false)),
+          coalesce(try_element_at(windowRms, i.cast("int") + (offset + 2)) >
+            try_element_at(windowRms, i.cast("int") + (offset + 1)), lit(false)),
           element_at(powers, i.cast("int") + 1)).otherwise(lit(0L)))
     struct(half(32).as("hi"), half(0).as("lo"))
   }

@@ -726,4 +726,35 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("hamming64Pairs: banded candidates == brute force at radius <= 3 (pigeonhole, r14)") {
+    // 200 random 64-bit codes + planted near-pairs at every radius 0..4:
+    // banding must find EXACTLY the all-pairs <= 3 set (radius-4 planted
+    // pairs prove the verify filter, not the bands, draws the line)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 5).flatMap { r =>
+      val src = base(r * 13)._2
+      var v = src
+      val bits = rnd.shuffle((0 until 64).toList).take(r)
+      bits.foreach(b => v ^= (1L << b))
+      Seq(((1000 + r).toLong, v))
+    }
+    val all = base ++ planted
+    // the dHash/energyHash convention: both halves as NON-NEGATIVE longs
+    // (sign-extended halves would inflate bit_count(xor) by the sign bits)
+    val df = all.toDF("id", "code")
+      .select($"id",
+        expr("shiftright(code, 32)").bitwiseAND(lit(0xffffffffL)).as("hi"),
+        $"code".bitwiseAND(lit(0xffffffffL)).as("lo"))
+    val got = DedupOps.hamming64Pairs(df, "id", "hi", "lo")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      a <- all; b <- all if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.exists(_._3 == 3L), "fixture must include a radius-3 pair")
+  }
 }

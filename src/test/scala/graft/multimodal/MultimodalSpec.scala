@@ -695,4 +695,59 @@ class MultimodalSpec extends SparkSpec {
     val clear = dHashCapStats(gray, "id", "gray").collect().head
     assert(clear.getAs[Long]("n_buckets_capped") == 0L)
   }
+
+  test("mm6 cross-video near-dup: group members pair at high sim, groups stay apart (r14)") {
+    import spark.implicits._
+    // two planted groups of 4 (ids 0-3 share gid 0, ids 4-7 gid 1)
+    val rows = (0L to 7L).map(d =>
+      MediaRow(d, "video", mm6FixtureAvi(d), Map.empty)).toDS()
+    val kf = videoKeyframeHashes(videoGrayRasters(rows))
+    val kfRows = kf.as[(Long, Long, Long, Long)].collect()
+    // every video: exactly frames 0 and 3 (the shot boundary) are keyframes
+    assert(kfRows.groupBy(_._1).forall { case (_, fs) =>
+      fs.map(_._2).sorted.toSeq == Seq(0L, 3L) }, kfRows.mkString(","))
+    val pairs = videoNearDups(videoGrayRasters(rows))
+      .select("vid1", "vid2", "sim").as[(Long, Long, Double)].collect()
+    // no cross-group pair can survive (independent md5 grids, hamming ~32)
+    assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 }, pairs.mkString(","))
+    // the planted duplicates surface: most within-group pairs at sim >= 0.5
+    assert(pairs.count { case (a, b, _) => a / 4 == b / 4 } >= 8,
+      s"too few within-group pairs: ${pairs.mkString(",")}")
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("stepWav + energyHash64: window RMS is exactly the block level; hash bits match (r14)") {
+    import spark.implicits._
+    val levels = Array(1000, 3000, 2000, 2000, 5000) // up, down, flat, up
+    val rows = Seq(MediaRow(1L, "audio", stepWav(levels, 256), Map.empty)).toDS()
+    val f = audioFrameFeatures(rows, windowSamples = 256).collect().head
+    assert(f.nWindows == 5L)
+    assert(f.windowRms.toSeq == levels.map(_.toDouble).toSeq) // exact, not approx
+    val h = audioFrameFeatures(rows, windowSamples = 256).toDF()
+      .select(energyHash64($"windowRms").as("eh"))
+      .select($"eh.hi", $"eh.lo").as[(Long, Long)].collect().head
+    // bits: w0 up (1), w1 down (0), w2 flat (0 — strict >), w3 up (1) -> lo = 0b1001
+    assert(h == ((0L, 9L)))
+    // short audio: no out-of-range bit ever set
+    val one = Seq(MediaRow(2L, "audio", stepWav(Array(500), 256), Map.empty)).toDS()
+    val h1 = audioFrameFeatures(one, windowSamples = 256).toDF()
+      .select(energyHash64($"windowRms").as("eh"))
+      .select($"eh.hi", $"eh.lo").as[(Long, Long)].collect().head
+    assert(h1 == ((0L, 0L)))
+  }
+
+  test("mm7 fixture: audio groups pair through the hamming64 chassis, strangers don't (r14)") {
+    import spark.implicits._
+    val rows = (0L to 7L).map(d =>
+      MediaRow(d, "audio", mm7FixtureWav(d), Map.empty)).toDS()
+    val h = audioFrameFeatures(rows, windowSamples = 256).toDF()
+      .select($"id", energyHash64($"windowRms").as("eh"))
+      .select($"id", $"eh.hi".as("hi"), $"eh.lo".as("lo"))
+    val pairs = graft.dedup.DedupOps.hamming64Pairs(h, "id", "hi", "lo")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 }, pairs.mkString(","))
+    // jitter is tiny relative to md5 level gaps: group pairs stay <= 3 bits
+    assert(pairs.count { case (a, b, _) => a / 4 == b / 4 } >= 8)
+  }
 }
