@@ -946,9 +946,12 @@ object QueriesLlm {
     "mm5_video_keyframes" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val rows = mediaFixture(s, dir, "mm5_avi_v1", did =>
+      // r14: per-parity containers — even docs RIFF/AVI, odd docs ISO-BMFF/MP4
+      // — so the query exercises BOTH from-scratch container walks under the
+      // same container-independent analytic oracle
+      val rows = mediaFixture(s, dir, "mm5_av_v2", did =>
         graft.multimodal.MultimodalOps.MediaRow(did, "video",
-          graft.multimodal.MultimodalOps.mm5FixtureAvi(did), Map.empty))
+          graft.multimodal.MultimodalOps.mm5FixtureVideo(did), Map.empty))
       // fused walk→decode→raster kernel (r13): one typed boundary per frame
       // instead of three (tuple → MediaRow → row re-serialized the ~KB frame
       // payload twice per frame)

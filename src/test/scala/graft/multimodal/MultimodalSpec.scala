@@ -696,6 +696,49 @@ class MultimodalSpec extends SparkSpec {
     assert(clear.getAs[Long]("n_buckets_capped") == 0L)
   }
 
+  test("buildMjpegMp4 round-trips through the ISO-BMFF parser: header + byte-exact frames (r14)") {
+    val rnd = new scala.util.Random(31)
+    val frames = (0 until 5).map { i =>
+      val img = new java.awt.image.BufferedImage(
+        48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48) img.setRGB(x, y, rnd.nextInt(1 << 24))
+      ImageCodec.encodeJpeg(img, 0.8f + i * 0.02f)
+    }
+    val mp4 = Mp4Codec.buildMjpegMp4(frames, 48, 32)
+    assert(Mp4Codec.isMp4(mp4) && !Mp4Codec.isMp4(mm5FixtureAvi(1L)))
+    val info = Mp4Codec.tryParse(mp4).get
+    assert(info == Mp4Codec.Mp4Info(48, 32, 5, "jpeg"))
+    val back = Mp4Codec.frames(mp4)
+    assert(back.size == 5)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "a sample drifted through the stsc/stco/stsz walk")
+    // the shared entry point dispatches on container magic
+    assert(VideoCodec.frames(mp4).size == 5)
+    // an avc1 track parses at container level but declines frame extraction
+    val avc = {
+      val b = mp4.clone()
+      // patch the stsd entry fourcc ('jpeg' -> 'avc1') wherever it sits
+      val idx = b.indexOfSlice("jpeg".getBytes("ASCII"))
+      "avc1".getBytes("ASCII").copyToArray(b, idx)
+      b
+    }
+    assert(Mp4Codec.tryParse(avc).get.codec == "avc1")
+    assert(Mp4Codec.frames(avc).isEmpty, "compressed codecs must decline loudly")
+    // mm5's container twin: same doc decodes to the same rasters in either box
+    import spark.implicits._
+    val twin = Seq(
+      MediaRow(3L, "video", mm5FixtureVideo(3L), Map.empty), // odd -> MP4
+      MediaRow(4L, "video", mm5FixtureVideo(4L), Map.empty)).toDS() // even -> AVI
+    val twinKinds = decodeBatch(twin).collect().map(d => d.id -> d.codec).toMap
+    assert(twinKinds == Map(3L -> "isobmff", 4L -> "riff-avi"))
+    val viaMp4 = videoGrayRasters(Seq(MediaRow(7L, "video",
+      Mp4Codec.buildMjpegMp4(VideoCodec.frames(mm5FixtureAvi(7L)), 72, 64),
+      Map.empty)).toDS()).collect()
+    val viaAvi = videoGrayRasters(Seq(MediaRow(7L, "video",
+      mm5FixtureAvi(7L), Map.empty)).toDS()).collect()
+    assert(viaMp4.map(_.toString).sorted.toSeq == viaAvi.map(_.toString).sorted.toSeq)
+  }
+
   test("mm6 cross-video near-dup: group members pair at high sim, groups stay apart (r14)") {
     import spark.implicits._
     // two planted groups of 4 (ids 0-3 share gid 0, ids 4-7 gid 1)
