@@ -38,10 +38,16 @@ object QueriesLlm {
     * not just an arithmetic coincidence like {1,4,5,10} vs {1,3,6,10}
     * (ADVICE r13). */
   private def corpusDigest(s: SparkSession, dir: String): String = {
+    // the xxhash64 sum rides decimal(38,0): a plain long sum overflows after
+    // a few rows, which ANSI mode (the Spark 4 default) turns into a runtime
+    // error rather than the wrap a digest could live with
     val r = t(s, dir, "documents").agg(
       count(lit(1)),
-      coalesce(sum(xxhash64(col("doc_id").cast("long"))), lit(0L))).head()
-    s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}"
+      sum(xxhash64(col("doc_id").cast("long")).cast("decimal(38,0)"))).head()
+    val setHash =
+      if (r.isNullAt(1)) java.math.BigInteger.ZERO
+      else r.getDecimal(1).toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(64))
+    s"${r.getLong(0)}_${setHash.toString(16)}"
   }
 
   /** Shared media fixture cache (mm3/mm4r/mm5/pipe6): synthesize one MediaRow
