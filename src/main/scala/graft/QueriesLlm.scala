@@ -1011,6 +1011,22 @@ object QueriesLlm {
         .crossJoin(graft.dedup.DedupOps.hamming64CapStats(kf, "id", "hi", "lo"))
     }),
 
+    // mm8: pooled VIDEO-HASH near-dup — mm6's scale path: one majority-pooled
+    // 64-bit code per video (TMK-style temporal pooling of keyframe dHashes)
+    // through the same banded chassis, so candidate volume is O(videos) and
+    // independent of video length. Shares mm6's fixture corpus and oracle CTEs.
+    "mm8_video_hash_neardups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "video",
+          graft.multimodal.MultimodalOps.mm6FixtureAvi(did), Map.empty))
+      val vh = graft.multimodal.MultimodalOps.videoHash64(
+        graft.multimodal.MultimodalOps.videoKeyframeHashes(
+          graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
+      DedupOps.hamming64Pairs(vh, "id", "hi", "lo")
+        .select(col("id1"), col("id2"), col("hamming"))
+    }),
+
     // mm7: AUDIO near-dup pairs (VERDICT r13 #3) — sign-of-delta energy hash
     // (dHash in 1-D: 64 bits over 65 window-RMS deltas) through the shared
     // banded-Hamming chassis; gives audio the first-class pairs op text,
@@ -2320,6 +2336,27 @@ object QueriesLlm {
                    AS n_members_excluded,
                  CAST(MAX(n) AS BIGINT) AS max_bucket
           FROM bc""",
+    "mm8_video_hash_neardups" ->
+      s"""WITH $mm6KfCtes,
+          vb AS (
+            SELECT doc_id, list(hi) AS his, list(lo) AS los, COUNT(*) AS cnt
+            FROM kf GROUP BY doc_id),
+          vh AS (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN 2 * list_sum(list_transform(his, h -> (h >> i) & 1))
+                          > cnt
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi,
+              CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN 2 * list_sum(list_transform(los, l -> (l >> i) & 1))
+                          > cnt
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo
+            FROM vb)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              AS BIGINT) AS hamming
+          FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""",
     "mm7_audio_neardups" ->
       """WITH lv AS (
           SELECT doc_id, t.w,

@@ -1489,6 +1489,36 @@ object MultimodalOps {
         col("n_shared1"), col("n_shared2"), col("sim"))
   }
 
+  /** Per-video 64-bit MAJORITY hash over keyframe dHashes — temporal pooling
+    * in the spirit of published video-hash schemes (TMK-style pooling of
+    * frame-level codes): bit i of the video hash is the strict-majority vote
+    * of bit i across the video's keyframe hashes (ties clear the bit). This
+    * is mm6's SCALE PATH: [[videoNearDups]] pairs every keyframe (exact, but
+    * candidate volume grows with keyframes), while one pooled code per video
+    * makes storage O(videos) and the banded pair stage independent of video
+    * length — the IVF-vs-brute-force relationship, both under the gate.
+    *
+    * ONE aggregation pass: the keyframe count and 64 conditional bit sums
+    * ride a single partial-agg shuffle on the video id (map-side combined;
+    * no explode, no per-bit rows), then the hash assembles from the sums
+    * expression-side. Output: (id, hi, lo, nkf) in the [[dHash]] halves
+    * convention, ready for [[graft.dedup.DedupOps.hamming64Pairs]]. */
+  def videoHash64(kf: DataFrame): DataFrame = {
+    val bitSums = (0 until 32).flatMap { i =>
+      Seq(sum(shiftright(col("lo"), i).bitwiseAND(lit(1L))).as(s"_l$i"),
+        sum(shiftright(col("hi"), i).bitwiseAND(lit(1L))).as(s"_h$i"))
+    }
+    def pooled(prefix: String): Column =
+      (0 until 32).map(i =>
+        when(col(s"_$prefix$i") * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val aggCols = count(lit(1)).as("_n") +: bitSums
+    kf.groupBy(col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("id"), pooled("h").as("hi"), pooled("l").as("lo"),
+        col("_n").as("nkf"))
+  }
+
   /** mm6 fixture synthesis ([[mm5FixtureAvi]] with PLANTED cross-video
     * structure): same six-frame two-shot MJPEG AVI, but shot grids key on the
     * video's GROUP (gid = docId/4, the [[mm4FixturePng]] rule) instead of the

@@ -759,6 +759,32 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("videoHash64: strict per-bit majority pooling, ties clear, group pairing survives (r14)") {
+    import spark.implicits._
+    // hand case: 3 keyframes; bit set in vh iff >= 2 of 3 keyframes set it
+    val kf = Seq(
+      (1L, 0L, 12L, 3L), // hi 1100, lo 011
+      (1L, 3L, 10L, 3L), // hi 1010, lo 011
+      (1L, 7L, 9L, 5L),  // hi 1001, lo 101
+      (2L, 0L, 1L, 1L), // 2 keyframes: majority = AND (ties clear)
+      (2L, 4L, 3L, 0L)).toDF("id", "frame_idx", "hi", "lo")
+    val vh = videoHash64(kf).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // video 1: hi bit3 in 3/3 -> set, bits 2/1/0 in 1/3 each -> clear (hi=8);
+    // lo bit0 in 3/3, bit1 in 2/3 -> set, bit2 in 1/3 -> clear (lo=3)
+    assert(vh(1L) == ((8L, 3L, 3L)), vh(1L).toString)
+    // video 2: hi bit0 2/2 -> set, bit1 1/2 tie -> clear; lo bit0 1/2 -> clear
+    assert(vh(2L) == ((1L, 0L, 2L)), vh(2L).toString)
+    // end-to-end: pooled codes still pair group members, isolate groups
+    val rows = (0L to 7L).map(d =>
+      MediaRow(d, "video", mm6FixtureAvi(d), Map.empty)).toDS()
+    val pooled = videoHash64(videoKeyframeHashes(videoGrayRasters(rows)))
+    val pairs = graft.dedup.DedupOps.hamming64Pairs(pooled, "id", "hi", "lo")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 }, pairs.mkString(","))
+  }
+
   test("stepWav + energyHash64: window RMS is exactly the block level; hash bits match (r14)") {
     import spark.implicits._
     val levels = Array(1000, 3000, 2000, 2000, 5000) // up, down, flat, up
