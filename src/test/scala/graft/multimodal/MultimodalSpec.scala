@@ -739,6 +739,51 @@ class MultimodalSpec extends SparkSpec {
     assert(viaMp4.map(_.toString).sorted.toSeq == viaAvi.map(_.toString).sorted.toSeq)
   }
 
+  test("Mp4Codec edge layouts: fixed-size stsz, co64 offsets, multi-sample stsc runs (r14)") {
+    // hand-assembled MP4 exercising the table paths buildMjpegMp4 never
+    // writes: constant sample_size, 64-bit chunk offsets, and chunks holding
+    // different sample counts (stsc runs (1 -> 2 samples), (2 -> 3 samples))
+    def u32(v: Long): Array[Byte] =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xff).toByte)
+    def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    def u16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("ASCII")
+    def box(t: String, p: Array[Byte]*): Array[Byte] = {
+      val b = p.flatten.toArray; u32(b.length + 8L) ++ fcc(t) ++ b
+    }
+    def full(t: String, p: Array[Byte]*): Array[Byte] =
+      box(t, Array[Byte](0, 0, 0, 0) ++ p.flatten)
+    val zeros = (n: Int) => Array.fill(n)(0.toByte)
+    // five 16-byte "samples" with distinct contents (container-level test:
+    // the walk never decodes them, so they need not be JPEGs — use mjpa so
+    // frames() accepts them)
+    val samples = (0 until 5).map(i => Array.fill(16)((0x40 + i).toByte))
+    val ftyp = box("ftyp", fcc("isom"), u32(0), fcc("isom"))
+    val mdatPayload = ftyp.length + 8L
+    val mdat = box("mdat", samples.flatten.toArray)
+    // chunk 1 = samples 0-1 at mdatPayload; chunk 2 = samples 2-4 at +32
+    val entry = u32(86) ++ fcc("mjpa") ++ zeros(6) ++ u16(1) ++
+      u16(0) ++ u16(0) ++ zeros(12) ++ u16(24) ++ u16(16) ++
+      u32(0x00480000L) ++ u32(0x00480000L) ++ u32(0) ++ u16(1) ++
+      zeros(32) ++ u16(24) ++ u16(0xffff)
+    val stbl = box("stbl",
+      full("stsd", u32(1), entry),
+      full("stsc", u32(2), u32(1), u32(2), u32(1), u32(2), u32(3), u32(1)),
+      full("stsz", u32(16), u32(5)), // FIXED sample size, no table
+      full("co64", u32(2), u64(mdatPayload), u64(mdatPayload + 32)))
+    val mp4 = ftyp ++ mdat ++ box("moov",
+      box("trak", box("mdia",
+        full("hdlr", u32(0), fcc("vide"), zeros(12), Array[Byte](0)),
+        box("minf", stbl))))
+    val info = Mp4Codec.tryParse(mp4).get
+    assert(info == Mp4Codec.Mp4Info(24, 16, 5, "mjpa"), info.toString)
+    val back = Mp4Codec.frames(mp4)
+    assert(back.size == 5)
+    assert(back.zip(samples).forall { case (a, b) => a.sameElements(b) },
+      "sample offsets drifted through the stsc-run / co64 / fixed-stsz walk")
+  }
+
   test("mm6 cross-video near-dup: group members pair at high sim, groups stay apart (r14)") {
     import spark.implicits._
     // two planted groups of 4 (ids 0-3 share gid 0, ids 4-7 gid 1)
