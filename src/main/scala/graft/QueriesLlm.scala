@@ -1027,6 +1027,26 @@ object QueriesLlm {
         .select(col("id1"), col("id2"), col("hamming"))
     }),
 
+    // mm9: INCREMENTAL video dedup — d19's contract on pooled video hashes:
+    // a new crawl drop (every 10th video) checks against the stored corpus
+    // catalog plus smaller-id shard peers; each new video keeps its single
+    // best match (min hamming, then smallest matched id). The corpus side is
+    // precomputed codes — per-drop cost never re-decodes the corpus.
+    "mm9_incremental_video" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "video",
+          graft.multimodal.MultimodalOps.mm6FixtureAvi(did), Map.empty))
+      // one decode feeds both sides (the d2 persist contract)
+      val vh = graft.multimodal.MultimodalOps.videoHash64(
+          graft.multimodal.MultimodalOps.videoKeyframeHashes(
+            graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      DedupOps.hamming64IncrementalNearDups(
+        vh.filter(col("id") % 10 =!= 0), vh.filter(col("id") % 10 === 0),
+        "id", "hi", "lo")
+    }),
+
     // mm7: AUDIO near-dup pairs (VERDICT r13 #3) — sign-of-delta energy hash
     // (dHash in 1-D: 64 bits over 65 window-RMS deltas) through the shared
     // banded-Hamming chassis; gives audio the first-class pairs op text,
@@ -2357,6 +2377,34 @@ object QueriesLlm {
               AS BIGINT) AS hamming
           FROM vh a JOIN vh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""",
+    "mm9_incremental_video" ->
+      s"""WITH $mm6KfCtes,
+          vb AS (
+            SELECT doc_id, list(hi) AS his, list(lo) AS los, COUNT(*) AS cnt
+            FROM kf GROUP BY doc_id),
+          vh AS (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN 2 * list_sum(list_transform(his, h -> (h >> i) & 1))
+                          > cnt
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi,
+              CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN 2 * list_sum(list_transform(los, l -> (l >> i) & 1))
+                          > cnt
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo
+            FROM vb),
+          t AS (SELECT doc_id, hi, lo, (doc_id % 10 = 0) AS isnew FROM vh),
+          p AS (
+            SELECT a.doc_id AS id, b.doc_id AS matched_id,
+              CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming,
+              NOT b.isnew AS vs_corpus
+            FROM t a JOIN t b ON a.doc_id <> b.doc_id
+            WHERE a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+              AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY id ORDER BY hamming, matched_id) AS rn FROM p)
+          SELECT id, matched_id, hamming, vs_corpus FROM r WHERE rn = 1""",
     "mm7_audio_neardups" ->
       """WITH lv AS (
           SELECT doc_id, t.w,

@@ -323,6 +323,49 @@ object DedupOps {
       concat(lit(s"$b:"), c.cast("string")) }: _*)
   }
 
+  /** Incremental (shard-vs-corpus) form of [[hamming64Pairs]] — the
+    * [[incrementalNearDups]] contract for 64-bit perceptual codes (image
+    * dHash, pooled video hash, audio energy hash): only NEW items generate
+    * match rows, against the corpus and against smaller-id shard peers (each
+    * new-new pair reported once, by its larger id — d19's rule), and each
+    * new item keeps its single BEST match (min hamming, then smallest
+    * matched id). The corpus side arrives as precomputed codes — on a real
+    * deployment that is the stored hash catalog, so per-drop cost is
+    * O(shard + catalog scan), never a corpus re-decode. Output:
+    * (idCol, matched_id, hamming, vs_corpus). */
+  def hamming64IncrementalNearDups(corpus: DataFrame, shard: DataFrame,
+      idCol: String, hiCol: String, loCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    def side(df: DataFrame, isNew: Boolean): DataFrame =
+      df.select(col(idCol).as("_id"), col(hiCol).as("_hi"),
+        col(loCol).as("_lo"), lit(isNew).as("_new"))
+    val prep = side(corpus, isNew = false).unionByName(side(shard, isNew = true))
+    prep
+      .select(struct(col("_id").as("id"), col("_hi").as("hi"),
+          col("_lo").as("lo"), col("_new").as("isNew")).as("_rec"),
+        explode(hamming64BandKeys(col("_hi"), col("_lo"))).as("_band"))
+      .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
+      .filter(size(col("_recs")).between(2, maxBucketSize))
+      .select(explode(col("_recs")).as("a"), col("_recs"))
+      .filter(col("a.isNew"))
+      .select(col("a"), explode(col("_recs")).as("b"))
+      .filter(!col("b.isNew") || col("b.id") < col("a.id"))
+      .withColumn("hamming",
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("_aid"), col("b.id").as("matched_id"),
+        col("hamming"), (!col("b.isNew")).as("vs_corpus"))
+      .distinct()
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_aid"))
+        .orderBy(col("hamming"), col("matched_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("_aid").as(idCol), col("matched_id"), col("hamming"),
+        col("vs_corpus"))
+  }
+
   /** Over-cap ledger for [[hamming64Pairs]]'s bands (precomputed-code form of
     * [[graft.multimodal.MultimodalOps.dHashCapStats]]). */
   def hamming64CapStats(df: DataFrame, idCol: String, hiCol: String, loCol: String,

@@ -757,4 +757,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(got == want, s"got ${got.size}, want ${want.size}")
     assert(want.exists(_._3 == 3L), "fixture must include a radius-3 pair")
   }
+
+  test("hamming64IncrementalNearDups: new items only, best match, d19's new-new rule (r14)") {
+    // corpus: 10 (code 0), 11 (code 1 bit). shard: 20 (code 0 -> ties 10/11,
+    // keeps min-hamming 10), 21 (code with bit 40 -> matches all at <=2,
+    // best = corpus 10 at hamming 1), 22 (far code -> no match),
+    // 23 (equals 20's code: new-new pair owned by larger id 23, vs_corpus false)
+    val mk = (id: Long, code: Long) =>
+      (id, (code >>> 32) & 0xffffffffL, code & 0xffffffffL)
+    val corpus = Seq(mk(10L, 0L), mk(11L, 1L)).toDF("id", "hi", "lo")
+    val shard = Seq(mk(20L, 0L), mk(21L, 1L << 40), mk(22L, 0x0f0f0f0fL),
+      mk(23L, 0L)).toDF("id", "hi", "lo")
+    val out = DedupOps.hamming64IncrementalNearDups(corpus, shard, "id", "hi", "lo")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(20L) == ((10L, 0L, true)))  // tie at hamming 0 -> smaller id
+    assert(out(21L) == ((10L, 1L, true)))  // best of {10:1, 11:2, 20:1...} -> (1, min id)
+    assert(!out.contains(22L))             // no match within radius
+    assert(out(23L) == ((10L, 0L, true)))  // 10 beats shard-peer 20 on id tiebreak
+    assert(!out.contains(10L) && !out.contains(11L), "corpus rows must not emit")
+  }
 }
