@@ -406,6 +406,49 @@ object StreamingOps {
       }
   }
 
+  final case class VideoHashState(n: Long, bits: Array[Long])
+  final case class VideoHashOut(videoId: Long, nkf: Long, hi: Long, lo: Long)
+
+  /** Streaming twin of [[graft.multimodal.MultimodalOps.videoHash64]] — the
+    * pooled video hash maintained on a LIVE keyframe feed (compose after
+    * [[keyframeStream]]'s `isKeyframe == 1` rows): per video, state is the
+    * keyframe count plus 64 bit counters (O(videos), frame-count
+    * independent); every micro-batch that touches a video emits its RUNNING
+    * strict-majority code, so a serving join always sees the latest pooled
+    * hash. After any prefix of the feed, the last emission per video equals
+    * the batch [[graft.multimodal.MultimodalOps.videoHash64]] over the
+    * keyframes seen so far — order-independent by construction (bit counts
+    * commute), pinned in StreamingSpec. */
+  def videoHashStream(ds: Dataset[FrameHash])
+                     (implicit spark: SparkSession): Dataset[VideoHashOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.videoId)
+      .flatMapGroupsWithState[VideoHashState, VideoHashOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (vid: Long, rows: Iterator[FrameHash], state: GroupState[VideoHashState]) =>
+          val st = state.getOption.getOrElse(VideoHashState(0L, new Array[Long](64)))
+          var n = st.n
+          val bits = st.bits.clone()
+          rows.foreach { f =>
+            n += 1
+            var i = 0
+            while (i < 32) {
+              if (((f.lo >> i) & 1L) == 1L) bits(i) += 1
+              if (((f.hi >> i) & 1L) == 1L) bits(32 + i) += 1
+              i += 1
+            }
+          }
+          state.update(VideoHashState(n, bits))
+          var hi = 0L; var lo = 0L; var i = 0
+          while (i < 32) {
+            if (2 * bits(i) > n) lo |= 1L << i
+            if (2 * bits(32 + i) > n) hi |= 1L << i
+            i += 1
+          }
+          Iterator.single(VideoHashOut(vid, n, hi, lo))
+      }
+  }
+
   /** Streaming 1-point spike confirmation — W6's 1-pt pattern
     * (`qaqc_unusual_large_jumps.py:128-299`; see the batch [[graft.ops.SpikeOps]])
     * on a live feed. The decision for point i needs the diffs (d₋₁, d, d₊₁, d₊₂),

@@ -515,6 +515,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("videoHashStream: last emission == batch videoHash64 across a mid-feed split (r14)") {
+    implicit val sq = spark.sqlContext
+    import graft.multimodal.MultimodalOps
+    val rows = Seq(2L, 5L).map(v =>
+      MultimodalOps.MediaRow(v, "video", MultimodalOps.mm6FixtureAvi(v), Map.empty))
+      .toDS()
+    val kf = MultimodalOps.videoKeyframeHashes(MultimodalOps.videoGrayRasters(rows))
+    val batchVh = MultimodalOps.videoHash64(kf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val feed = kf.select(col("id").as("videoId"), col("frame_idx").as("frameIdx"),
+        col("hi"), col("lo"))
+      .as[StreamingOps.FrameHash].collect().sortBy(f => (f.videoId, f.frameIdx))
+    val input = MemoryStream[StreamingOps.FrameHash]
+    val q = StreamingOps.videoHashStream(input.toDS())
+      .writeStream.format("memory").queryName("vh_stream")
+      .outputMode("append").start()
+    try {
+      // split MID-VIDEO: first keyframe of each video in batch 1, rest in batch 2
+      input.addData(feed.filter(_.frameIdx == 0).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(feed.filter(_.frameIdx != 0).toSeq: _*)
+      q.processAllAvailable()
+      val last = spark.sql(
+          "SELECT videoId, nkf, hi, lo FROM vh_stream")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (v, rs) => v -> rs.maxBy(_._2) }
+      last.foreach { case (v, (_, nkf, hi, lo)) =>
+        assert(batchVh(v) == ((hi, lo, nkf)),
+          s"video $v: streamed ($hi,$lo,$nkf) != batch ${batchVh(v)}")
+      }
+      assert(last.keySet == Set(2L, 5L))
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L, "state must be one row per video")
+    } finally q.stop()
+  }
+
   test("property: keyframeStream == held-frame model under any batch split and shuffle (r14)") {
     // The bounded-state approximation's EXACT semantics (VERDICT r13 #6),
     // pinned as a property instead of one split case: for ANY assignment of
