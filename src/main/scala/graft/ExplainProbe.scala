@@ -14,10 +14,16 @@ object ExplainProbe {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val qs = if (args.nonEmpty) args.toSeq
+    // data dir: SPARK_GRAFT_SF_DIR or a leading directory-looking arg
+    val (dir, qArgs) = args.toSeq match {
+      case head +: tail if head.contains("/") => (head, tail)
+      case other =>
+        (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"), other)
+    }
+    val qs = if (qArgs.nonEmpty) qArgs
       else Seq("mm6_video_neardups", "pipe7_video_curation", "mm7_audio_neardups")
     qs.foreach { q =>
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length

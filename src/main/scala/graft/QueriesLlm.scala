@@ -971,7 +971,10 @@ object QueriesLlm {
           bit_count(col("hi").bitwiseXOR(lag("hi", 1).over(w))) +
             bit_count(col("lo").bitwiseXOR(lag("lo", 1).over(w))))
         .select(col("doc_id"), col("frame_idx"), col("hi"), col("lo"),
-          when(col("frame_idx") === 0 || col("_hamming") > 10, 1).otherwise(0)
+          // first SEEN frame (null lag) anchors, not frame_idx == 0 — the
+          // videoKeyframeHashes / keyframeStream rule, so a video whose
+          // leading frames failed decode still flags its first survivor
+          when(col("_hamming").isNull || col("_hamming") > 10, 1).otherwise(0)
             .cast("int").as("is_keyframe"))
     }),
 
@@ -987,8 +990,13 @@ object QueriesLlm {
       val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
         graft.multimodal.MultimodalOps.MediaRow(did, "video",
           graft.multimodal.MultimodalOps.mm6FixtureAvi(did), Map.empty))
-      graft.multimodal.MultimodalOps.videoNearDups(
-        graft.multimodal.MultimodalOps.videoGrayRasters(rows))
+      // caller-held persist (the videoNearDupsFromKeyframes contract): the
+      // keyframe table feeds both the pairing and the per-video counts; the
+      // harness clears the cache per query, library callers unpersist
+      val kf = graft.multimodal.MultimodalOps.videoKeyframeHashes(
+          graft.multimodal.MultimodalOps.videoGrayRasters(rows))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.multimodal.MultimodalOps.videoNearDupsFromKeyframes(kf)
     }),
 
     // pipe7: video-curation funnel (pipe6's contract for video) — ONE persisted
@@ -1410,7 +1418,7 @@ object QueriesLlm {
               bit_count(xor(lo, lag(lo) OVER w)) AS hamming
           FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, hi, lo,
-          CAST(CASE WHEN frame_idx = 0 OR hamming > 10 THEN 1 ELSE 0 END AS INT)
+          CAST(CASE WHEN hamming IS NULL OR hamming > 10 THEN 1 ELSE 0 END AS INT)
             AS is_keyframe
         FROM k"""
 
@@ -1449,7 +1457,7 @@ object QueriesLlm {
           FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
         kf AS (
           SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, hi, lo
-          FROM k WHERE frame_idx = 0 OR hamming > 10),
+          FROM k WHERE hamming IS NULL OR hamming > 10),
         nkf AS (SELECT doc_id, COUNT(*) AS nkf FROM kf GROUP BY doc_id),
         rolled AS (
           SELECT p.vid1, p.vid2, n1.nkf AS nkf1, n2.nkf AS nkf2,
@@ -1469,6 +1477,25 @@ object QueriesLlm {
           JOIN nkf n2 ON p.vid2 = n2.doc_id
           WHERE ROUND((p.n_shared1 + p.n_shared2)::DOUBLE /
                       (n1.nkf + n2.nkf), 4) >= 0.5)"""
+
+  /** mm8/mm9 shared pooling CTEs (appended after [[mm6KfCtes]]): per-video
+    * strict-majority 64-bit code over the keyframe hashes — `vh(doc_id, hi,
+    * lo)`, the SQL twin of `videoHash64` (ties clear the bit). */
+  private val mm8VhCtes: String =
+    """vb AS (
+            SELECT doc_id, list(hi) AS his, list(lo) AS los, COUNT(*) AS cnt
+            FROM kf GROUP BY doc_id),
+          vh AS (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN 2 * list_sum(list_transform(his, h -> (h >> i) & 1))
+                          > cnt
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi,
+              CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                CASE WHEN 2 * list_sum(list_transform(los, l -> (l >> i) & 1))
+                          > cnt
+                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo
+            FROM vb)"""
 
   private val g1PagerankSql: String = {
     val rounds = (1 to 5).map { i =>
@@ -2358,20 +2385,7 @@ object QueriesLlm {
           FROM bc""",
     "mm8_video_hash_neardups" ->
       s"""WITH $mm6KfCtes,
-          vb AS (
-            SELECT doc_id, list(hi) AS his, list(lo) AS los, COUNT(*) AS cnt
-            FROM kf GROUP BY doc_id),
-          vh AS (
-            SELECT doc_id,
-              CAST(list_sum(list_transform(generate_series(0, 31), i ->
-                CASE WHEN 2 * list_sum(list_transform(his, h -> (h >> i) & 1))
-                          > cnt
-                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi,
-              CAST(list_sum(list_transform(generate_series(0, 31), i ->
-                CASE WHEN 2 * list_sum(list_transform(los, l -> (l >> i) & 1))
-                          > cnt
-                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo
-            FROM vb)
+          $mm8VhCtes
           SELECT a.doc_id AS id1, b.doc_id AS id2,
             CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
               AS BIGINT) AS hamming
@@ -2379,20 +2393,7 @@ object QueriesLlm {
           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""",
     "mm9_incremental_video" ->
       s"""WITH $mm6KfCtes,
-          vb AS (
-            SELECT doc_id, list(hi) AS his, list(lo) AS los, COUNT(*) AS cnt
-            FROM kf GROUP BY doc_id),
-          vh AS (
-            SELECT doc_id,
-              CAST(list_sum(list_transform(generate_series(0, 31), i ->
-                CASE WHEN 2 * list_sum(list_transform(his, h -> (h >> i) & 1))
-                          > cnt
-                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi,
-              CAST(list_sum(list_transform(generate_series(0, 31), i ->
-                CASE WHEN 2 * list_sum(list_transform(los, l -> (l >> i) & 1))
-                          > cnt
-                     THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo
-            FROM vb),
+          $mm8VhCtes,
           t AS (SELECT doc_id, hi, lo, (doc_id % 10 = 0) AS isnew FROM vh),
           p AS (
             SELECT a.doc_id AS id, b.doc_id AS matched_id,

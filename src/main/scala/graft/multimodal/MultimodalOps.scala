@@ -900,10 +900,10 @@ object MultimodalOps {
       try videoStbl(b).flatMap { case (sf, su) =>
         for {
           (df, _) <- child(b, sf, su, "stsd")
-          (zf, _) <- child(b, sf, su, "stsz")
+          (zf, zu) <- child(b, sf, su, "stsz")
           (cf, cu) <- child(b, sf, su, "stco")
             .orElse(child(b, sf, su, "co64"))
-          (scf, _) <- child(b, sf, su, "stsc")
+          (scf, scu) <- child(b, sf, su, "stsc")
         } yield {
           // stsd: v+f(4) + entry_count(4); entry: size(4)+fourcc(4)+
           // reserved(6)+dri(2) + VisualSampleEntry pre_defined/reserved(16)
@@ -912,19 +912,26 @@ object MultimodalOps {
           val codec = fcc(b, e0 + 4)
           val (w, h) = (u16(b, e0 + 32), u16(b, e0 + 34))
           val fixed = u32(b, zf + 4)
-          val n = u32(b, zf + 8).toInt
+          // every count is CLAMPED by what its box (or the payload) can
+          // actually hold: a corrupt header claiming 2^31 samples would
+          // otherwise drive Array.fill into an OutOfMemoryError, which is a
+          // VirtualMachineError the NonFatal catch below does NOT absorb —
+          // the executor task would die instead of declining to the stub
+          val n = math.min(u32(b, zf + 8),
+            if (fixed != 0L) b.length.toLong / math.max(fixed, 1L)
+            else (zu - zf - 12L) / 4L).toInt
           val sizes =
             if (fixed != 0L) Array.fill(n)(fixed)
             else Array.tabulate(n)(i => u32(b, zf + 12 + 4 * i))
           val co64 = child(b, sf, su, "stco").isEmpty
-          val nCh = u32(b, cf + 4).toInt
+          val offSz = if (co64) 8L else 4L
+          val nCh = math.min(u32(b, cf + 4), (cu - cf - 8L) / offSz).toInt
           val chunkOffs =
             if (co64) Array.tabulate(nCh)(i => u64(b, cf + 8 + 8 * i))
             else Array.tabulate(nCh)(i => u32(b, cf + 8 + 4 * i))
-          val nRuns = u32(b, scf + 4).toInt
+          val nRuns = math.min(u32(b, scf + 4), (scu - scf - 8L) / 12L).toInt
           val stsc = Array.tabulate(nRuns)(i =>
             (u32(b, scf + 8 + 12 * i), u32(b, scf + 12 + 12 * i)))
-          require(cu <= b.length)
           Tables(w, h, codec, sizes, chunkOffs, stsc)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -1421,41 +1428,35 @@ object MultimodalOps {
     dh.withColumn("_hamming",
         bit_count(col("hi").bitwiseXOR(lag("hi", 1).over(w))) +
           bit_count(col("lo").bitwiseXOR(lag("lo", 1).over(w))))
-      .filter(col("frame_idx") === 0 || col("_hamming") > shotThresh)
+      // the anchor is the FIRST SEEN frame (null lag), not frame_idx == 0:
+      // a video whose leading frames failed decode must still contribute its
+      // first surviving frame, or it escapes dedup entirely — and this is
+      // the rule the streaming twin (keyframeStream) already applies
+      .filter(col("_hamming").isNull || col("_hamming") > shotThresh)
       .select("id", "frame_idx", "hi", "lo")
   }
 
   /** CROSS-video near-dup — the LAION-video dedup primitive (two videos
     * sharing most keyframe codes are duplicates; re-encodes, resolution
-    * twins, trims): keyframe hashes ([[videoKeyframeHashes]], PERSISTED — it
-    * sits behind the full container-walk+decode pass and feeds three
-    * consumers) → banded-Hamming keyframe pairs across DIFFERENT videos (the
+    * twins, trims): a CALLER-SUPPLIED [[videoKeyframeHashes]] table →
+    * banded-Hamming keyframe pairs across DIFFERENT videos (the
     * [[graft.dedup.DedupOps.hamming64Pairs]] 4×16 chassis inlined so video
     * identity rides the bucket records; same pigeonhole-exact recall at
     * hamming ≤ 3) → video-level roll-up: per ordered video pair, how many of
     * each side's keyframes found a partner, similarity = matched keyframes /
     * total keyframes across both sides (symmetric), kept at ≥ `minSim`.
     *
-    * Scale shape: ONE window shuffle per video for keyframes, one band-key
-    * shuffle over keyframes only (≈2-5 rows/video, NOT frames), bucket-capped
-    * quadratic, one grouped roll-up, two joins against the per-video keyframe
-    * counts (id-keyed, tiny rows). No all-pairs anywhere; the decode pass
-    * runs ONCE (the persist — callers unpersist after consuming, or rely on
-    * the harness per-query cache clear, the d2 sigTable contract).
+    * Scale shape: one band-key shuffle over keyframes only (≈2-5 rows/video,
+    * NOT frames), bucket-capped quadratic, one grouped roll-up, two joins
+    * against the per-video keyframe counts (id-keyed, tiny rows). No
+    * all-pairs anywhere. The keyframe table is consumed TWICE (pairing + the
+    * counts) and sits behind the full container-walk/decode pass — so the
+    * CALLER persists it, keeps the handle, and unpersists after consuming
+    * the result (the [[graft.dedup.DedupOps.minhashCapStatsFromSig]] rule;
+    * an internal persist would leak a corpus-sized cache entry per call with
+    * no way to release it — the ADVICE-r13 minhashCapStats defect class).
+    * pipe7 and the mm6 query are the reference call shapes.
     * Output: (vid1, vid2, nkf1, nkf2, n_shared1, n_shared2, sim). */
-  def videoNearDups(frames: DataFrame, shotThresh: Int = 10,
-                    maxHamming: Int = 3, maxBucketSize: Int = 2000,
-                    minSim: Double = 0.5): DataFrame =
-    videoNearDupsFromKeyframes(
-      videoKeyframeHashes(frames, shotThresh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      maxHamming, maxBucketSize, minSim)
-
-  /** [[videoNearDups]] on a CALLER-SUPPLIED (id, frame_idx, hi, lo) keyframe
-    * table — the sharing entry for compositions that also need the keyframes
-    * for a cap ledger or funnel counts (pipe7): the caller persists kf once
-    * and every consumer rides the same decode pass (the
-    * minhashCapStatsFromSig rule). */
   def videoNearDupsFromKeyframes(kf: DataFrame,
                     maxHamming: Int = 3, maxBucketSize: Int = 2000,
                     minSim: Double = 0.5): DataFrame = {

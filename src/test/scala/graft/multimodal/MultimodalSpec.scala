@@ -794,8 +794,21 @@ class MultimodalSpec extends SparkSpec {
     // every video: exactly frames 0 and 3 (the shot boundary) are keyframes
     assert(kfRows.groupBy(_._1).forall { case (_, fs) =>
       fs.map(_._2).sorted.toSeq == Seq(0L, 3L) }, kfRows.mkString(","))
-    val pairs = videoNearDups(videoGrayRasters(rows))
+    val kfp = videoKeyframeHashes(videoGrayRasters(rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = videoNearDupsFromKeyframes(kfp)
       .select("vid1", "vid2", "sim").as[(Long, Long, Double)].collect()
+    // a video whose LEADING frame fails decode must still anchor a keyframe
+    // on its first surviving frame (else it silently escapes dedup): rebuild
+    // video 0 with frame 0 replaced by garbage bytes
+    val frames0 = VideoCodec.frames(mm6FixtureAvi(0L))
+    val headless = VideoCodec.buildMjpegAvi(
+      Array.fill[Byte](64)(0x55) +: frames0.tail, 72, 64)
+    val hkf = videoKeyframeHashes(videoGrayRasters(
+        Seq(MediaRow(99L, "video", headless, Map.empty)).toDS()))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hkf.map(_._2).sorted.toSeq == Seq(1L, 3L),
+      s"first surviving frame must anchor: ${hkf.mkString(",")}")
     // no cross-group pair can survive (independent md5 grids, hamming ~32)
     assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 }, pairs.mkString(","))
     // the planted duplicates surface: most within-group pairs at sim >= 0.5
