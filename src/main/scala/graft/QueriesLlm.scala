@@ -1076,6 +1076,35 @@ object QueriesLlm {
         .select(col("id1"), col("id2"), col("hamming"))
     }),
 
+    // pipe8: AUDIO-curation funnel — pipe6/pipe7's audit contract for the
+    // third modality: one decode+feature pass feeds the energy-hash near-dup
+    // drop (keep-smallest-id), a low-energy quality gate on survivors (the
+    // doc-level RMS is integer-exact through the step-WAV fixture, so the
+    // float threshold compare is engine-portable), and the band cap ledger —
+    // all in one audit row.
+    "pipe8_audio_curation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm7_wav_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "audio",
+          graft.multimodal.MultimodalOps.mm7FixtureWav(did), Map.empty))
+      val feats = graft.multimodal.MultimodalOps
+        .audioFrameFeatures(rows, windowSamples = 256).toDF()
+        .select(col("id"), col("rms"),
+          graft.multimodal.MultimodalOps.energyHash64(col("windowRms")).as("_eh"))
+        .select(col("id"), col("rms"),
+          col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = DedupOps.hamming64Pairs(feats, "id", "hi", "lo")
+      val dropped = pairs.select(col("id2").as("id")).distinct()
+      val survivors = feats.join(dropped, Seq("id"), "left_anti")
+      feats.agg(count(lit(1)).as("n_input"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dup_dropped")))
+        .crossJoin(survivors.agg(
+          count(when(col("rms") < 17000.0, lit(1))).as("n_low_energy"),
+          count(when(col("rms") >= 17000.0, lit(1))).as("n_kept")))
+        .crossJoin(DedupOps.hamming64CapStats(feats, "id", "hi", "lo"))
+    }),
+
     // samp6: DSIR hashed n-gram importance weights — target = the English slice,
     // raw = the whole corpus; docs whose unigram+bigram profile looks English
     // score high. 512 buckets, add-1 smoothing.
@@ -1477,6 +1506,29 @@ object QueriesLlm {
           JOIN nkf n2 ON p.vid2 = n2.doc_id
           WHERE ROUND((p.n_shared1 + p.n_shared2)::DOUBLE /
                       (n1.nkf + n2.nkf), 4) >= 0.5)"""
+
+  /** mm7/pipe8 shared analytic CTEs: rebuild the step-WAV block levels from
+    * the group-keyed md5 synthesis (`lv`), the sign-of-delta bits (`d`), and
+    * the 64-bit energy hash halves (`eh(doc_id, hi, lo)`) — the SQL twin of
+    * `energyHash64` over `mm7FixtureWav`. */
+  private val mm7EhCtes: String =
+    """lv AS (
+          SELECT doc_id, t.w,
+            CAST(1000 + (('0x' || substring(md5('a' || (doc_id // 4)::VARCHAR ||
+                     ':' || w::VARCHAR), 1, 6))::BIGINT % 28000)
+              + (doc_id % 4) * ((w*13 + doc_id) % 2) * 2 AS BIGINT) AS lvl
+          FROM documents CROSS JOIN generate_series(0, 64) t(w)),
+        d AS (
+          SELECT c.doc_id, c.w, CASE WHEN n.lvl > c.lvl THEN 1 ELSE 0 END AS bit
+          FROM lv c JOIN lv n ON n.doc_id = c.doc_id AND n.w = c.w + 1
+          WHERE c.w < 64),
+        eh AS (
+          SELECT doc_id,
+            CAST(COALESCE(SUM(CASE WHEN w >= 32 AND bit = 1
+                   THEN (1::BIGINT << (w - 32)) END), 0) AS BIGINT) AS hi,
+            CAST(COALESCE(SUM(CASE WHEN w < 32 AND bit = 1
+                   THEN (1::BIGINT << w) END), 0) AS BIGINT) AS lo
+          FROM d GROUP BY doc_id)"""
 
   /** mm8/mm9 shared pooling CTEs (appended after [[mm6KfCtes]]): per-video
     * strict-majority 64-bit code over the keyframe hashes — `vh(doc_id, hi,
@@ -2407,28 +2459,44 @@ object QueriesLlm {
                   PARTITION BY id ORDER BY hamming, matched_id) AS rn FROM p)
           SELECT id, matched_id, hamming, vs_corpus FROM r WHERE rn = 1""",
     "mm7_audio_neardups" ->
-      """WITH lv AS (
-          SELECT doc_id, t.w,
-            CAST(1000 + (('0x' || substring(md5('a' || (doc_id // 4)::VARCHAR ||
-                     ':' || w::VARCHAR), 1, 6))::BIGINT % 28000)
-              + (doc_id % 4) * ((w*13 + doc_id) % 2) * 2 AS BIGINT) AS lvl
-          FROM documents CROSS JOIN generate_series(0, 64) t(w)),
-        d AS (
-          SELECT c.doc_id, c.w, CASE WHEN n.lvl > c.lvl THEN 1 ELSE 0 END AS bit
-          FROM lv c JOIN lv n ON n.doc_id = c.doc_id AND n.w = c.w + 1
-          WHERE c.w < 64),
-        eh AS (
-          SELECT doc_id,
-            CAST(COALESCE(SUM(CASE WHEN w >= 32 AND bit = 1
-                   THEN (1::BIGINT << (w - 32)) END), 0) AS BIGINT) AS hi,
-            CAST(COALESCE(SUM(CASE WHEN w < 32 AND bit = 1
-                   THEN (1::BIGINT << w) END), 0) AS BIGINT) AS lo
-          FROM d GROUP BY doc_id)
+      s"""WITH $mm7EhCtes
         SELECT a.doc_id AS id1, b.doc_id AS id2,
           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
             AS hamming
         FROM eh a JOIN eh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""",
+    "pipe8_audio_curation" ->
+      s"""WITH $mm7EhCtes,
+        rmsq AS (
+          SELECT doc_id, sqrt(SUM(lvl * lvl)::DOUBLE / 65) AS rms
+          FROM lv GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM eh a JOIN eh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        dropped AS (SELECT DISTINCT id2 FROM p),
+        surv AS (
+          SELECT r.doc_id, r.rms FROM rmsq r
+          WHERE r.doc_id NOT IN (SELECT id2 FROM dropped)),
+        bands AS (
+          SELECT doc_id, '0:' || (lo & 65535)::VARCHAR AS band FROM eh
+          UNION ALL SELECT doc_id, '1:' || ((lo >> 16) & 65535)::VARCHAR FROM eh
+          UNION ALL SELECT doc_id, '2:' || (hi & 65535)::VARCHAR FROM eh
+          UNION ALL SELECT doc_id, '3:' || ((hi >> 16) & 65535)::VARCHAR FROM eh),
+        bc AS (SELECT band, COUNT(*) AS n FROM bands GROUP BY band)
+        SELECT (SELECT COUNT(*) FROM eh) AS n_input,
+               (SELECT COUNT(*) FROM dropped) AS n_dup_dropped,
+               (SELECT COUNT(*) FROM surv WHERE rms < 17000.0::DOUBLE)
+                 AS n_low_energy,
+               (SELECT COUNT(*) FROM surv WHERE rms >= 17000.0::DOUBLE)
+                 AS n_kept,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_buckets_capped,
+               CAST(COALESCE(SUM(CASE WHEN n > 2000 THEN n END), 0) AS BIGINT)
+                 AS n_members_excluded,
+               CAST(MAX(n) AS BIGINT) AS max_bucket
+        FROM bc""",
     "pipe6_image_curation" -> pipe6Sql,
     "samp6_dsir" ->
       """WITH toks AS (
