@@ -14,9 +14,11 @@ object ExplainProbe {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // data dir: SPARK_GRAFT_SF_DIR or a leading directory-looking arg
+    // data dir: SPARK_GRAFT_SF_DIR or a leading arg that IS a directory
+    // (ADVICE r14: a '/'-heuristic misrouted relative dirs like 'testdata'
+    // into the query list — an actual isDirectory check can't)
     val (dir, qArgs) = args.toSeq match {
-      case head +: tail if head.contains("/") => (head, tail)
+      case head +: tail if new java.io.File(head).isDirectory => (head, tail)
       case other =>
         (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"), other)
     }

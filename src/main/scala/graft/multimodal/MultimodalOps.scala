@@ -847,7 +847,12 @@ object MultimodalOps {
     def isMp4(b: Array[Byte]): Boolean = b.length >= 12 && fcc(b, 4) == "ftyp"
 
     /** Child-box walk over `[from, until)`: `f` sees (type, payloadFrom,
-      * boxEnd). Stops cleanly on truncated/corrupt sizes. */
+      * boxEnd). Stops cleanly on truncated/corrupt sizes. ISO/IEC 14496-12
+      * permits size 0 ("extends to end of file") ONLY for the LAST TOP-LEVEL
+      * box, so the extend-to-end interpretation applies to the top-level walk
+      * alone (`from == 0`); a size-0 box at any nested depth is corrupt and
+      * stops the walk — it must not silently swallow its sibling boxes
+      * (ADVICE r14). */
     private def boxes(b: Array[Byte], from: Int, until: Int)
                      (f: (String, Int, Int) => Unit): Unit = {
       var o = from
@@ -856,7 +861,10 @@ object MultimodalOps {
         val typ = fcc(b, o + 4)
         var data = o + 8
         if (sz == 1L && o + 16 <= until) { sz = u64(b, o + 8); data = o + 16 }
-        else if (sz == 0L) sz = (until - o).toLong
+        else if (sz == 0L) {
+          if (from != 0) return // nested size-0: corrupt, stop the walk
+          sz = (until - o).toLong
+        }
         if (sz < (data - o).toLong || o + sz > until) return
         f(typ, data, (o + sz).toInt)
         o = (o + sz).toInt
@@ -1494,7 +1502,7 @@ object MultimodalOps {
     * in the spirit of published video-hash schemes (TMK-style pooling of
     * frame-level codes): bit i of the video hash is the strict-majority vote
     * of bit i across the video's keyframe hashes (ties clear the bit). This
-    * is mm6's SCALE PATH: [[videoNearDups]] pairs every keyframe (exact, but
+    * is mm6's SCALE PATH: [[videoNearDupsFromKeyframes]] pairs every keyframe (exact, but
     * candidate volume grows with keyframes), while one pooled code per video
     * makes storage O(videos) and the banded pair stage independent of video
     * length — the IVF-vs-brute-force relationship, both under the gate.

@@ -784,6 +784,29 @@ class MultimodalSpec extends SparkSpec {
       "sample offsets drifted through the stsc-run / co64 / fixed-stsz walk")
   }
 
+  test("Mp4Codec size-0 boxes: last-top-level only; nested size-0 declines (r15)") {
+    // ISO/IEC 14496-12 permits size 0 (extends to end of file) only for the
+    // LAST TOP-LEVEL box; a nested size-0 box is corrupt and must stop the
+    // walk instead of silently swallowing its sibling boxes (ADVICE r14)
+    val frames = (0 until 3).map(i => Array.fill(12)((0x30 + i).toByte))
+    val mp4 = Mp4Codec.buildMjpegMp4(frames, 8, 8)
+    val info = Mp4Codec.tryParse(mp4).get
+    // moov is the last top-level box: size 0 there is the spec's legal form
+    val topZero = mp4.clone()
+    val moovOff = topZero.indexOfSlice("moov".getBytes("ASCII")) - 4
+    java.util.Arrays.fill(topZero, moovOff, moovOff + 4, 0.toByte)
+    assert(Mp4Codec.tryParse(topZero).contains(info),
+      "last-top-level size-0 box must still parse (extends to end of file)")
+    // trak is nested (inside moov): size 0 there is corrupt -> decline, even
+    // though trak happens to be moov's last child (the old extend-to-enclosure
+    // reading would have parsed it identically and hidden the corruption)
+    val nestedZero = mp4.clone()
+    val trakOff = nestedZero.indexOfSlice("trak".getBytes("ASCII")) - 4
+    java.util.Arrays.fill(nestedZero, trakOff, trakOff + 4, 0.toByte)
+    assert(Mp4Codec.tryParse(nestedZero).isEmpty,
+      "nested size-0 box must be treated as corrupt, not extend-to-enclosure")
+  }
+
   test("mm6 cross-video near-dup: group members pair at high sim, groups stay apart (r14)") {
     import spark.implicits._
     // two planted groups of 4 (ids 0-3 share gid 0, ids 4-7 gid 1)
