@@ -893,6 +893,32 @@ object QueriesLlm {
       graft.multimodal.MultimodalOps.dHashNearDups(gray, "doc_id", "gray")
     }),
 
+    // mm4w: WIDE-RADIUS perceptual near-dup pairs (VERDICT r14 #1) — the
+    // 8x8-bit-band hamming64PairsWide chassis, pigeonhole-exact at hamming
+    // <= 7: the radius real re-encodes actually land at (dHash distance 4-10
+    // for quality/resolution/crop jitter), where the 4x16 chassis is blind
+    // past 3. The fixture plants EXACTLY that band: per group of 4 docs, a
+    // shared md5-derived 64-bit base code with disjoint per-member bit
+    // flips (member 1 flips 4 bits, member 2 five, member 3 seven), so the
+    // kept pairs are the three member-0 pairs at hamming 4/5/7 while the
+    // 1-2/1-3/2-3 pairs (hamming 9/11/12) prove the verify filter, not the
+    // bands, draws the line.
+    "mm4w_wide_neardups" -> ((s, dir) => {
+      val g = md5(concat(lit("w"), (col("doc_id") / 4).cast("long").cast("string")))
+      val codes = t(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(g, 1, 8), 16, 10).cast("long").as("hi0"),
+          conv(substring(g, 9, 8), 16, 10).cast("long").as("lo0"),
+          pmod(col("doc_id"), lit(4)).as("m"))
+        .select(col("doc_id"),
+          when(col("m") === 3, col("hi0").bitwiseXOR(lit(0x7f00L)))
+            .otherwise(col("hi0")).as("hi"),
+          when(col("m") === 1, col("lo0").bitwiseXOR(lit(0xfL)))
+            .when(col("m") === 2, col("lo0").bitwiseXOR(lit(0x1f00000L)))
+            .otherwise(col("lo0")).as("lo"))
+      DedupOps.hamming64PairsWide(codes, "doc_id", "hi", "lo", maxHamming = 7)
+    }),
+
     // mm4r: mm4's REAL-DECODE twin (VERDICT r11 #2) — the payload→PNG-decode→
     // luma-raster on-ramp (imageGrayRaster + the from-scratch PNG fast path)
     // under the cross-engine gate, the way mm3 gated the WAV path. The fixture
@@ -2411,6 +2437,40 @@ object QueriesLlm {
     // so decode-then-hash must equal synthesize-then-hash bit-for-bit.
     "mm4_dhash_neardups" -> mm4PairsSql,
     "mm4r_dhash_decode" -> mm4PairsSql,
+    // mm4w: the wide chassis replayed — md5 group base split as two
+    // non-negative 32-bit halves, disjoint per-member XOR flips (4/5/7
+    // bits), 8x8-bit band self-join, bit_count verify at <= 7
+    "mm4w_wide_neardups" ->
+      """WITH c AS (
+           SELECT doc_id, doc_id % 4 AS m,
+             ('0x' || substring(md5('w' || (doc_id // 4)::VARCHAR), 1, 8))::BIGINT AS hi0,
+             ('0x' || substring(md5('w' || (doc_id // 4)::VARCHAR), 9, 8))::BIGINT AS lo0
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             CASE WHEN m = 3 THEN xor(hi0, 32512) ELSE hi0 END AS hi,
+             CASE WHEN m = 1 THEN xor(lo0, 15)
+                  WHEN m = 2 THEN xor(lo0, 32505856) ELSE lo0 END AS lo
+           FROM c),
+         b AS (
+           SELECT doc_id, hi, lo, unnest([
+             '0:' || CAST(lo & 255 AS VARCHAR),
+             '1:' || CAST((lo >> 8) & 255 AS VARCHAR),
+             '2:' || CAST((lo >> 16) & 255 AS VARCHAR),
+             '3:' || CAST((lo >> 24) & 255 AS VARCHAR),
+             '4:' || CAST(hi & 255 AS VARCHAR),
+             '5:' || CAST((hi >> 8) & 255 AS VARCHAR),
+             '6:' || CAST((hi >> 16) & 255 AS VARCHAR),
+             '7:' || CAST((hi >> 24) & 255 AS VARCHAR)]) AS band
+           FROM h),
+         bc AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) <= 2000),
+         p AS (
+           SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+             bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
+           FROM b a JOIN b b2 USING (band) JOIN bc USING (band)
+           WHERE a.doc_id < b2.doc_id)
+         SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+         FROM p WHERE hamming <= 7""",
     "mm5_video_keyframes" -> mm5KeyframesSql,
     "mm6_video_neardups" ->
       s"""WITH $mm6KfCtes

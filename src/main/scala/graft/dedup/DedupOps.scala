@@ -294,9 +294,40 @@ object DedupOps {
                      maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    hamming64PairsImpl(df, idCol, hiCol, loCol, maxHamming, maxBucketSize,
+      hamming64BandKeys)
+  }
+
+  /** WIDE-RADIUS form of [[hamming64Pairs]]: 8×8-bit multi-index bands, so the
+    * pigeonhole guarantee extends recall-EXACT coverage to hamming ≤ 7 — the
+    * radius real re-encodes land at (different JPEG quality, resolution,
+    * crop jitter put dHash distance at 4–10 in practice; the ≤3 chassis is
+    * fixture-radius). Same shape, shuffle, and cap contract as the narrow
+    * form; audit with [[hamming64CapStatsWide]] (same band keys by
+    * construction — the no-silent-caps rule).
+    *
+    * Cost model vs the narrow chassis, measured not guessed (SCALE.md r15):
+    * band fan-out doubles (8 keys/item), and — the real cost — 8-bit bands
+    * have only 256 values, so on an n-item corpus whose codes are
+    * near-uniform (worst case) buckets average n/256 and the in-bucket
+    * quadratic dominates past n ≈ 256·cap. Perceptual-hash corpora cluster
+    * far from uniform, but for a corpus that large either raise
+    * `maxBucketSize` knowingly (the ledger reports what was dropped) or
+    * shard the corpus before pairing. */
+  def hamming64PairsWide(df: DataFrame, idCol: String, hiCol: String, loCol: String,
+                         maxHamming: Int = 7, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming <= 7,
+      "8x8-bit banding guarantees recall only for maxHamming <= 7")
+    hamming64PairsImpl(df, idCol, hiCol, loCol, maxHamming, maxBucketSize,
+      hamming64BandKeysWide)
+  }
+
+  private def hamming64PairsImpl(df: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxHamming: Int, maxBucketSize: Int,
+      bandKeys: (Column, Column) => Column): DataFrame =
     df.select(struct(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo"))
           .as("_rec"),
-        explode(hamming64BandKeys(col(hiCol), col(loCol))).as("_band"))
+        explode(bandKeys(col(hiCol), col(loCol))).as("_band"))
       .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
       .filter(size(col("_recs")).between(2, maxBucketSize))
       .select(explode(col("_recs")).as("a"), col("_recs"))
@@ -308,7 +339,6 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
       .distinct()
-  }
 
   /** The 4×16-bit band keys of a 64-bit (hi, lo) code — ONE definition shared
     * by [[hamming64Pairs]] and its cap ledgers so audited keys cannot drift
@@ -319,6 +349,17 @@ object DedupOps {
       shiftright(lo, 16).bitwiseAND(lit(65535L)),
       hi.bitwiseAND(lit(65535L)),
       shiftright(hi, 16).bitwiseAND(lit(65535L)))
+    array(parts.zipWithIndex.map { case (c, b) =>
+      concat(lit(s"$b:"), c.cast("string")) }: _*)
+  }
+
+  /** The 8×8-bit band keys of a 64-bit (hi, lo) code — [[hamming64BandKeys]]'
+    * wide-radius twin (bands 0–3 from lo, 4–7 from hi, low byte first), ONE
+    * definition shared by [[hamming64PairsWide]] and
+    * [[hamming64CapStatsWide]]. */
+  def hamming64BandKeysWide(hi: Column, lo: Column): Column = {
+    val parts = (0 until 4).map(i => shiftright(lo, 8 * i).bitwiseAND(lit(255L))) ++
+      (0 until 4).map(i => shiftright(hi, 8 * i).bitwiseAND(lit(255L)))
     array(parts.zipWithIndex.map { case (c, b) =>
       concat(lit(s"$b:"), c.cast("string")) }: _*)
   }
@@ -373,6 +414,15 @@ object DedupOps {
     bandCapLedger(
       df.select(col(idCol),
         explode(hamming64BandKeys(col(hiCol), col(loCol))).as("_band")),
+      "_band", maxBucketSize)
+
+  /** Over-cap ledger for [[hamming64PairsWide]]'s 8×8-bit bands (same band
+    * keys by construction — audited keys cannot drift from join keys). */
+  def hamming64CapStatsWide(df: DataFrame, idCol: String, hiCol: String,
+                            loCol: String, maxBucketSize: Int = 2000): DataFrame =
+    bandCapLedger(
+      df.select(col(idCol),
+        explode(hamming64BandKeysWide(col(hiCol), col(loCol))).as("_band")),
       "_band", maxBucketSize)
 
   /** Over-cap ledger for [[simhashNearDups]]'s 4×8-bit multi-index. */

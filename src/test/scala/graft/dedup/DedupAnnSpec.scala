@@ -758,6 +758,53 @@ class DedupAnnSpec extends SparkSpec {
     assert(want.exists(_._3 == 3L), "fixture must include a radius-3 pair")
   }
 
+  test("hamming64PairsWide: banded candidates == brute force at radius <= 7 (pigeonhole, r15)") {
+    // the radius-0..4 harness extended to the wide chassis: 200 random codes
+    // + planted near-pairs at every radius 0..8 — 8x8-bit banding must find
+    // EXACTLY the all-pairs <= 7 set (the radius-8 plant proves the verify
+    // filter, not the bands, draws the line)
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 9).map { r =>
+      var v = base(r * 17)._2
+      rnd.shuffle((0 until 64).toList).take(r).foreach(b => v ^= (1L << b))
+      ((1000 + r).toLong, v)
+    }
+    val all = base ++ planted
+    val df = all.toDF("id", "code")
+      .select($"id",
+        expr("shiftright(code, 32)").bitwiseAND(lit(0xffffffffL)).as("hi"),
+        $"code".bitwiseAND(lit(0xffffffffL)).as("lo"))
+    val got = DedupOps.hamming64PairsWide(df, "id", "hi", "lo")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      a <- all; b <- all if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 7
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.exists(_._3 == 7L), "fixture must include a radius-7 pair")
+    assert(DedupOps.hamming64PairsWide(df, "id", "hi", "lo", maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSet == want.filter(_._3 <= 4))
+    intercept[IllegalArgumentException] {
+      DedupOps.hamming64PairsWide(df, "id", "hi", "lo", maxHamming = 8)
+    }
+  }
+
+  test("hamming64CapStatsWide: audits the same 8x8 band keys the wide pair op drops (r15)") {
+    // 5 items share code 0 -> every one of the 8 bands has a 5-member bucket;
+    // at cap 4 the pair op must drop ALL pairs and the ledger must report
+    // exactly 8 capped buckets x 5 members
+    import spark.implicits._
+    val df = (0L until 5L).map(i => (i, 0L, 0L)).toDF("id", "hi", "lo")
+    assert(DedupOps.hamming64PairsWide(df, "id", "hi", "lo",
+      maxBucketSize = 4).count() == 0L)
+    val led = DedupOps.hamming64CapStatsWide(df, "id", "hi", "lo", maxBucketSize = 4)
+      .collect().head
+    assert(led.getAs[Long]("n_buckets_capped") == 8L, led.toString)
+    assert(led.getAs[Long]("n_members_excluded") == 40L, led.toString)
+  }
+
   test("hamming64IncrementalNearDups: new items only, best match, d19's new-new rule (r14)") {
     // corpus: 10 (code 0), 11 (code 1 bit). shard: 20 (code 0 -> ties 10/11,
     // keeps min-hamming 10), 21 (code with bit 40 -> matches all at <=2,
