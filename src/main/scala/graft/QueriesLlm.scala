@@ -1065,7 +1065,10 @@ object QueriesLlm {
     // a new crawl drop (every 10th video) checks against the stored corpus
     // catalog plus smaller-id shard peers; each new video keeps its single
     // best match (min hamming, then smallest matched id). The corpus side is
-    // precomputed codes — per-drop cost never re-decodes the corpus.
+    // precomputed codes — per-drop cost never re-decodes the corpus. The
+    // shard∪catalog cap ledger rides the output row (r15, ADVICE r14): a
+    // capped band can hide a new item's ONLY match, so the incremental
+    // contract surfaces the audit with every drop, not as a separate query.
     "mm9_incremental_video" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
@@ -1077,8 +1080,9 @@ object QueriesLlm {
             graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       DedupOps.hamming64IncrementalNearDups(
-        vh.filter(col("id") % 10 =!= 0), vh.filter(col("id") % 10 === 0),
-        "id", "hi", "lo")
+          vh.filter(col("id") % 10 =!= 0), vh.filter(col("id") % 10 === 0),
+          "id", "hi", "lo")
+        .crossJoin(DedupOps.hamming64CapStats(vh, "id", "hi", "lo"))
     }),
 
     // mm7: AUDIO near-dup pairs (VERDICT r13 #3) — sign-of-delta energy hash
@@ -2516,8 +2520,23 @@ object QueriesLlm {
             WHERE a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
               AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
           r AS (SELECT *, row_number() OVER (
-                  PARTITION BY id ORDER BY hamming, matched_id) AS rn FROM p)
-          SELECT id, matched_id, hamming, vs_corpus FROM r WHERE rn = 1""",
+                  PARTITION BY id ORDER BY hamming, matched_id) AS rn FROM p),
+          bands AS (
+            SELECT doc_id, '0:' || (lo & 65535)::VARCHAR AS band FROM vh
+            UNION ALL SELECT doc_id, '1:' || ((lo >> 16) & 65535)::VARCHAR FROM vh
+            UNION ALL SELECT doc_id, '2:' || (hi & 65535)::VARCHAR FROM vh
+            UNION ALL SELECT doc_id, '3:' || ((hi >> 16) & 65535)::VARCHAR FROM vh),
+          led AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_buckets_capped,
+                   CAST(COALESCE(SUM(CASE WHEN n > 2000 THEN n END), 0) AS BIGINT)
+                     AS n_members_excluded,
+                   CAST(MAX(n) AS BIGINT) AS max_bucket
+            FROM (SELECT band, COUNT(*) AS n FROM bands GROUP BY band))
+          SELECT id, matched_id, hamming, vs_corpus,
+                 n_buckets, n_buckets_capped, n_members_excluded, max_bucket
+          FROM r CROSS JOIN led WHERE rn = 1""",
     "mm7_audio_neardups" ->
       s"""WITH $mm7EhCtes
         SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -373,7 +373,16 @@ object DedupOps {
     * matched id). The corpus side arrives as precomputed codes — on a real
     * deployment that is the stored hash catalog, so per-drop cost is
     * O(shard + catalog scan), never a corpus re-decode. Output:
-    * (idCol, matched_id, hamming, vs_corpus). */
+    * (idCol, matched_id, hamming, vs_corpus).
+    *
+    * Audit contract (the no-silent-caps rule, sharper here than for the
+    * batch op): bands over `maxBucketSize` are dropped, and for the
+    * incremental contract that means a NEW item landing only in mega-buckets
+    * gets NO match row at all — it silently enters the corpus as "novel".
+    * Incremental callers therefore run [[hamming64CapStats]] over
+    * shard ∪ catalog alongside every drop and alert on
+    * `n_buckets_capped > 0` (the mm9 query is the reference call shape: the
+    * ledger rides the same output row). */
   def hamming64IncrementalNearDups(corpus: DataFrame, shard: DataFrame,
       idCol: String, hiCol: String, loCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
