@@ -1035,25 +1035,13 @@ object DedupOps {
       ivfAssignByJoin(df.select(col(idCol), col(vecCol)), idCol, vecCol, centroidsDf),
       idCol, vecCol, threshold, maxCellSize)
 
-  /** IVF cell assignment against a centroid TABLE: broadcast the k centroids,
-    * score every (vector, centroid) pair with the native cosine, take the
-    * per-vector argmax as `max(struct(cos, cid))` — Spark's struct ordering
-    * ranks NaN largest and breaks cosine ties on the HIGHER cid, exactly the
-    * `ivfAssign` fold contract (all-null cosines fall back to cell 0 the same
-    * way). The n x k score table exists only inside the map-side partial
-    * aggregate; the exchange carries one row per vector. */
+  /** IVF cell assignment against a centroid TABLE — forwarder to
+    * [[graft.ann.AnnOps.ivfAssignByJoin]] (moved in r15 so the table-form
+    * k-means trainer and this assignment share ONE implementation; kept here
+    * for API stability). */
   def ivfAssignByJoin(vecs: DataFrame, idCol: String, vecCol: String,
-                      centroidsDf: DataFrame): DataFrame = {
-    val assigned = vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroidsDf))
-      .withColumn("_cos", graft.ann.AnnOps.cosine(col(vecCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("_cos"), col("cid"))).as("_best"))
-      .select(col(idCol),
-        when(col("_best").getField("_cos").isNull, lit(0))
-          .otherwise(col("_best").getField("cid")).cast("int").as("_cell"))
-    vecs.join(assigned, Seq(idCol))
-  }
+                      centroidsDf: DataFrame): DataFrame =
+    graft.ann.AnnOps.ivfAssignByJoin(vecs, idCol, vecCol, centroidsDf)
 
   private def semanticDedupCore(assigned: DataFrame, idCol: String,
                                 vecCol: String, threshold: Double,
@@ -1089,38 +1077,52 @@ object DedupOps {
     * were NOT deduplicated (route them to a re-trained sub-index or raise the cap;
     * at 100 TB this is the signal that k must grow faster than sqrt(n)).
     *
-    * Above `tableAssignK` centroids, cell assignment switches from plan-embedded
-    * centroids to the [[semanticDedupByTable]] broadcast-join form: at
-    * k = ceil(sqrt(1e10)) = 1e5, centroids-in-the-plan means ~1e5 x dim doubles
-    * serialized into every stage's task binary, while the table form ships them
-    * once as a broadcast (the two paths are output-pinned equal in
-    * DedupAnnSpec). Training iterations still use plan-embedded centroids
-    * (k-means must fold per-row over all k either way; a production two-level
-    * quantizer would train a coarse level first — SCALE.md note). */
+    * Above `tableAssignK` centroids, BOTH training and cell assignment switch
+    * from plan-embedded centroids to the table form
+    * ([[graft.ann.AnnOps.kmeansTrainTable]] + [[semanticDedupByTable]]'s
+    * broadcast join): at k = ceil(sqrt(1e10)) = 1e5, centroids-in-the-plan
+    * means ~1e5 x dim doubles serialized into every stage's task binary —
+    * and for TRAINING, re-ANALYZED as plan literals every iteration, which
+    * dies long before the data does — while the table form ships them once
+    * as a broadcast per round. The two trainers and the two assignment paths
+    * are output-pinned bit-identical in DedupAnnSpec, so the switch moves
+    * cost shape only, never results. */
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, trainIters: Int = 3,
                         cellOverflowFactor: Double = 20.0,
                         tableAssignK: Int = 4096): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
     val vecs = df.select(col(idCol), col(vecCol))
     val n = vecs.count()
     val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val init = vecs.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
-    val centroids = graft.ann.AnnOps.kmeansTrain(
-      vecs.select(col(vecCol).cast("array<double>").as(vecCol)), vecCol, init, trainIters)
     // cap = overflow x the expected sqrt(n) cell size: generous enough that a
     // healthy distribution never trips it, tight enough to confine the quadratic
     val cap = math.max(64, (cellOverflowFactor * math.sqrt(n.toDouble)).toInt)
     val useTable = k > tableAssignK
-    val centroidsDf = if (!useTable) null else {
-      import spark.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
-    }
-    val assigned =
-      if (useTable) ivfAssignByJoin(vecs, idCol, vecCol, centroidsDf)
-      else vecs.withColumn("_cell", graft.ann.AnnOps.ivfAssign(col(vecCol), centroids))
+    // above the threshold BOTH training and assignment take the table form
+    // (r15, VERDICT r14): the literal trainer embeds k x dim centroids into
+    // every iteration's plan — at k = ceil(sqrt(n)) plan analysis dies long
+    // before data does. The two trainers are output-pinned bit-identical
+    // (DedupAnnSpec), so the switch moves cost shape only, never results.
+    val (assigned, centroidsOrNull, centroidsDfOrNull) =
+      if (useTable) {
+        val initW = Window.orderBy(col(idCol))
+        val initDf = vecs.orderBy(col(idCol)).limit(k)
+          .select((row_number().over(initW) - 1).cast("int").as("cid"),
+            col(vecCol).cast("array<double>").as("centroid"))
+        val dim = vecs.select(size(col(vecCol)).as("_d")).head.getInt(0)
+        val centroidsDf = graft.ann.AnnOps.kmeansTrainTable(
+          vecs, idCol, vecCol, initDf, dim, trainIters)
+        (ivfAssignByJoin(vecs, idCol, vecCol, centroidsDf), null, centroidsDf)
+      } else {
+        val init = vecs.orderBy(col(idCol)).limit(k)
+          .select(col(vecCol).cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+        val centroids = graft.ann.AnnOps.kmeansTrain(
+          vecs.select(col(vecCol).cast("array<double>").as(vecCol)),
+          vecCol, init, trainIters)
+        (vecs.withColumn("_cell",
+          graft.ann.AnnOps.ivfAssign(col(vecCol), centroids)), centroids, null)
+      }
     val sized = assigned
       .withColumn("_csz", count(lit(1)).over(Window.partitionBy(col("_cell"))))
     val stats = sized
@@ -1129,8 +1131,9 @@ object DedupOps {
         sum(when(col("_csz") > cap, 1L).otherwise(0L)).as("n_vecs_excluded"))
       .withColumn("k", lit(k))
     val dropped =
-      if (useTable) semanticDedupByTable(df, idCol, vecCol, centroidsDf, threshold, cap)
-      else semanticDedup(df, idCol, vecCol, centroids, threshold, cap)
+      if (useTable)
+        semanticDedupByTable(df, idCol, vecCol, centroidsDfOrNull, threshold, cap)
+      else semanticDedup(df, idCol, vecCol, centroidsOrNull, threshold, cap)
     (dropped, stats)
   }
 

@@ -562,6 +562,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(sLit.collect().toSeq == sTab.collect().toSeq)
   }
 
+  test("kmeansTrainTable == kmeansTrain bit-identically on the same init (r15)") {
+    // the table-form trainer (VERDICT r14 #3: centroids as a k-row DataFrame,
+    // assignment via the broadcast-join argmax, update via the same decimal
+    // sums) must reproduce the literal trainer EXACTLY — same doubles, not
+    // approximately — including the empty-cell keep-previous rule
+    val rng = new scala.util.Random(41)
+    // all-POSITIVE vectors: assignment is cosine (scale-invariant), so the
+    // only reliable never-wins plant for the empty-cell check is a centroid
+    // whose cosine with every vector is negative — the all-negative direction
+    val df = (1L to 150L).map(i => (i, Seq.fill(12)(math.abs(rng.nextGaussian()))))
+      .toDF("vid", "v")
+    val init = (1L to 6L).map(i => Seq.fill(12)(math.abs(rng.nextGaussian()))) :+
+      Seq.fill(12)(-1.0)
+    val lit = AnnOps.kmeansTrain(df, "v", init, iters = 4)
+    val initDf = init.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+    val tab = AnnOps.kmeansTrainTable(df, "vid", "v", initDf, dim = 12, iters = 4)
+      .orderBy("cid").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(tab == lit, "table trainer drifted from the literal trainer")
+    assert(tab(6) == init(6), "empty cell must keep its previous centroid")
+    assert(lit(6) == init(6), "fixture: cell 6 must actually stay empty")
+  }
+
   test("line-frequency dedup removes EVERY occurrence of a common line, keeps blanks") {
     val banner = "click here to subscribe"
     val df = Seq(
