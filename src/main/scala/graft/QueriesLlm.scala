@@ -790,6 +790,31 @@ object QueriesLlm {
         "doc_id", col("n_chars").cast("double"), k = 50)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_key"))),
 
+    // samp10: token-budget corpus materialization (VERDICT r14 #4) — fill
+    // each language's TOKEN budget (not doc count) in deterministic salted-
+    // hash stream order with the prefix/boundary-doc rule; 'de' is absent
+    // from the budget map on purpose (defaultBudget 0 -> dropped, and the
+    // ledger twin samp10a shows its boundary accounting). Integer token
+    // counts and integer order keys make both queries exactly SQL-portable.
+    "samp10_token_budget" -> ((s, dir) => {
+      val (kept, _) = TextOps.tokenBudgetFill(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text", samp10Budgets)
+      kept.select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+    }),
+
+    // samp10a: the per-source accounting row the materialization emits
+    // alongside the kept docs — budget, docs/tokens filled, and the boundary
+    // doc (first excluded in stream order; null = source exhausted under
+    // budget, budget-0 sources surface their whole stream head here)
+    "samp10a_budget_ledger" -> ((s, dir) => {
+      val (_, ledger) = TextOps.tokenBudgetFill(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text", samp10Budgets)
+      ledger.select(col("lang"), col("budget"), col("n_kept"),
+        col("tokens_filled"), col("boundary_id"), col("boundary_tokens"))
+    }),
+
     // g1: PageRank over a link graph (host-rank quality signals for web
     // curation) — 5 damped power iterations, per-round 9dp-decimal rounding so
     // every iteration is bit-portable; the events-derived edge fixture is a
@@ -1608,6 +1633,31 @@ object QueriesLlm {
         SELECT node, rank + 0 AS rank FROM r5"""
   }
 
+  /** samp10/samp10a shared budget map (en bites mid-stream at sf0.01; de is
+    * deliberately absent -> defaultBudget 0) and the SQL twin of
+    * [[graft.text.TextOps.tokenBudgetFill]]'s keyed-and-summed stream — the
+    * two-level prefix sum collapses to one window in SQL (same order, same
+    * totals; bucketing by leading key bits preserves (key, id) order). */
+  private val samp10Budgets: Map[String, Long] =
+    Map("en" -> 5000L, "es" -> 2500L, "fr" -> 2000L, "zh" -> 1500L)
+  private val samp10Ctes: String = {
+    val cases = samp10Budgets.toSeq.sortBy(_._1)
+      .map { case (l, b) => s"WHEN '$l' THEN $b" }.mkString(" ")
+    s"""tk AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+            ('0x' || substring(md5('tbudget:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS k
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens, k,
+            CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+            CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS budget
+          FROM tk)"""
+  }
+
   /** d21's k=16 universal-hash coefficients + generated SQL (fresh constants —
     * minhashCoeffs(16) is NOT a prefix of the k=32 d2 set). */
   private val (d21A, d21B) = DedupOps.minhashCoeffs(16)
@@ -2409,6 +2459,29 @@ object QueriesLlm {
                FROM k)
          SELECT doc_id, lang, n_chars, sample_key + 0 AS sample_key
          FROM r WHERE rn <= 50""",
+    // samp10: the prefix/boundary rule replayed — kept iff the inclusive
+    // per-lang running token sum (stream order = salted 60-bit md5 key,
+    // ties to smaller id) stays within budget
+    "samp10_token_budget" ->
+      s"""WITH $samp10Ctes
+          SELECT doc_id, lang, n_tokens, cum_tokens
+          FROM c WHERE cum_tokens <= budget""",
+    // samp10a: one accounting row per lang; the boundary doc is the first
+    // excluded in stream order (min (k, doc_id) among cum > budget)
+    "samp10a_budget_ledger" ->
+      s"""WITH $samp10Ctes,
+          b AS (
+            SELECT lang, doc_id, n_tokens,
+              row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+            FROM c WHERE cum_tokens > budget)
+          SELECT c.lang, MAX(c.budget) AS budget,
+            COUNT(CASE WHEN c.cum_tokens <= c.budget THEN 1 END) AS n_kept,
+            CAST(COALESCE(SUM(CASE WHEN c.cum_tokens <= c.budget
+              THEN c.n_tokens END), 0) AS BIGINT) AS tokens_filled,
+            MAX(b.doc_id) AS boundary_id,
+            MAX(b.n_tokens) AS boundary_tokens
+          FROM c LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (lang)
+          GROUP BY c.lang""",
     // g1: the five power iterations unrolled as CTE pairs (message sum, then
     // re-rank) — every round re-rounds to 9dp on both engines
     "g1_pagerank" -> g1PagerankSql,

@@ -354,6 +354,87 @@ object TextOps {
         Window.partitionBy(group).orderBy(rank.desc, tiebreak)))
       .filter(col("_rn") <= n).drop("_rn")
 
+  /** Token-budget corpus materialization (samp10, VERDICT r14 #4) — the
+    * production training-data selection step document-count sampling (samp2/
+    * samp8/samp9) approximates: fill each SOURCE's token budget exactly, in a
+    * deterministic shuffled order, and account for what was filled.
+    *
+    * Rules (all deterministic, engine-portable):
+    *   - Order: each doc's position in its source's stream is the salted
+    *     60-bit md5 key of its id (the samp1/shardAssign primitive, INTEGER
+    *     compare — no float in the sort key), ties to the smaller id.
+    *   - Boundary-doc rule: a doc is kept iff the cumulative token count of
+    *     its source's stream INCLUDING it is ≤ the budget. The budget is a
+    *     hard ceiling; the first doc that would cross it — the BOUNDARY doc
+    *     — and everything after it in stream order are excluded (cumulative
+    *     sums are monotone, so the kept set is a contiguous PREFIX of the
+    *     shuffled stream — the property resumable data loaders rely on).
+    *     Sources absent from `budgets` get `defaultBudget` (0 = drop).
+    *   - Growth stability: a doc's (key, tokens) never changes, so adding
+    *     docs that land AFTER a source's boundary never changes its kept
+    *     set, and picks before the first inserted key never change. (An
+    *     insertion BEFORE the boundary legitimately shifts the tail — an
+    *     exact budget cannot both stay full and keep displaced picks;
+    *     TextSpec pins both halves of this contract.)
+    *
+    * Scale shape: the cumulative sum is a TWO-LEVEL distributed prefix sum,
+    * not a per-source window — `Window.partitionBy(source)` would put each
+    * source's entire stream in ONE task (sources are few and huge at 100 TB,
+    * the opposite of shardAssign's many-small-shards case). Level 1 buckets
+    * docs by the TOP bits of the order key (bucket order == key order by
+    * construction), so the heavy window partitions by (source, bucket) at
+    * ~n/2^bucketBits rows each; level 2 prefix-sums the per-bucket totals on
+    * a (sources × buckets)-row table and joins the offsets back — one extra
+    * tiny shuffle instead of a corpus-wide single-task sort.
+    *
+    * Returns (kept, ledger): `kept` = the input rows + (n_tokens,
+    * cum_tokens); `ledger` = one row per source — (budget, n_kept,
+    * tokens_filled, boundary_id, boundary_tokens), boundary null when the
+    * source ran out of docs under budget. */
+  def tokenBudgetFill(df: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, budgets: Map[String, Long],
+                      defaultBudget: Long = 0L, salt: String = "tbudget:",
+                      bucketBits: Int = 8): (DataFrame, DataFrame) = {
+    require(bucketBits >= 0 && bucketBits <= 20, "bucketBits in [0, 20]")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget): Column) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("_key",
+        graft.expr.Md5Hash60.expr(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("_bkt", shiftright(col("_key"), 60 - bucketBits))
+    // level 1: within-bucket running sum (bucket-sized window partitions)
+    val w1 = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // level 2: exclusive prefix of bucket totals over the tiny totals table
+    val w2 = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(sourceCol), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_btot"))
+      .select(col(sourceCol), col("_bkt"),
+        coalesce(sum(col("_btot")).over(w2), lit(0L)).as("_off"))
+    val ranked = keyed
+      .withColumn("_cumb", sum(col("n_tokens")).over(w1))
+      .join(offsets, Seq(sourceCol, "_bkt"))
+      .withColumn("cum_tokens", col("_off") + col("_cumb"))
+      .withColumn("_budget", budget)
+    val kept = ranked.filter(col("cum_tokens") <= col("_budget"))
+      .drop("_key", "_bkt", "_cumb", "_off", "_budget")
+    val ledger = ranked.groupBy(col(sourceCol))
+      .agg(max(col("_budget")).as("budget"),
+        count(when(col("cum_tokens") <= col("_budget"), lit(1))).as("n_kept"),
+        coalesce(sum(when(col("cum_tokens") <= col("_budget"), col("n_tokens"))),
+          lit(0L)).as("tokens_filled"),
+        // the boundary doc = first excluded in stream order (min by key, id)
+        min(when(col("cum_tokens") > col("_budget"),
+          struct(col("_key"), col(idCol).as("id"), col("n_tokens")))).as("_b"))
+      .select(col(sourceCol), col("budget"), col("n_kept"), col("tokens_filled"),
+        col("_b.id").as("boundary_id"), col("_b.n_tokens").as("boundary_tokens"))
+    (kept, ledger)
+  }
+
   /** Default PII-redaction rules, applied in order: emails first (so their digit
     * runs don't half-match later rules), then URLs, IPv4 literals, and long digit
     * runs (ids, phone-ish numbers). Patterns stay inside the Java-regex / RE2 common

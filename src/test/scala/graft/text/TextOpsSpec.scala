@@ -586,4 +586,74 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Int, Double, Int)].collect()
     assert(zero.forall { case (_, _, s, pred) => s == 0.0 && pred == 0 })
   }
+
+  test("tokenBudgetFill: prefix/boundary rule, ledger accounting, window parity (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 120L).map(i =>
+      (i, if (i % 3 == 0) "a" else "s", Seq.fill(1 + rnd.nextInt(9))("tok").mkString(" ")))
+      .toDF("id", "src", "text")
+    val budgets = Map("a" -> 60L, "s" -> 90L)
+    val (kept, ledger) = TextOps.tokenBudgetFill(docs, "id", "src", "text", budgets)
+    val k = kept.select("id", "src", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // the kept set is a contiguous PREFIX of each source's key-ordered stream
+    // whose inclusive running sum stays within budget — recompute brute-force
+    def key(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tbudget:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val rows = docs.select("id", "src", "text").as[(Long, String, String)].collect()
+      .map { case (i, s, t) => (i, s, t.split("\\s+").count(_.nonEmpty).toLong) }
+    val wantKept = rows.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+      val ordered = ds.sortBy(d => (key(d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= budgets(s))
+        .map { case (d, c) => (d._1, s, d._3, c) }
+    }.toSet
+    assert(k.toSet == wantKept, s"got ${k.length}, want ${wantKept.size}")
+    // ledger: counts/sums match, boundary = first excluded in stream order
+    val led = ledger.as[(String, Long, Long, Long, java.lang.Long, java.lang.Long)]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._2).foreach { case (s, ds) =>
+      val ordered = ds.sortBy(d => (key(d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val keptN = cums.count(_ <= budgets(s))
+      val (_, b, nk, tf, bid, btok) = led(s)
+      assert(b == budgets(s) && nk == keptN && tf == cums.take(keptN).lastOption.getOrElse(0L))
+      assert(bid == ordered(keptN)._1 && btok == ordered(keptN)._3,
+        s"boundary mismatch for $s")
+    }
+    // growth stability, both halves of the contract:
+    // (1) docs inserted AFTER a source's boundary never change its kept set
+    val boundaryKeys = rows.groupBy(_._2).map { case (s, ds) =>
+      val ordered = ds.sortBy(d => (key(d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      s -> key(ordered(cums.count(_ <= budgets(s)))._1)
+    }
+    val lateNew = (200L until 400L)
+      .map(i => (i, if (i % 3 == 0) "a" else "s", "tok tok tok"))
+      .filter { case (i, s, _) => key(i) > boundaryKeys(s) }
+    assert(lateNew.nonEmpty, "fixture must supply post-boundary inserts")
+    val (kept2, _) = TextOps.tokenBudgetFill(
+      docs.unionByName(lateNew.toDF("id", "src", "text")),
+      "id", "src", "text", budgets)
+    assert(kept2.select("id", "src", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet == wantKept,
+      "post-boundary growth must not evict or add picks")
+    // (2) with ARBITRARY growth, picks before the first inserted key agree
+    val anyNew = (200L until 260L).map(i =>
+      (i, if (i % 3 == 0) "a" else "s", "tok tok"))
+    val minNewKey = anyNew.groupBy(_._2).map { case (s, ds) => s -> ds.map(d => key(d._1)).min }
+    val (kept3, _) = TextOps.tokenBudgetFill(
+      docs.unionByName(anyNew.toDF("id", "src", "text")),
+      "id", "src", "text", budgets)
+    val got3 = kept3.select("id", "src", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val prefixWant = wantKept.filter { case (i, s, _, _) => key(i) < minNewKey(s) }
+    val prefixGot = got3.filter { case (i, s, _, _) =>
+      i < 200L && key(i) < minNewKey(s) }
+    assert(prefixGot == prefixWant, "pre-insertion prefix must be unchanged")
+  }
 }
