@@ -1110,6 +1110,32 @@ object QueriesLlm {
         .crossJoin(DedupOps.hamming64CapStats(vh, "id", "hi", "lo"))
     }),
 
+    // mm10: JOINT A/V video near-dup (VERDICT r14 #2) — the robust-against-
+    // re-encode composition: visual channel = mm8's pooled keyframe hash,
+    // audio channel = the energy hash of the container SOUNDTRACK (AVI auds
+    // stream / MP4 soun trak — the audio-track walks land here), paired
+    // under the either-with-both-reported rule, so replacing one track
+    // (new music on a stolen video, re-rendered visuals over a lifted audio
+    // bed) still pairs and the surviving channel is visible. The fixture
+    // plants exactly the interesting cases: visual grids key on docId/4,
+    // soundtracks on docId/8 — 4-group pairs match both channels, the two
+    // 4-halves of an 8-group match audio-only.
+    "mm10_av_neardups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm10_av_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "video",
+          graft.multimodal.MultimodalOps.mm10FixtureVideo(did), Map.empty))
+      val vh = graft.multimodal.MultimodalOps.videoHash64(
+          graft.multimodal.MultimodalOps.videoKeyframeHashes(
+            graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
+        .select(col("id"), col("hi"), col("lo"))
+      val eh = graft.multimodal.MultimodalOps.videoAudioFeatures(rows).toDF()
+        .select(col("id"),
+          graft.multimodal.MultimodalOps.energyHash64(col("windowRms")).as("_eh"))
+        .select(col("id"), col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
+      graft.multimodal.MultimodalOps.avNearDups(vh, eh)
+    }),
+
     // mm7: AUDIO near-dup pairs (VERDICT r13 #3) — sign-of-delta energy hash
     // (dHash in 1-D: 64 bits over 65 window-RMS deltas) through the shared
     // banded-Hamming chassis; gives audio the first-class pairs op text,
@@ -2610,6 +2636,53 @@ object QueriesLlm {
           SELECT id, matched_id, hamming, vs_corpus,
                  n_buckets, n_buckets_capped, n_members_excluded, max_bucket
           FROM r CROSS JOIN led WHERE rn = 1""",
+    // mm10: both channels rebuilt analytically — the visual pooled hash via
+    // the mm6/mm8 CTEs (mm10's frames ARE mm6's synthesis), the soundtrack
+    // energy hash via the mm7 CTE shape re-keyed on docId/8 with the %8
+    // jitter; all-pairs at this scale, either-channel union, both hammings
+    // reported
+    "mm10_av_neardups" ->
+      s"""WITH $mm6KfCtes,
+          $mm8VhCtes,
+          alv AS (
+            SELECT doc_id, t.w,
+              CAST(1000 + (('0x' || substring(md5('v' || (doc_id // 8)::VARCHAR ||
+                       ':' || w::VARCHAR), 1, 6))::BIGINT % 28000)
+                + (doc_id % 8) * ((w*13 + doc_id) % 2) * 2 AS BIGINT) AS lvl
+            FROM documents CROSS JOIN generate_series(0, 64) t(w)),
+          ad AS (
+            SELECT c.doc_id, c.w, CASE WHEN n.lvl > c.lvl THEN 1 ELSE 0 END AS bit
+            FROM alv c JOIN alv n ON n.doc_id = c.doc_id AND n.w = c.w + 1
+            WHERE c.w < 64),
+          aeh AS (
+            SELECT doc_id,
+              CAST(COALESCE(SUM(CASE WHEN w >= 32 AND bit = 1
+                     THEN (1::BIGINT << (w - 32)) END), 0) AS BIGINT) AS hi,
+              CAST(COALESCE(SUM(CASE WHEN w < 32 AND bit = 1
+                     THEN (1::BIGINT << w) END), 0) AS BIGINT) AS lo
+            FROM ad GROUP BY doc_id),
+          vp AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+          ap AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM aeh a JOIN aeh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+          u AS (SELECT id1, id2 FROM vp UNION SELECT id1, id2 FROM ap),
+          j AS (
+            SELECT u.id1, u.id2,
+              bit_count(xor(v1.hi, v2.hi)) + bit_count(xor(v1.lo, v2.lo)) AS vh_,
+              bit_count(xor(a1.hi, a2.hi)) + bit_count(xor(a1.lo, a2.lo)) AS ah_
+            FROM u JOIN vh v1 ON u.id1 = v1.doc_id
+                   JOIN vh v2 ON u.id2 = v2.doc_id
+                   JOIN aeh a1 ON u.id1 = a1.doc_id
+                   JOIN aeh a2 ON u.id2 = a2.doc_id)
+          SELECT id1, id2, CAST(vh_ AS BIGINT) AS v_hamming,
+            CAST(ah_ AS BIGINT) AS a_hamming,
+            CASE WHEN vh_ <= 3 AND ah_ <= 3 THEN 'both'
+                 WHEN vh_ <= 3 THEN 'visual' ELSE 'audio' END AS matched_on
+          FROM j""",
     "mm7_audio_neardups" ->
       s"""WITH $mm7EhCtes
         SELECT a.doc_id AS id1, b.doc_id AS id2,

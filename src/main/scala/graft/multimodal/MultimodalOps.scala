@@ -720,6 +720,8 @@ object MultimodalOps {
     private def u32(b: Array[Byte], o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) |
         ((b(o + 3) & 0xffL) << 24)
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     private def fcc(b: Array[Byte], o: Int): String =
       if (o + 4 <= b.length) new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
       else ""
@@ -780,11 +782,63 @@ object MultimodalOps {
       out.result()
     }
 
+    /** PCM samples of the first `auds` stream (r15, VERDICT r14 #2 — the AVI
+      * half of joint A/V dedup): finds the first strh with fccType `auds`,
+      * reads its strf WAVEFORMATEX (PCM tag 1, 8/16-bit — the
+      * [[AudioCodec.tryDecodeWavFast]] profile), and concatenates the
+      * `NNwb` movi chunks of that stream NUMBER (NN = the stream's strl
+      * ORDER in hdrl, the public AVI two-digit chunk-id rule) in stream
+      * order. Compressed tags decline by returning None. Returns
+      * (sampleRate, channel-averaged amplitudes) via the same
+      * [[AudioCodec.decodePcmFrames]] kernel as every other PCM path. */
+    def audioSamples(payload: Array[Byte]): Option[(Int, Array[Double])] =
+      try audioSamplesImpl(payload)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def audioSamplesImpl(payload: Array[Byte]): Option[(Int, Array[Double])] = {
+      if (payload.length < 12 || fcc(payload, 0) != "RIFF" ||
+          fcc(payload, 8) != "AVI ") return None
+      var streamIdx = -1
+      var audioIdx = -1
+      var expectFmt = false
+      var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
+      walk(payload, 12, payload.length) { (id, off, len) =>
+        id match {
+          case "strh" if len >= 8 =>
+            streamIdx += 1
+            expectFmt = audioIdx < 0 && fcc(payload, off) == "auds"
+            if (expectFmt) audioIdx = streamIdx
+          case "strf" if expectFmt && len >= 16 =>
+            fmt = Some((u16(payload, off), u16(payload, off + 2),
+              u32(payload, off + 4).toInt, u16(payload, off + 14)))
+            expectFmt = false
+          case _ => ()
+        }
+      }
+      (audioIdx, fmt) match {
+        case (i, Some((1, ch, rate, bits)))
+            if i >= 0 && (bits == 8 || bits == 16) && ch > 0 =>
+          val tag = f"$i%02dwb"
+          val buf = new java.io.ByteArrayOutputStream()
+          walk(payload, 12, payload.length) { (id, off, len) =>
+            if (id == tag) buf.write(payload, off, len)
+          }
+          val bytes = buf.toByteArray
+          if (bytes.isEmpty || bytes.length % ((bits / 8) * ch) != 0) None
+          else Some((rate, AudioCodec.decodePcmFrames(bytes, bits, ch,
+            signed = bits == 16, bigEndian = false)))
+        case _ => None
+      }
+    }
+
     /** Minimal MJPEG-AVI WRITER (fixture synthesis + spec fixtures only —
       * operators never encode video): RIFF('AVI ') with an `hdrl` list
       * (avih + a vids/MJPG strl) and a `movi` list of `00dc` JPEG frame
-      * chunks, all per the public AVI RIFF layout [[tryParse]] reads back. */
-    def buildMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+      * chunks, all per the public AVI RIFF layout [[tryParse]] reads back.
+      * `audio` (r15) optionally adds an auds strl (PCM16 WAVEFORMATEX) and
+      * one `01wb` movi chunk — the layout [[audioSamples]] reads back. */
+    def buildMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                      audio: Option[(Array[Byte], Int, Int)] = None): Array[Byte] = {
       def u32(v: Long): Array[Byte] = Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
       def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
       def fccB(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -807,8 +861,23 @@ object MultimodalOps {
         u32(40L) ++ u32(width.toLong) ++ u32(height.toLong) ++ u16(1) ++ u16(24) ++
           fccB("MJPG") ++ u32(width.toLong * height * 3) ++
           u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
-      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-      val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+      val audioStrl = audio.toSeq.map { case (pcm, rate, ch) =>
+        val blockAlign = 2 * ch
+        val nSamp = pcm.length / blockAlign
+        val astrh = chunk("strh",
+          fccB("auds") ++ u32(0L) ++ u32(0L) ++ u16(0) ++ u16(0) ++
+            u32(0L) ++ u32(1L) ++ u32(rate.toLong) ++ u32(0L) ++
+            u32(nSamp.toLong) ++ u32(pcm.length.toLong) ++ u32(0xffffffffL) ++
+            u32(blockAlign.toLong) ++ u16(0) ++ u16(0) ++ u16(0) ++ u16(0))
+        val astrf = chunk("strf", // WAVEFORMATEX, PCM tag 1, 16-bit
+          u16(1) ++ u16(ch) ++ u32(rate.toLong) ++
+            u32(rate.toLong * blockAlign) ++ u16(blockAlign) ++ u16(16))
+        list("strl", astrh ++ astrf)
+      }
+      val hdrl = list("hdrl",
+        avih ++ list("strl", strh ++ strf) ++ audioStrl.flatten.toArray)
+      val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)) ++
+        audio.toSeq.flatMap { case (pcm, _, _) => chunk("01wb", pcm) })
       val body = fccB("AVI ") ++ hdrl ++ movi
       fccB("RIFF") ++ u32(body.length.toLong) ++ body
     }
@@ -884,8 +953,9 @@ object MultimodalOps {
         acc.flatMap { case (f, u) => child(b, f, u, typ) }
       }
 
-    /** The first vide-handler track's stbl payload range, or None. */
-    private def videoStbl(b: Array[Byte]): Option[(Int, Int)] = {
+    /** The first `handler`-track's stbl payload range, or None ("vide" for
+      * the video walk, "soun" for the audio-track walk — r15). */
+    private def handlerStbl(b: Array[Byte], handler: String): Option[(Int, Int)] = {
       var res: Option[(Int, Int)] = None
       for ((mf, mu) <- child(b, 0, b.length, "moov"))
         boxes(b, mf, mu) { (t, tf, tu) =>
@@ -893,7 +963,7 @@ object MultimodalOps {
             for {
               (df, du) <- child(b, tf, tu, "mdia")
               (hf, _) <- child(b, df, du, "hdlr")
-              if fcc(b, hf + 8) == "vide" // fullbox v+f(4) + pre_defined(4)
+              if fcc(b, hf + 8) == handler // fullbox v+f(4) + pre_defined(4)
               stbl <- path(b, df, du, "minf", "stbl")
             } res = Some(stbl)
         }
@@ -904,9 +974,27 @@ object MultimodalOps {
                                     sizes: Array[Long], chunkOffs: Array[Long],
                                     stsc: Array[(Long, Long)])
 
+    /** The generic stbl sample machinery shared by the video and audio (r15)
+      * walks: stsd entry offset + fourcc and the clamped stsz/stsc/stco(+co64)
+      * triplet; the caller reads its entry-type-specific fields from
+      * `entryOff`. */
+    private final case class SampleTables(entryOff: Int, codec: String,
+                                          sizes: Array[Long],
+                                          chunkOffs: Array[Long],
+                                          stsc: Array[(Long, Long)])
+
     private def tables(b: Array[Byte]): Option[Tables] =
-      try videoStbl(b).flatMap { case (sf, su) =>
-        for {
+      try handlerStbl(b, "vide").flatMap(sampleTables(b, _)).map { st =>
+        // VisualSampleEntry: size(4)+fourcc(4)+reserved(6)+dri(2) +
+        // pre_defined/reserved(16) + width(2)+height(2)
+        Tables(u16(b, st.entryOff + 32), u16(b, st.entryOff + 34), st.codec,
+          st.sizes, st.chunkOffs, st.stsc)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def sampleTables(b: Array[Byte],
+                             stbl: (Int, Int)): Option[SampleTables] = {
+      val (sf, su) = stbl
+      for {
           (df, _) <- child(b, sf, su, "stsd")
           (zf, zu) <- child(b, sf, su, "stsz")
           (cf, cu) <- child(b, sf, su, "stco")
@@ -914,11 +1002,9 @@ object MultimodalOps {
           (scf, scu) <- child(b, sf, su, "stsc")
         } yield {
           // stsd: v+f(4) + entry_count(4); entry: size(4)+fourcc(4)+
-          // reserved(6)+dri(2) + VisualSampleEntry pre_defined/reserved(16)
-          // + width(2)+height(2)
+          // reserved(6)+dri(2) + type-specific fields (caller's job)
           val e0 = df + 8
           val codec = fcc(b, e0 + 4)
-          val (w, h) = (u16(b, e0 + 32), u16(b, e0 + 34))
           val fixed = u32(b, zf + 4)
           // every count is CLAMPED by what its box (or the payload) can
           // actually hold: a corrupt header claiming 2^31 samples would
@@ -940,12 +1026,12 @@ object MultimodalOps {
           val nRuns = math.min(u32(b, scf + 4), (scu - scf - 8L) / 12L).toInt
           val stsc = Array.tabulate(nRuns)(i =>
             (u32(b, scf + 8 + 12 * i), u32(b, scf + 12 + 12 * i)))
-          Tables(w, h, codec, sizes, chunkOffs, stsc)
+          SampleTables(e0, codec, sizes, chunkOffs, stsc)
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Every sample's (offset, size) in decode order via stsc × stco × stsz. */
-    private def sampleRanges(t: Tables): Seq[(Long, Long)] = {
+    private def sampleRanges(t: SampleTables): Seq[(Long, Long)] = {
       val out = Seq.newBuilder[(Long, Long)]
       var s = 0
       var c = 0
@@ -971,7 +1057,8 @@ object MultimodalOps {
     /** MJPEG sample payloads in decode order; non-MJPEG codecs and non-MP4
       * payloads yield empty (the loud decline — see object scaladoc). */
     def frames(payload: Array[Byte]): Seq[Array[Byte]] =
-      tables(payload) match {
+      (try handlerStbl(payload, "vide").flatMap(sampleTables(payload, _))
+       catch { case scala.util.control.NonFatal(_) => None }) match {
         case Some(t) if t.codec == "jpeg" || t.codec == "mjpa" =>
           sampleRanges(t).collect {
             case (off, len)
@@ -982,11 +1069,46 @@ object MultimodalOps {
         case _ => Seq.empty
       }
 
+    /** PCM samples of the first `soun`-handler trak (r15, VERDICT r14 #2):
+      * the audio half of joint A/V dedup. Supports the uncompressed PCM
+      * sample-entry fourccs — `sowt` (16-bit little-endian) and `twos`
+      * (16-bit big-endian, the QT convention names both); compressed audio
+      * (mp4a/AAC...) declines loudly by returning None, the avc1/hvc1 rule
+      * applied to sound. Sample bytes concatenate in decode order through
+      * the same clamped stsz/stsc/stco walk as the video track; channel
+      * count reads from the AudioSampleEntry (reserved(8) + channelcount(2)
+      * + samplesize(2) + pre_defined(2) + reserved(2) + samplerate(16.16)
+      * after the 16-byte SampleEntry header). Returns (sampleRate,
+      * channel-averaged amplitudes) — [[AudioCodec.decodePcmFrames]]'s
+      * contract, so features downstream are bit-identical to the WAV path. */
+    def audioSamples(payload: Array[Byte]): Option[(Int, Array[Double])] =
+      try {
+        if (!isMp4(payload)) return None
+        handlerStbl(payload, "soun").flatMap(sampleTables(payload, _)).flatMap { t =>
+          if (t.codec != "sowt" && t.codec != "twos") None
+          else {
+            val ch = math.max(1, u16(payload, t.entryOff + 24))
+            val rate = u16(payload, t.entryOff + 32) // 16.16 integer part
+            val bytes = sampleRanges(t).collect {
+              case (off, len)
+                if off >= 0 && len > 0 && off + len <= payload.length =>
+                java.util.Arrays.copyOfRange(payload, off.toInt, (off + len).toInt)
+            }.toArray.flatten
+            Some((rate, AudioCodec.decodePcmFrames(bytes, 16, ch,
+              signed = true, bigEndian = t.codec == "twos")))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Minimal MJPEG-MP4 WRITER (fixture synthesis + spec fixtures only):
       * ftyp + mdat + moov with a single `jpeg`-sample-entry video track,
       * one sample per chunk, per the same public ISO-BMFF layout the parser
-      * reads back. */
-    def buildMjpegMp4(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+      * reads back. `audio` (r15) optionally adds a second trak — a `sowt`
+      * (16-bit LE PCM) sound track whose samples sit in mdat after the
+      * video frames, one chunk, fixed sample size 2×channels — the layout
+      * [[audioSamples]] reads back. */
+    def buildMjpegMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
+                      audio: Option[(Array[Byte], Int, Int)] = None): Array[Byte] = {
       def u32b(v: Long): Array[Byte] = Array.tabulate(4)(i =>
         ((v >> (8 * (3 - i))) & 0xff).toByte)
       def u16b(v: Int): Array[Byte] =
@@ -1006,9 +1128,11 @@ object MultimodalOps {
         u32b(0) ++ u32b(0) ++ u32b(0x40000000L)
       val n = frames.size
       val ftyp = box("ftyp", fccB("isom"), u32b(0x200), fccB("isom"), fccB("iso2"))
-      val mdat = box("mdat", frames.flatten.toArray)
+      val pcm = audio.map(_._1).getOrElse(Array.empty[Byte])
+      val mdat = box("mdat", frames.flatten.toArray, pcm)
       val firstOff = ftyp.length + 8L
       val offs = frames.scanLeft(firstOff)((o, f) => o + f.length).init
+      val audioOff = firstOff + frames.map(_.length.toLong).sum
       val entry = u32b(86) ++ fccB("jpeg") ++ zeros(6) ++ u16b(1) ++
         u16b(0) ++ u16b(0) ++ zeros(12) ++ u16b(width) ++ u16b(height) ++
         u32b(0x00480000L) ++ u32b(0x00480000L) ++ u32b(0) ++ u16b(1) ++
@@ -1034,11 +1158,39 @@ object MultimodalOps {
           zeros(8), u16b(0), u16b(0), u16b(0), u16b(0), matrix,
           u32b(width.toLong << 16), u32b(height.toLong << 16)),
         mdia)
+      val audioTrak = audio.toSeq.map { case (bytes, rate, ch) =>
+        val nSamp = bytes.length / (2 * math.max(1, ch))
+        // AudioSampleEntry: 16-byte SampleEntry header + reserved(8) +
+        // channelcount(2) + samplesize(2) + pre_defined(2) + reserved(2) +
+        // samplerate(16.16) = 36 bytes
+        val entry = u32b(36) ++ fccB("sowt") ++ zeros(6) ++ u16b(1) ++
+          zeros(8) ++ u16b(ch) ++ u16b(16) ++ u16b(0) ++ u16b(0) ++
+          u32b(rate.toLong << 16)
+        val astbl = box("stbl",
+          full("stsd", 0, 0, u32b(1), entry),
+          full("stts", 0, 0, u32b(1), u32b(nSamp.toLong), u32b(1)),
+          full("stsc", 0, 0, u32b(1), u32b(1), u32b(nSamp.toLong), u32b(1)),
+          full("stsz", 0, 0, u32b(2L * ch), u32b(nSamp.toLong)), // fixed size
+          full("stco", 0, 0, u32b(1), u32b(audioOff)))
+        val aminf = box("minf",
+          full("smhd", 0, 0, u16b(0), u16b(0)),
+          box("dinf", full("dref", 0, 0, u32b(1), full("url ", 0, 1))),
+          astbl)
+        val amdia = box("mdia",
+          full("mdhd", 0, 0, u32b(0), u32b(0), u32b(rate.toLong),
+            u32b(nSamp.toLong), u16b(0x55c4), u16b(0)),
+          full("hdlr", 0, 0, u32b(0), fccB("soun"), zeros(12), Array[Byte](0)),
+          aminf)
+        box("trak",
+          full("tkhd", 0, 7, u32b(0), u32b(0), u32b(2), u32b(0), u32b(0),
+            zeros(8), u16b(0), u16b(0), u16b(0x0100), u16b(0), matrix,
+            u32b(0), u32b(0)),
+          amdia)
+      }
       val moov = box("moov",
-        full("mvhd", 0, 0, u32b(0), u32b(0), u32b(25), u32b(n.toLong),
+        (full("mvhd", 0, 0, u32b(0), u32b(0), u32b(25), u32b(n.toLong),
           u32b(0x00010000L), u16b(0x0100), u16b(0), zeros(8), matrix,
-          zeros(24), u32b(2)),
-        trak)
+          zeros(24), u32b(if (audio.isDefined) 3 else 2)) +: trak +: audioTrak): _*)
       ftyp ++ mdat ++ moov
     }
   }
@@ -1119,36 +1271,65 @@ object MultimodalOps {
     import spark.implicits._
     ds.mapPartitions(_.flatMap { r =>
       AudioCodec.tryDecodeSamples(r.payload).map { case (rate, s) =>
-        val n = s.length
-        val nWin = (n + windowSamples - 1) / windowSamples
-        val wRms = new Array[Double](nWin)
-        val wZcr = new Array[Double](nWin)
-        var zcTotal = 0L
-        var sumSq = 0.0
-        var w = 0
-        while (w < nWin) {
-          val from = w * windowSamples
-          val until = math.min(from + windowSamples, n)
-          var sq = 0.0
-          var zc = 0
-          var i = from
-          while (i < until) {
-            sq += s(i) * s(i)
-            if (i > from && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
-            i += 1
-          }
-          // window-boundary crossings count toward the stream total only
-          if (w > 0 && (s(from) >= 0) != (s(from - 1) >= 0)) zcTotal += 1
-          zcTotal += zc
-          sumSq += sq
-          val len = until - from
-          wRms(w) = math.sqrt(sq / len)
-          wZcr(w) = if (len > 1) zc.toDouble / (len - 1) else 0.0
-          w += 1
-        }
-        AudioFeatures(r.id, rate, n.toLong, nWin.toLong, zcTotal,
-          if (n > 0) math.sqrt(sumSq / n) else 0.0, wRms, wZcr)
+        audioFeaturesOf(r.id, rate, s, windowSamples)
       }
+    })
+  }
+
+  /** The shared windowing kernel behind [[audioFrameFeatures]] (standalone
+    * audio payloads) and [[videoAudioFeatures]] (audio tracks extracted from
+    * video containers, r15) — one definition so the two on-ramps cannot
+    * drift. */
+  private def audioFeaturesOf(id: Long, rate: Int, s: Array[Double],
+                              windowSamples: Int): AudioFeatures = {
+    val n = s.length
+    val nWin = (n + windowSamples - 1) / windowSamples
+    val wRms = new Array[Double](nWin)
+    val wZcr = new Array[Double](nWin)
+    var zcTotal = 0L
+    var sumSq = 0.0
+    var w = 0
+    while (w < nWin) {
+      val from = w * windowSamples
+      val until = math.min(from + windowSamples, n)
+      var sq = 0.0
+      var zc = 0
+      var i = from
+      while (i < until) {
+        sq += s(i) * s(i)
+        if (i > from && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      // window-boundary crossings count toward the stream total only
+      if (w > 0 && (s(from) >= 0) != (s(from - 1) >= 0)) zcTotal += 1
+      zcTotal += zc
+      sumSq += sq
+      val len = until - from
+      wRms(w) = math.sqrt(sq / len)
+      wZcr(w) = if (len > 1) zc.toDouble / (len - 1) else 0.0
+      w += 1
+    }
+    AudioFeatures(id, rate, n.toLong, nWin.toLong, zcTotal,
+      if (n > 0) math.sqrt(sumSq / n) else 0.0, wRms, wZcr)
+  }
+
+  /** The audio-track on-ramp for VIDEO payloads (r15, VERDICT r14 #2): walk
+    * the container's first sound stream — AVI `auds` via
+    * [[VideoCodec.audioSamples]], MP4 `soun` via [[Mp4Codec.audioSamples]],
+    * dispatched on container magic like [[VideoCodec.frames]] — and run the
+    * SAME windowing kernel as [[audioFrameFeatures]], so a soundtrack's
+    * features (and everything derived from them: [[energyHash64]], RMS
+    * gates) are bit-identical to the same PCM in a WAV. Videos without a
+    * decodable PCM audio track drop (the imageGrayRaster contract) — joint
+    * A/V consumers join this table back to the visual-code table by id. */
+  def videoAudioFeatures(ds: Dataset[MediaRow], windowSamples: Int = 256)
+                        (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val dec =
+        if (Mp4Codec.isMp4(r.payload)) Mp4Codec.audioSamples(r.payload)
+        else VideoCodec.audioSamples(r.payload)
+      dec.map { case (rate, s) => audioFeaturesOf(r.id, rate, s, windowSamples) }
     })
   }
 
@@ -1528,6 +1709,49 @@ object MultimodalOps {
         col("_n").as("nkf"))
   }
 
+  /** Joint A/V near-dup pairs (mm10, r15 — VERDICT r14 #2): compose the
+    * visual channel ([[videoHash64]] pooled codes) with the audio channel
+    * ([[energyHash64]] over the container soundtrack's
+    * [[videoAudioFeatures]]) under the EITHER-with-both-reported rule: a
+    * pair is emitted when either channel's banded chassis finds it at
+    * ≤ maxHamming, and BOTH channels' exact hammings ride the output row —
+    * so a re-encode that replaces one track (new soundtrack on a stolen
+    * video, re-rendered visuals over a lifted audio bed) still pairs, and
+    * the surviving channel is visible. `matched_on` ∈ both/visual/audio; a
+    * side missing a code (no decodable audio track) reports null hamming
+    * and can only match on the other channel.
+    *
+    * Scale shape: two banded pair scans over O(videos) single-code tables
+    * (never frames), a union-distinct of candidate ids, and four id-keyed
+    * joins back to the two code tables — all broadcast-or-hash joinable,
+    * no all-pairs anywhere. Audit with [[graft.dedup.DedupOps.hamming64CapStats]]
+    * over each code table (the pipe7/pipe8 ledger shape applies per channel). */
+  def avNearDups(visual: DataFrame, audio: DataFrame,
+                 maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
+    val vp = graft.dedup.DedupOps.hamming64Pairs(
+      visual, "id", "hi", "lo", maxHamming, maxBucketSize).select("id1", "id2")
+    val ap = graft.dedup.DedupOps.hamming64Pairs(
+      audio, "id", "hi", "lo", maxHamming, maxBucketSize).select("id1", "id2")
+    def codes(df: DataFrame, side: String, pre: String): DataFrame =
+      df.select(col("id").as(side),
+        col("hi").as(s"_${pre}h$side"), col("lo").as(s"_${pre}l$side"))
+    def ham(pre: String): Column =
+      (bit_count(col(s"_${pre}hid1").bitwiseXOR(col(s"_${pre}hid2"))) +
+        bit_count(col(s"_${pre}lid1").bitwiseXOR(col(s"_${pre}lid2")))).cast("long")
+    vp.unionByName(ap).distinct()
+      .join(codes(visual, "id1", "v"), Seq("id1"), "left")
+      .join(codes(visual, "id2", "v"), Seq("id2"), "left")
+      .join(codes(audio, "id1", "a"), Seq("id1"), "left")
+      .join(codes(audio, "id2", "a"), Seq("id2"), "left")
+      .select(col("id1"), col("id2"),
+        ham("v").as("v_hamming"), ham("a").as("a_hamming"))
+      .withColumn("matched_on",
+        when(coalesce(col("v_hamming") <= maxHamming, lit(false)) &&
+             coalesce(col("a_hamming") <= maxHamming, lit(false)), lit("both"))
+          .when(coalesce(col("v_hamming") <= maxHamming, lit(false)), lit("visual"))
+          .otherwise(lit("audio")))
+  }
+
   /** mm6 fixture synthesis ([[mm5FixtureAvi]] with PLANTED cross-video
     * structure): same six-frame two-shot MJPEG AVI, but shot grids key on the
     * video's GROUP (gid = docId/4, the [[mm4FixturePng]] rule) instead of the
@@ -1536,10 +1760,13 @@ object MultimodalOps {
     * (cross-video near-dups at hamming ≤ 3, usually) while different groups
     * stay independent md5 grids (hamming ≈ 32). Analytically exact through
     * the JPEG round-trip and box mean, like mm5. */
-  def mm6FixtureAvi(docId: Long): Array[Byte] = {
+  def mm6FixtureAvi(docId: Long): Array[Byte] =
+    VideoCodec.buildMjpegAvi(mm6Frames(docId), 72, 64)
+
+  private def mm6Frames(docId: Long): Seq[Array[Byte]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val gid = docId / 4
-    val frames = (0 until 6).map { f =>
+    (0 until 6).map { f =>
       val sid = f / 3
       val img = new java.awt.image.BufferedImage(
         72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -1564,7 +1791,30 @@ object MultimodalOps {
       }
       ImageCodec.encodeJpeg(img, 1.0f)
     }
-    VideoCodec.buildMjpegAvi(frames, 72, 64)
+  }
+
+  /** mm10 fixture synthesis (r15): the mm6 planted-duplicate VIDEO corpus
+    * with a step-PCM SOUNDTRACK in the container's audio track — even docs
+    * RIFF/AVI (`auds` stream), odd docs ISO-BMFF/MP4 (`soun`/sowt trak), the
+    * mm5FixtureVideo container-parity rule. Visual grids key on gid =
+    * docId/4 (mm6's synthesis verbatim); soundtrack levels key on agid =
+    * docId/8 with a per-video ±14 jitter — so a 4-group's pairs match BOTH
+    * channels while the two 4-halves of an 8-group share AUDIO ONLY: exactly
+    * the either-channel cases joint A/V dedup must report. Levels stay in
+    * [1000, 29014) (md5 % 28000 + jitter ≤ 14), positive and wrap-free, so
+    * window RMS == level exactly and the oracle stays analytic. */
+  def mm10FixtureVideo(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val agid = docId / 8
+    val levels = Array.tabulate(65) { w =>
+      val h = md.digest(s"v$agid:$w".getBytes("UTF-8"))
+      val base = 1000 +
+        (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)) % 28000
+      base + (docId % 8).toInt * ((w * 13 + docId) % 2).toInt * 2
+    }
+    val audio = Some((stepPcm(levels, blockSamples = 256), 8000, 1))
+    if (docId % 2 == 0) VideoCodec.buildMjpegAvi(mm6Frames(docId), 72, 64, audio)
+    else Mp4Codec.buildMjpegMp4(mm6Frames(docId), 72, 64, audio)
   }
 
   /** Constant-block PCM16 WAV (the [[sineWav]] pattern in step form): sample
@@ -1574,6 +1824,21 @@ object MultimodalOps {
     * blocks make the whole energy profile — and anything derived from it —
     * analytically reproducible in SQL. */
   def stepWav(levels: Array[Int], blockSamples: Int, rate: Int = 8000): Array[Byte] = {
+    val data = stepPcm(levels, blockSamples)
+    val n = levels.length * blockSamples
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** [[stepWav]]'s raw mono-PCM16-LE byte stream (r15): the same constant
+    * blocks without the WAV wrap, for embedding as a video container's audio
+    * track (the mm10 fixture). */
+  def stepPcm(levels: Array[Int], blockSamples: Int): Array[Byte] = {
     val n = levels.length * blockSamples
     val data = new Array[Byte](n * 2)
     var w = 0
@@ -1588,13 +1853,7 @@ object MultimodalOps {
       }
       w += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    data
   }
 
   /** mm7 fixture synthesis: a 65-block step WAV (64 energy deltas = one

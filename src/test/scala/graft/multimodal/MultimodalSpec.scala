@@ -807,6 +807,124 @@ class MultimodalSpec extends SparkSpec {
       "nested size-0 box must be treated as corrupt, not extend-to-enclosure")
   }
 
+  test("audio tracks round-trip both containers byte-exactly; compressed declines (r15)") {
+    val levels = Array.tabulate(65)(w => (w * 37 + 500) * (if (w % 2 == 0) 1 else -1))
+    val pcm = stepPcm(levels, blockSamples = 4)
+    val want = levels.flatMap(l => Seq.fill(4)(l.toDouble)).toSeq
+    val frames = (0 until 3).map(i => Array.fill(10)((0x20 + i).toByte))
+    // AVI: auds strl + 01wb chunk
+    val avi = VideoCodec.buildMjpegAvi(frames, 8, 8, Some((pcm, 8000, 1)))
+    val (aviRate, aviS) = VideoCodec.audioSamples(avi).get
+    assert(aviRate == 8000 && aviS.toSeq == want)
+    // the video walk is unaffected by the audio stream
+    assert(VideoCodec.frames(avi).size == 3)
+    assert(VideoCodec.tryParse(avi).get.nFrames == 3)
+    assert(VideoCodec.audioSamples(VideoCodec.buildMjpegAvi(frames, 8, 8)).isEmpty)
+    // MP4: soun trak, sowt sample entry
+    val mp4 = Mp4Codec.buildMjpegMp4(frames, 8, 8, Some((pcm, 8000, 1)))
+    val (mp4Rate, mp4S) = Mp4Codec.audioSamples(mp4).get
+    assert(mp4Rate == 8000 && mp4S.toSeq == want)
+    assert(Mp4Codec.frames(mp4).size == 3 &&
+      Mp4Codec.tryParse(mp4).get.nFrames == 3)
+    assert(Mp4Codec.audioSamples(Mp4Codec.buildMjpegMp4(frames, 8, 8)).isEmpty)
+    // twos (big-endian PCM16): byte-swapped payload + patched fourcc reads
+    // back the same samples
+    val twos = mp4.clone()
+    val entryIdx = twos.indexOfSlice("sowt".getBytes("ASCII"))
+    "twos".getBytes("ASCII").copyToArray(twos, entryIdx)
+    val audioOff = twos.indexOfSlice(pcm.take(64)) // pcm is unique in mdat
+    var i = 0
+    while (i < pcm.length) { // swap each 16-bit sample in place
+      val t = twos(audioOff + i)
+      twos(audioOff + i) = twos(audioOff + i + 1)
+      twos(audioOff + i + 1) = t
+      i += 2
+    }
+    val (twosRate, twosS) = Mp4Codec.audioSamples(twos).get
+    assert(twosRate == 8000 && twosS.toSeq == want)
+    // compressed audio declines loudly (the avc1 rule for sound)
+    val aac = mp4.clone()
+    "mp4a".getBytes("ASCII").copyToArray(aac, entryIdx)
+    assert(Mp4Codec.audioSamples(aac).isEmpty)
+    // stereo: channel averaging matches decodePcmFrames' contract
+    val stereo = pcm.grouped(2).flatMap(s => s ++ s).toArray
+    val avi2 = VideoCodec.buildMjpegAvi(frames, 8, 8, Some((stereo, 8000, 2)))
+    assert(VideoCodec.audioSamples(avi2).get._2.toSeq == want)
+  }
+
+  test("videoAudioFeatures == audioFrameFeatures on identical PCM (both containers, r15)") {
+    import spark.implicits._
+    val levels = Array.tabulate(65)(w => 1000 + w * 29)
+    val pcm = stepPcm(levels, blockSamples = 256)
+    val frames = (0 until 2).map(i => Array.fill(8)((0x41 + i).toByte))
+    val vids = Seq(
+      MediaRow(0L, "video", VideoCodec.buildMjpegAvi(frames, 8, 8,
+        Some((pcm, 8000, 1))), Map.empty),
+      MediaRow(1L, "video", Mp4Codec.buildMjpegMp4(frames, 8, 8,
+        Some((pcm, 8000, 1))), Map.empty),
+      MediaRow(2L, "video", VideoCodec.buildMjpegAvi(frames, 8, 8), Map.empty))
+    val viaVideo = videoAudioFeatures(vids.toDS()).collect()
+      .map(f => f.id -> f).toMap
+    // the trackless video dropped; the other two equal the WAV path exactly
+    assert(viaVideo.keySet == Set(0L, 1L))
+    val viaWav = audioFrameFeatures(Seq(MediaRow(9L, "audio",
+      stepWav(levels, 256), Map.empty)).toDS()).collect().head
+    Seq(0L, 1L).foreach { id =>
+      val f = viaVideo(id)
+      assert(f.windowRms.toSeq == viaWav.windowRms.toSeq &&
+        f.rms == viaWav.rms && f.zcTotal == viaWav.zcTotal &&
+        f.nSamples == viaWav.nSamples, s"container $id drifted from WAV")
+    }
+  }
+
+  test("avNearDups: either-channel match, both hammings reported, null-safe (r15)") {
+    import spark.implicits._
+    // visual: 1~2 (hamming 1); audio: 1~3 (hamming 2), 2 vs 3 far; video 4
+    // has NO audio code (undecodable track)
+    val visual = Seq(
+      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 0xff00L, 0xf0f0L), (4L, 0L, 2L))
+      .toDF("id", "hi", "lo")
+    val audio = Seq(
+      (1L, 7L, 0L), (2L, 0xf0f0L, 0xff00L), (3L, 4L, 1L))
+      .toDF("id", "hi", "lo")
+    val out = avNearDups(visual, audio)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getString(4)))).toMap
+    assert(out((1L, 2L)) == ((Some(1L), Some(19L), "visual")))
+    assert(out((1L, 3L)) == ((Some(16L), Some(3L), "audio")))
+    // 4 pairs visually with 1 and 2 (hamming 1/2) but has no audio code:
+    // null a_hamming, matched_on = visual
+    assert(out((1L, 4L)) == ((Some(1L), None, "visual")))
+    assert(out((2L, 4L)) == ((Some(2L), None, "visual")))
+    assert(out.size == 4, out.toString)
+  }
+
+  test("mm10 fixture: 4-groups pair on both channels, 8-group halves on audio only (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0L to 15L).map(d =>
+      MediaRow(d, "video", mm10FixtureVideo(d), Map.empty)).toDS()
+    val vh = videoHash64(videoKeyframeHashes(videoGrayRasters(rows)))
+      .select("id", "hi", "lo")
+    val eh = videoAudioFeatures(rows).toDF()
+      .select(col("id"), energyHash64(col("windowRms")).as("_eh"))
+      .select(col("id"), col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
+    val out = avNearDups(vh, eh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    // the soundtrack keys on docId/8, so EVERY within-8-group pair matches on
+    // audio (all 56 of them); same-4-group pairs usually add the visual
+    // channel ("both" — a large visual jitter can legitimately land a member
+    // past hamming 3, so "audio" is allowed there too); cross-half pairs are
+    // audio-ONLY by construction; across 8-groups nothing pairs
+    val within4 = out.filter { case ((a, b), _) => a / 4 == b / 4 }
+    val crossHalf = out.filter { case ((a, b), _) => a / 4 != b / 4 && a / 8 == b / 8 }
+    assert(out.size == 56, s"every within-8-group pair must appear: ${out.size}")
+    assert(within4.values.count(_ == "both") >= 20, within4.toString)
+    assert(crossHalf.nonEmpty && crossHalf.values.forall(_ == "audio"),
+      crossHalf.toString)
+    assert(out.keys.forall { case (a, b) => a / 8 == b / 8 }, out.toString)
+  }
+
   test("mm6 cross-video near-dup: group members pair at high sim, groups stay apart (r14)") {
     import spark.implicits._
     // two planted groups of 4 (ids 0-3 share gid 0, ids 4-7 gid 1)
