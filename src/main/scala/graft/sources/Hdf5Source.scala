@@ -89,7 +89,7 @@ object Hdf5Source {
     ZarrSource.ZarrStationData(station, time, cols, attrs)
   }
 
-  private final class H5(bytes: Array[Byte]) {
+  private[sources] final class H5(bytes: Array[Byte]) {
     private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     private def u8(p: Long): Int = bytes(p.toInt) & 0xff
@@ -330,7 +330,7 @@ object Hdf5Source {
       * exactly as the public format spec prescribes (records-per-leaf from
       * node space, then per-internal-level from the space left by one child
       * entry). Internal records are real records too. */
-    private def btree2Records(addr: Long, expectType: Int): Seq[Long] = {
+    private[sources] def btree2Records(addr: Long, expectType: Int): Seq[Long] = {
       require(sig(addr, "BTHD"), "bad v2 B-tree header signature")
       require(u8(addr + 4) == 0, s"unsupported v2 B-tree version ${u8(addr + 4)}")
       require(u8(addr + 5) == expectType,

@@ -889,6 +889,70 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(tasAttrs.size == 64)
   }
 
+  test("hand-assembled depth-2 B-tree: independently computed offsets, divergent widths (r15)") {
+    // VERDICT r14 #6: every other B-tree fixture comes from writeBtree2,
+    // which MIRRORS the reader's sizing recurrence — a width bug both sides
+    // share would survive. This image is assembled from offset LITERALS
+    // computed by hand from the public H5B2 layout, so neither side's
+    // arithmetic can leak into the other.
+    //
+    // Parameters (the ADVICE-r13 divergence region): nodeSize 4608, recSize
+    // 17 -> space = 4608-10 = 4598; leaf max = 4598/17 = 270 (child-count
+    // width = encSize(270) = 2 BYTES, libhdf5 hdr->max_nrec_size); depth-1
+    // internal entry = 8+2 = 10 -> internal max = (4598-10)/27 = 169
+    // (encSize = 1 — the divergence); totN(1) = 170*270+169 = 46069
+    // (subtree-total width at depth 2 = encSize(46069) = 2); depth-2 entry
+    // = 8 + 2 + 2 = 12 bytes.
+    //
+    // Hand layout (byte offsets):
+    //   superblock v3 @ 0: magic(8) ver(1)=3 offSz(1)=8 lenSz(1)=8 — just
+    //               enough for the H5 constructor; the walk never reads it
+    //   BTHD @ 64:  sig(4) ver(1)=0 typ(1)=8 nodeSize(4)=4608 recSize(2)=17
+    //               depth(2)=2 split(1) merge(1) root(8)=896 nRecRoot(2)=1
+    //   BTLF @ 128, 256, 384, 512: sig(4) ver(1) typ(1), 2 records x 17
+    //               -> record offsets a+6, a+23
+    //   BTIN @ 640, 768 (depth 1): 1 record @ a+6; child entries @ a+23 and
+    //               a+33 (entry = addr(8) + count(2); NO total at depth 1)
+    //   BTIN @ 896 (depth 2, root): 1 record @ a+6; child entries @ a+23 and
+    //               a+35 (entry = addr(8) + count(2) + total(2) = 12 — a
+    //               per-child-depth count width would read 11 and walk
+    //               garbage at the second entry)
+    val img = new Array[Byte](960)
+    def ascii(at: Int, s: String): Unit = s.getBytes("ASCII").copyToArray(img, at)
+    def u16(at: Int, v: Int): Unit = { img(at) = (v & 0xff).toByte; img(at + 1) = ((v >> 8) & 0xff).toByte }
+    def u32(at: Int, v: Long): Unit = (0 until 4).foreach(i => img(at + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def u64(at: Int, v: Long): Unit = (0 until 8).foreach(i => img(at + i) = ((v >> (8 * i)) & 0xff).toByte)
+    // minimal superblock (the constructor's requirement only)
+    Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte).copyToArray(img, 0)
+    img(8) = 3; img(9) = 8; img(10) = 8
+    // B-tree header
+    ascii(64, "BTHD"); img(68) = 0; img(69) = 8
+    u32(70, 4608L); u16(74, 17); u16(76, 2)
+    img(78) = 100; img(79) = 40 // split/merge percent (unread)
+    u64(80, 896L); u16(88, 1)
+    // four leaves, two records each (record bytes are arbitrary -- the walk
+    // returns their OFFSETS; fill with a marker so zeros can't false-pass)
+    Seq(128, 256, 384, 512).foreach { a =>
+      ascii(a, "BTLF"); img(a + 4) = 0; img(a + 5) = 8
+      (0 until 34).foreach(i => img(a + 6 + i) = (0x50 + (a >> 7)).toByte)
+    }
+    // two depth-1 internals: 1 own record, entries (addr + 2-byte count)
+    Seq((640, 128, 256), (768, 384, 512)).foreach { case (a, l1, l2) =>
+      ascii(a, "BTIN"); img(a + 4) = 0; img(a + 5) = 8
+      u64(a + 23, l1.toLong); u16(a + 31, 2)
+      u64(a + 33, l2.toLong); u16(a + 41, 2)
+    }
+    // depth-2 root: 1 own record, entries (addr + 2-byte count + 2-byte total)
+    ascii(896, "BTIN"); img(900) = 0; img(901) = 8
+    u64(919, 640L); u16(927, 1); u16(929, 5)
+    u64(931, 768L); u16(939, 1); u16(941, 5)
+    val got = new Hdf5Source.H5(img).btree2Records(64L, 8)
+    // walk order: own records first, then children left-to-right
+    val want = Seq(902L, 646L, 134L, 151L, 262L, 279L, 774L, 390L, 407L, 518L, 535L)
+    assert(got == want, s"got $got")
+  }
+
   test("profile C doubled root: heap offsets past startSize resolve via allocated size") {
     // a writer that doubled its root direct block (256 -> 512) before ever
     // going indirect: curRows stays 0 and only allocated-managed-space (header
