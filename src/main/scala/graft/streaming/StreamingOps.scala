@@ -485,4 +485,46 @@ object StreamingOps {
           hits.iterator
       }
   }
+
+  final case class BudgetDoc(id: Long, source: String, ts: Long, nTokens: Long)
+  final case class BudgetState(filled: Long, closed: Boolean)
+  final case class BudgetOut(id: Long, source: String, nTokens: Long,
+                             cumTokens: Long)
+
+  /** Streaming token-budget fill — the live-feed twin of
+    * [[graft.text.TextOps.tokenBudgetFill]]: per source, arriving docs fill
+    * the token budget until the first doc that would cross it, then the
+    * source CLOSES — nothing after the boundary ever emits, so the emitted
+    * set is a contiguous prefix of the arrival stream (the batch prefix/
+    * boundary rule with ARRIVAL order standing in for the salted shuffle —
+    * a stream cannot re-sort history, so the contract difference is the
+    * ORDER, never the boundary rule). Within a micro-batch, rows fold in
+    * (ts, id) order, so a replay with different batch boundaries emits the
+    * same set (the keyframeStream determinism contract). State is one
+    * (filled, closed) pair per source — O(sources), stream-length
+    * independent. Compute `nTokens` upstream with
+    * [[graft.text.TextOps.tokenCount]]. */
+  def tokenBudgetStream(ds: Dataset[BudgetDoc], budgets: Map[String, Long],
+                        defaultBudget: Long = 0L)
+                       (implicit spark: SparkSession): Dataset[BudgetOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, BudgetOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[BudgetDoc], state: GroupState[BudgetState]) =>
+          val b = budgets.getOrElse(src, defaultBudget)
+          var st = state.getOption.getOrElse(BudgetState(0L, closed = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BudgetOut]
+          rows.toSeq.sortBy(d => (d.ts, d.id)).foreach { d =>
+            if (!st.closed) {
+              if (st.filled + d.nTokens <= b) {
+                st = st.copy(filled = st.filled + d.nTokens)
+                out += BudgetOut(d.id, src, d.nTokens, st.filled)
+              } else st = st.copy(closed = true) // the boundary doc closes the source
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -403,22 +403,7 @@ object TextOps {
       .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
       .withColumn("_key",
         graft.expr.Md5Hash60.expr(concat(lit(salt), col(idCol).cast("string"))))
-      .withColumn("_bkt", shiftright(col("_key"), 60 - bucketBits))
-    // level 1: within-bucket running sum (bucket-sized window partitions)
-    val w1 = Window.partitionBy(col(sourceCol), col("_bkt"))
-      .orderBy(col("_key"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // level 2: exclusive prefix of bucket totals over the tiny totals table
-    val w2 = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col(sourceCol), col("_bkt"))
-      .agg(sum(col("n_tokens")).as("_btot"))
-      .select(col(sourceCol), col("_bkt"),
-        coalesce(sum(col("_btot")).over(w2), lit(0L)).as("_off"))
-    val ranked = keyed
-      .withColumn("_cumb", sum(col("n_tokens")).over(w1))
-      .join(offsets, Seq(sourceCol, "_bkt"))
-      .withColumn("cum_tokens", col("_off") + col("_cumb"))
+    val ranked = bucketedCumTokens(keyed, sourceCol, idCol, bucketBits)
       .withColumn("_budget", budget)
     val kept = ranked.filter(col("cum_tokens") <= col("_budget"))
       .drop("_key", "_bkt", "_cumb", "_off", "_budget")
@@ -433,6 +418,124 @@ object TextOps {
       .select(col(sourceCol), col("budget"), col("n_kept"), col("tokens_filled"),
         col("_b.id").as("boundary_id"), col("_b.n_tokens").as("boundary_tokens"))
     (kept, ledger)
+  }
+
+  /** The two-level distributed prefix sum shared by [[tokenBudgetFill]] and
+    * [[tokenBudgetEpochPlan]]: expects `_key` (a 60-bit uniform order key) and
+    * `n_tokens` on the input; appends `cum_tokens` = the inclusive running sum
+    * of `n_tokens` within `sourceCol` ordered by (`_key`, id). Level 1 buckets
+    * by the top key bits (bucket order == key order by construction) so the
+    * heavy window partitions by (source, bucket) at ~n/2^bucketBits rows each;
+    * level 2 prefix-sums the per-bucket totals on a (sources × buckets)-row
+    * table and joins the offsets back — one tiny extra shuffle instead of a
+    * corpus-wide single-task sort, because `Window.partitionBy(source)` would
+    * put each source's ENTIRE stream in one task (sources are few and huge at
+    * 100 TB). Leaves `_bkt` on the output (callers drop it). */
+  private def bucketedCumTokens(keyed0: DataFrame, sourceCol: String,
+                                idCol: String, bucketBits: Int): DataFrame = {
+    require(bucketBits >= 0 && bucketBits <= 20, "bucketBits in [0, 20]")
+    val keyed = keyed0.withColumn("_bkt", shiftright(col("_key"), 60 - bucketBits))
+    val w1 = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(sourceCol), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_btot"))
+      .select(col(sourceCol), col("_bkt"),
+        coalesce(sum(col("_btot")).over(w2), lit(0L)).as("_off"))
+    keyed
+      .withColumn("_cumb", sum(col("n_tokens")).over(w1))
+      .join(offsets, Seq(sourceCol, "_bkt"))
+      .withColumn("cum_tokens", col("_off") + col("_cumb"))
+      .drop("_cumb", "_off")
+  }
+
+  /** Token-budget materialization WITH repetition — the epoch plan production
+    * data mixes use when a source's corpus is SMALLER than its token budget
+    * (the usual case for high-quality sources: books, wiki, reference code).
+    * Instead of stopping at one pass like [[tokenBudgetFill]], each source
+    * repeats for whole epochs and tops up with a partial epoch:
+    *
+    *   - `full_epochs` = min(budget DIV total_tokens, maxEpochs) — integral
+    *     division, every doc seen exactly that many times;
+    *   - the PARTIAL epoch (skipped when the epoch cap bites) fills the
+    *     remainder budget − full_epochs·total_tokens with [[tokenBudgetFill]]'s
+    *     prefix/boundary rule, under epoch-(full_epochs+1)'s OWN deterministic
+    *     shuffle — the order key is salted `"e<epoch>:"`, so each epoch
+    *     re-shuffles independently (a partial second epoch does not replay the
+    *     first epoch's head, the property repetition-aware loaders rely on);
+    *   - `maxEpochs` caps repetition (over-repeating a small source is a
+    *     memorization risk); a capped source reports tokens_filled < budget
+    *     and a NULL boundary — the cap, not a boundary doc, is why it stopped.
+    *
+    * Unlike [[tokenBudgetFill]], this is a SNAPSHOT plan: per-source totals
+    * feed the full-epoch arithmetic, so growing the corpus legitimately
+    * changes full_epochs/remainder — recompute the plan per materialization
+    * (determinism contract: same input ⇒ same plan, bit-exact cross-engine).
+    *
+    * Scale shape: totals are a sources-row aggregate broadcast back; the
+    * partial epoch rides the same two-level prefix sum; no row is ever
+    * physically replicated — the output is the input rows + (n_tokens,
+    * n_epochs ≥ 1), and the ledger carries the accounting. A 100-TB
+    * materializer consumes `n_epochs` as the repeat factor downstream.
+    *
+    * Returns (plan, ledger): `plan` = docs with n_epochs ≥ 1; `ledger` = one
+    * row per source — (budget, total_tokens, full_epochs, n_partial,
+    * tokens_filled, boundary_id, boundary_tokens). */
+  def tokenBudgetEpochPlan(df: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String, budgets: Map[String, Long],
+                           maxEpochs: Int = 4, defaultBudget: Long = 0L,
+                           salt: String = "tbudget:", bucketBits: Int = 8)
+      : (DataFrame, DataFrame) = {
+    require(maxEpochs >= 1, "maxEpochs >= 1")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget): Column) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val tok = df
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("_budget", budget)
+    // per-source plan arithmetic: a sources-row aggregate, broadcast back
+    val totals = tok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("total_tokens"), max(col("_budget")).as("_b"))
+      .withColumn("full_epochs",
+        when(col("total_tokens") > 0,
+          least(expr("_b DIV total_tokens"), lit(maxEpochs.toLong)))
+          .otherwise(lit(0L)))
+      .withColumn("_rem",
+        when(col("full_epochs") >= maxEpochs, lit(0L))
+          .otherwise(col("_b") - col("full_epochs") * col("total_tokens")))
+      .select(col(sourceCol), col("total_tokens"), col("full_epochs"), col("_rem"))
+    // partial-epoch stream: epoch-(full+1)'s own shuffle ("e<epoch>:" salt)
+    val keyed = tok
+      .join(broadcast(totals), Seq(sourceCol))
+      .withColumn("_key", graft.expr.Md5Hash60.expr(concat(
+        lit(salt), lit("e"), (col("full_epochs") + 1).cast("string"), lit(":"),
+        col(idCol).cast("string"))))
+    val ranked = bucketedCumTokens(keyed, sourceCol, idCol, bucketBits)
+    val inPartial = col("cum_tokens") <= col("_rem")
+    val plan = ranked
+      .withColumn("n_epochs",
+        col("full_epochs") + when(inPartial, lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_epochs") >= 1)
+      .drop("_key", "_bkt", "_budget", "_rem", "total_tokens",
+        "full_epochs", "cum_tokens")
+    val ledger = ranked.groupBy(col(sourceCol))
+      .agg(max(col("_budget")).as("budget"),
+        max(col("total_tokens")).as("total_tokens"),
+        max(col("full_epochs")).as("full_epochs"),
+        count(when(inPartial, lit(1))).as("n_partial"),
+        (max(col("full_epochs")) * max(col("total_tokens")) +
+          coalesce(sum(when(inPartial, col("n_tokens"))), lit(0L)))
+          .as("tokens_filled"),
+        // boundary = first excluded doc of the PARTIAL stream; null when the
+        // epoch cap (not the budget) stopped the fill
+        min(when(!inPartial && col("full_epochs") < maxEpochs,
+          struct(col("_key"), col(idCol).as("id"), col("n_tokens")))).as("_b"))
+      .select(col(sourceCol), col("budget"), col("total_tokens"),
+        col("full_epochs"), col("n_partial"), col("tokens_filled"),
+        col("_b.id").as("boundary_id"), col("_b.n_tokens").as("boundary_tokens"))
+    (plan, ledger)
   }
 
   /** Default PII-redaction rules, applied in order: emails first (so their digit

@@ -617,4 +617,38 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("tokenBudgetStream: prefix/boundary rule holds across batch splits; closed stays closed (r15)") {
+    implicit val sq = spark.sqlContext
+    import StreamingOps.BudgetDoc
+    val input = MemoryStream[BudgetDoc]
+    // budgets: "a" 10 tokens, "b" 5, "c" absent -> default 0 (never emits)
+    val out = StreamingOps.tokenBudgetStream(
+      input.toDS(), Map("a" -> 10L, "b" -> 5L))(spark)
+    val q = out.writeStream.format("memory").queryName("tbudget_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: a fills 4+3=7 (both emit); b fills 5 exactly; c drops
+      input.addData(
+        BudgetDoc(1L, "a", 100L, 4L), BudgetDoc(2L, "a", 200L, 3L),
+        BudgetDoc(10L, "b", 100L, 5L), BudgetDoc(20L, "c", 100L, 1L))
+      q.processAllAvailable()
+      // batch 2: a's id 3 (4 tokens) would cross 10 -> boundary, CLOSES "a";
+      // id 4 (1 token) would still fit but arrives after the boundary -> out.
+      // b is exactly full: id 11 crosses and closes it.
+      input.addData(
+        BudgetDoc(3L, "a", 300L, 4L), BudgetDoc(4L, "a", 400L, 1L),
+        BudgetDoc(11L, "b", 200L, 1L))
+      q.processAllAvailable()
+      // batch 3: nothing ever emits from a closed source
+      input.addData(BudgetDoc(5L, "a", 500L, 1L), BudgetDoc(12L, "b", 300L, 1L))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT id, source, nTokens, cumTokens FROM tbudget_stream")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "a", 4L, 4L), (2L, "a", 3L, 7L), (10L, "b", 5L, 5L)),
+        got.mkString(", "))
+    } finally q.stop()
+  }
 }

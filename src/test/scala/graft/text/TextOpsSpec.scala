@@ -656,4 +656,84 @@ class TextOpsSpec extends SparkSpec {
       i < 200L && key(i) < minNewKey(s) }
     assert(prefixGot == prefixWant, "pre-insertion prefix must be unchanged")
   }
+
+  test("tokenBudgetEpochPlan: whole-epoch/partial/cap/exact-fill branches, ledger parity (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val srcs = Array("cap", "mix", "head", "exact", "none")
+    val docs = (0L until 160L).map(i =>
+      (i, srcs((i % 5).toInt), Seq.fill(1 + rnd.nextInt(9))("tok").mkString(" ")))
+      .toDF("id", "src", "text")
+    val rows = docs.as[(Long, String, String)].collect()
+      .map { case (i, s, t) => (i, s, t.split("\\s+").count(_.nonEmpty).toLong) }
+    val totals = rows.groupBy(_._2).map { case (s, ds) => s -> ds.map(_._3).sum }
+    val budgets = Map(
+      "cap" -> totals("cap") * 10,                        // full = min(10,3) = 3, capped
+      "mix" -> (totals("mix") * 2 + totals("mix") / 2),   // full = 2 + mid-stream partial
+      "head" -> totals("head") / 2,                       // full = 0, partial-only
+      "exact" -> totals("exact") * 2)                     // full = 2, rem = 0
+    val maxE = 3
+    val (plan, ledger) = TextOps.tokenBudgetEpochPlan(
+      docs, "id", "src", "text", budgets, maxEpochs = maxE)
+    // brute-force replay: per-epoch salted key ("e<full+1>:"), integral
+    // division, remainder prefix under THAT epoch's shuffle
+    def ekey(e: Long, id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tbudget:e$e:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    case class Want(full: Long, rem: Long,
+                    partial: Set[Long], boundary: Option[(Long, Long)])
+    val want = rows.groupBy(_._2).map { case (s, ds) =>
+      val tot = ds.map(_._3).sum
+      val b = budgets.getOrElse(s, 0L)
+      val full = math.min(b / tot, maxE.toLong)
+      val rem = if (full >= maxE) 0L else b - full * tot
+      val ordered = ds.sortBy(d => (ekey(full + 1, d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val nPart = cums.count(_ <= rem)
+      val boundary = if (full >= maxE) None
+        else Some((ordered(nPart)._1, ordered(nPart)._3))
+      s -> Want(full, rem, ordered.take(nPart).map(_._1).toSet, boundary)
+    }
+    val gotPlan = plan.select("id", "src", "n_tokens", "n_epochs")
+      .as[(Long, String, Long, Long)].collect()
+    val wantPlan = rows.flatMap { case (i, s, nt) =>
+      val w = want(s)
+      val ne = w.full + (if (w.partial(i)) 1L else 0L)
+      if (ne >= 1) Some((i, s, nt, ne)) else None
+    }.toSet
+    assert(gotPlan.toSet == wantPlan, s"plan: got ${gotPlan.length}, want ${wantPlan.size}")
+    assert(!gotPlan.exists(_._2 == "none"), "absent source must be dropped")
+    assert(gotPlan.filter(_._2 == "cap").forall(_._4 == maxE.toLong))
+    assert(gotPlan.filter(_._2 == "exact").forall(_._4 == 2L))
+    assert(gotPlan.count(r => r._2 == "mix" && r._4 == 3L) > 0, "mix must have a partial")
+    assert(gotPlan.count(r => r._2 == "mix" && r._4 == 2L) > 0, "mix partial must be proper")
+    val led = ledger
+      .as[(String, Long, Long, Long, Long, Long, java.lang.Long, java.lang.Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(led.keySet == srcs.toSet)
+    want.foreach { case (s, w) =>
+      val (_, b, tot, full, nPart, filled, bid, btok) = led(s)
+      assert(b == budgets.getOrElse(s, 0L) && tot == totals(s) && full == w.full)
+      assert(nPart == w.partial.size, s"$s n_partial")
+      val partTok = rows.filter(d => d._2 == s && w.partial(d._1)).map(_._3).sum
+      assert(filled == w.full * totals(s) + partTok, s"$s tokens_filled")
+      (w.boundary, Option(bid)) match {
+        case (Some((i, t)), Some(gi)) => assert(gi == i && btok == t, s"$s boundary")
+        case (None, None)             => // capped: no boundary by design
+        case other                    => fail(s"$s boundary mismatch: $other")
+      }
+    }
+    // the capped source underfills and reports WHY (full == maxEpochs, null boundary)
+    val (_, bc, totC, fullC, nPartC, filledC, bidC, _) = led("cap")
+    assert(fullC == maxE.toLong && nPartC == 0L && filledC == maxE * totC &&
+      filledC < bc && bidC == null)
+    // the partial epoch is epoch-(full+1)'s OWN shuffle, not epoch 1's:
+    // mix's partial prefix under the e3 key differs from the e1-key prefix
+    val mixDocs = rows.filter(_._2 == "mix")
+    val e1Order = mixDocs.sortBy(d => (ekey(1, d._1), d._1)).map(_._1).toSeq
+    val e3Order = mixDocs.sortBy(d => (ekey(3, d._1), d._1)).map(_._1).toSeq
+    assert(e1Order != e3Order, "epoch salts must re-shuffle the stream")
+  }
 }
