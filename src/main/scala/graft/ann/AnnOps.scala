@@ -257,6 +257,43 @@ object AnnOps {
       when(mx === mn, mn).otherwise((c + 128).cast("double") / 255 * (mx - mn) + mn))
   }
 
+  /** Asymmetric scalar-quantized top-k — the SEARCH half of the
+    * [[quantizeInt8]] storage path (faiss's SQ8 flat index shape): the corpus
+    * lives as int8 codes + per-vector (mn, mx), queries stay float, and the
+    * score is EXACTLY `dot(query, dequantize(codes))` without materializing
+    * the dequantized vector, via the expansion
+    *
+    *   score = (mx − mn)/255 · Σᵢ qᵢ·(cᵢ+128)  +  mn · Σᵢ qᵢ
+    *
+    * — one integer-weighted fold over the codes plus one query-only sum, all
+    * codegen'd HOFs at scan speed. Ranking is identical to brute force over
+    * the dequantized corpus (property-pinned), at 8× less corpus I/O than
+    * float64 — the memory-bandwidth win IS the point at 100 TB; compose with
+    * [[ivfAssign]] cell pruning (e4) for the compute win, exactly like
+    * IVF+PQ (e8). Queries broadcast (query batches are small); ties rank by
+    * corpus id ascending; score rounded 6dp (engine-portable).
+    * Output: (queryId, corpusId, score, rank ≤ k). */
+  def sqTopK(corpus: DataFrame, corpusId: String, sqCol: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val codes = col(sqCol).getField("codes")
+    val mn = col(sqCol).getField("mn")
+    val mx = col(sqCol).getField("mx")
+    val s1 = aggregate(zip_with(col("_qv"), codes,
+      (qi, c) => qi * (c + lit(128)).cast("double")), lit(0.0), _ + _)
+    val s2 = aggregate(col("_qv"), lit(0.0), _ + _)
+    corpus
+      .crossJoin(broadcast(
+        queries.select(col(queryId).as("_qid"), col(queryVec).as("_qv"))))
+      .withColumn("score", round((mx - mn) / lit(255.0) * s1 + mn * s2, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("_qid"))
+          .orderBy(col("score").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryId), col(corpusId), col("score"), col("rank"))
+  }
+
   /** Deterministic product-quantization codebooks: `m` subspaces × `k` centroids of
     * `subDim` dims (seeded Gaussian — a production system k-means-trains them, e.g.
     * by iterating [[kmeansStep]] per subspace; the codec contract is identical). */

@@ -388,6 +388,32 @@ object DedupOps {
       maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    hamming64IncrementalImpl(corpus, shard, idCol, hiCol, loCol, maxHamming,
+      maxBucketSize, hamming64BandKeys)
+  }
+
+  /** WIDE-RADIUS form of [[hamming64IncrementalNearDups]] — the 8×8-bit-band
+    * chassis ([[hamming64BandKeysWide]]), recall-exact at hamming ≤ 7, for
+    * incremental catalogs whose drops are real re-encodes (quality/resolution/
+    * crop jitter puts perceptual distance at 4–10, past the narrow chassis).
+    * Same contract, same audit rule: run [[hamming64CapStatsWide]] over
+    * shard ∪ catalog alongside every drop (the mm9w query is the reference
+    * call shape); same cost model as [[hamming64PairsWide]] — 8-bit bands
+    * average n/256 members on near-uniform codes, so past n ≈ 256·cap raise
+    * the cap knowingly or shard the catalog. */
+  def hamming64IncrementalNearDupsWide(corpus: DataFrame, shard: DataFrame,
+      idCol: String, hiCol: String, loCol: String,
+      maxHamming: Int = 7, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming <= 7,
+      "8x8-bit banding guarantees recall only for maxHamming <= 7")
+    hamming64IncrementalImpl(corpus, shard, idCol, hiCol, loCol, maxHamming,
+      maxBucketSize, hamming64BandKeysWide)
+  }
+
+  private def hamming64IncrementalImpl(corpus: DataFrame, shard: DataFrame,
+      idCol: String, hiCol: String, loCol: String,
+      maxHamming: Int, maxBucketSize: Int,
+      bandKeys: (Column, Column) => Column): DataFrame = {
     def side(df: DataFrame, isNew: Boolean): DataFrame =
       df.select(col(idCol).as("_id"), col(hiCol).as("_hi"),
         col(loCol).as("_lo"), lit(isNew).as("_new"))
@@ -395,7 +421,7 @@ object DedupOps {
     prep
       .select(struct(col("_id").as("id"), col("_hi").as("hi"),
           col("_lo").as("lo"), col("_new").as("isNew")).as("_rec"),
-        explode(hamming64BandKeys(col("_hi"), col("_lo"))).as("_band"))
+        explode(bandKeys(col("_hi"), col("_lo"))).as("_band"))
       .groupBy(col("_band")).agg(collect_list(col("_rec")).as("_recs"))
       .filter(size(col("_recs")).between(2, maxBucketSize))
       .select(explode(col("_recs")).as("a"), col("_recs"))

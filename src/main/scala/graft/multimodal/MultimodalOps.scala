@@ -653,6 +653,38 @@ object MultimodalOps {
     ImageCodec.encodePng(img)
   }
 
+  /** mm4p fixture synthesis: the mm4 md5-grid idea at pHash's native 32×32
+    * (exact-size source ⇒ the box-mean raster is the identity, r=g=b=v ⇒
+    * integer luma is exactly v — the whole decode→DCT path is analytically
+    * reproducible in SQL). Groups of 4 share a base grid; members 1–3 add
+    * deterministic jitter of increasing strength (+24 on every 29th pixel /
+    * +32 on every 11th / +48 on every 5th, mod-256 wrap) — measured pHash
+    * distances land at 0–6 for the weaker members (kept at radius 7) and
+    * 8–20 for the strong pairs (filtered), so the query exercises BOTH sides
+    * of the wide chassis's verify line. A +16-on-11-pixels probe measured
+    * distance 0 — the DCT's re-encode robustness, exactly why pHash exists. */
+  def mm4pFixturePng(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gid = docId / 4
+    val m = (docId % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 1024) {
+      val h = md.digest(s"$gid:$p".getBytes("UTF-8"))
+      val base = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 256
+      val j =
+        if (m == 1 && p % 29 == 0) 24
+        else if (m == 2 && p % 11 == 0) 32
+        else if (m == 3 && p % 5 == 0) 48
+        else 0
+      val v = (base + j) % 256
+      img.setRGB(p % 32, p / 32, (v << 16) | (v << 8) | v)
+      p += 1
+    }
+    ImageCodec.encodePng(img)
+  }
+
   /** mm5 fixture synthesis (the [[sineWav]]/[[mm4FixturePng]] pattern for
     * video): a REAL MJPEG AVI of six 72×64 frames in two 3-frame "shots".
     * Every 8×8 JPEG block is a flat gray whose value derives from
@@ -1501,6 +1533,85 @@ object MultimodalOps {
       ImageCodec.tryDecodeScratch(r.payload)
         .map(img => (r.id, grayRasterOf(img, hashW, hashH).toSeq))
     }).toDF("id", "gray")
+  }
+
+  /** The DCT-II basis the pHash pipeline uses, as plain doubles:
+    * `dctBasis(k)(t) = cos((2t+1)·k·π/64)` for k < 8 frequencies over t < 32
+    * samples — the 8 low frequencies of the 32-point DCT. PUBLIC so the SQL
+    * oracle inlines the very same literals (the d5 hyperplane convention:
+    * both engines fold the identical doubles in the identical order, so
+    * every coefficient — and therefore every bit — agrees bit-for-bit). */
+  val dctBasis: Seq[Seq[Double]] =
+    (0 until 8).map(k => (0 until 32).map(t =>
+      math.cos((2 * t + 1) * k * math.Pi / 64.0)).toSeq)
+
+  /** pHash (DCT perceptual hash) of a 32×32 row-major gray raster — the
+    * industry-standard robust image hash (pHash.org's shape): unlike dHash's
+    * local gradients, the low-frequency DCT spectrum survives re-encodes,
+    * mild blur, and resampling, so pHash codes feed the WIDE Hamming chassis
+    * ([[graft.dedup.DedupOps.hamming64PairsWide]], radius ≤ 7) at the
+    * distances real re-encodes produce.
+    *
+    * Fixed, engine-portable evaluation order (the SQL oracle replays it
+    * fold-for-fold; floats never reassociate):
+    *   1. separable DCT, row pass first:  T(u)(y) = Σ_{x=0..31 ascending}
+    *      basis(u)(x) · gray(y·32+x)
+    *   2. column pass: F(u)(v) = Σ_{y=0..31 ascending} basis(v)(y) · T(u)(y)
+    *   3. coefficient i = u·8+v (row-major, i < 64); DC is i = 0
+    *   4. med = 32nd-smallest of the 63 AC coefficients (lower median;
+    *      `array_sort` ties are value-identical so order is irrelevant)
+    *   5. bit i = 1 iff coef(i) > med; hi = bits 32..63, lo = bits 0..31
+    *      (the dHash (hi, lo) nonneg-halves convention). */
+  def pHashOf(gray: Array[Int]): (Long, Long) = {
+    require(gray.length == 1024, "pHash expects a 32x32 raster")
+    val b = dctBasis
+    val t = Array.ofDim[Double](8, 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var acc = 0.0; var x = 0
+        while (x < 32) { acc += b(u)(x) * gray(y * 32 + x); x += 1 }
+        t(u)(y) = acc; y += 1
+      }
+      u += 1
+    }
+    val f = new Array[Double](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0; var y = 0
+        while (y < 32) { acc += b(v)(y) * t(u)(y); y += 1 }
+        f(u * 8 + v) = acc; v += 1
+      }
+      u += 1
+    }
+    val med = f.drop(1).sorted.apply(31)
+    var hi = 0L; var lo = 0L; var i = 0
+    while (i < 64) {
+      if (f(i) > med) {
+        if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** REAL image on-ramp for pHash: payload → decode → exact 32×32 box-mean
+    * luma raster → [[pHashOf]], fused in one mapPartitions pass (the
+    * multimodal rule: the partition-local kernel covers only decode-adjacent
+    * work — the DCT is a fixed 32-point kernel like the Butterworth filter;
+    * banding and pairing stay relational downstream). Undecodable payloads
+    * drop. Output: (id, hi, lo) ready for the wide Hamming chassis. */
+  def imagePHashes(ds: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      ImageCodec.tryDecodeScratch(r.payload).map { img =>
+        val (hi, lo) = pHashOf(grayRasterOf(img, 31, 32))
+        (r.id, hi, lo)
+      }
+    }).toDF("id", "hi", "lo")
   }
 
   /** Packed (A)RGB ints of an image, ZERO-COPY when the raster already is a

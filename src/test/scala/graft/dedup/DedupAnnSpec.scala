@@ -847,4 +847,83 @@ class DedupAnnSpec extends SparkSpec {
     assert(out(23L) == ((10L, 0L, true)))  // 10 beats shard-peer 20 on id tiebreak
     assert(!out.contains(10L) && !out.contains(11L), "corpus rows must not emit")
   }
+
+  test("hamming64IncrementalNearDupsWide: banded == brute best-match at radius <= 6 (r15)") {
+    // 200 random codes + plants at every radius 0..8, every 10th id the new
+    // drop: the wide banding must reproduce the brute-force incremental
+    // contract exactly at radius 6 (4-10 is where real re-encodes land; the
+    // radius-7/8 plants prove the verify filter draws the line)
+    val rnd = new scala.util.Random(19)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 9).map { r =>
+      var v = base(r * 11)._2
+      rnd.shuffle((0 until 64).toList).take(r).foreach(b => v ^= (1L << b))
+      ((1000 + r * 10).toLong, v) // all plants are new-drop ids (% 10 == 0)
+    }
+    val all = base ++ planted
+    val df = all.toDF("id", "code")
+      .select($"id",
+        expr("shiftright(code, 32)").bitwiseAND(lit(0xffffffffL)).as("hi"),
+        $"code".bitwiseAND(lit(0xffffffffL)).as("lo"))
+    val got = DedupOps.hamming64IncrementalNearDupsWide(
+        df.filter($"id" % 10 =!= 0), df.filter($"id" % 10 === 0),
+        "id", "hi", "lo", maxHamming = 6)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val codes = all.toMap
+    val newIds = all.map(_._1).filter(_ % 10 == 0)
+    val want = newIds.flatMap { a =>
+      val cands = all.filter { case (b, _) =>
+        b != a && (b % 10 != 0 || b < a) &&
+          java.lang.Long.bitCount(codes(a) ^ codes(b)) <= 6 }
+      if (cands.isEmpty) None
+      else {
+        val (bid, bcode) = cands.minBy { case (b, c) =>
+          (java.lang.Long.bitCount(codes(a) ^ c), b) }
+        Some(a -> ((bid, java.lang.Long.bitCount(codes(a) ^ bcode).toLong,
+          bid % 10 != 0)))
+      }
+    }.toMap
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.exists(_._2._2 >= 4L), "fixture must exercise the wide radius")
+    intercept[IllegalArgumentException] {
+      DedupOps.hamming64IncrementalNearDupsWide(df, df, "id", "hi", "lo",
+        maxHamming = 8)
+    }
+  }
+
+  test("sqTopK: scores are the exact integer-fold expansion; planted neighbor ranks 1 (r15)") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val base = (0L until 40L).map(i => i -> Seq.fill(dim)(rnd.nextGaussian()))
+    val query = Seq.fill(dim)(rnd.nextGaussian())
+    // plant: 100 ~= the query scaled up (dominates every dot product),
+    // 101 = a constant vector (mx == mn -> all-zero codes, score = mn * sum(q))
+    val all = base :+ (100L -> query.map(_ * 10.0)) :+ (101L -> Seq.fill(dim)(2.5))
+    val corpus = all.toDF("cid", "v")
+      .select($"cid", AnnOps.quantizeInt8($"v").as("sq"))
+    val queries = Seq((0L, query)).toDF("qid", "qv")
+    val got = AnnOps.sqTopK(corpus, "cid", "sq", queries, "qid", "qv", k = all.size)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == all.size)
+    // brute replay of the expansion, same float-op order, same 6dp round
+    def expand(v: Seq[Double]): Double = {
+      val mn = v.min; val mx = v.max
+      val codes = v.map(x =>
+        if (mx == mn) 0 else (math.round((x - mn) / (mx - mn) * 255) - 128).toInt)
+      val s1 = query.zip(codes).foldLeft(0.0) { case (a, (q, c)) => a + q * (c + 128).toDouble }
+      val s2 = query.foldLeft(0.0)(_ + _)
+      BigDecimal((mx - mn) / 255.0 * s1 + mn * s2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wantScores = all.toMap.view.mapValues(expand).toMap
+    got.foreach { case (_, cid, s, _) =>
+      assert(s == wantScores(cid), s"cid $cid: got $s want ${wantScores(cid)}")
+    }
+    assert(got.find(_._4 == 1).get._2 == 100L, "planted neighbor must rank first")
+    // ranking matches the score-desc, cid-asc order
+    val ranked = got.sortBy(_._4).map(_._2).toSeq
+    val wantOrder = all.map(_._1).sortBy(c => (-wantScores(c), c)).toSeq
+    assert(ranked == wantOrder)
+  }
 }

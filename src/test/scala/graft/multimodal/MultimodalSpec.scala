@@ -1018,4 +1018,71 @@ class MultimodalSpec extends SparkSpec {
     // jitter is tiny relative to md5 level gaps: group pairs stay <= 3 bits
     assert(pairs.count { case (a, b, _) => a / 4 == b / 4 } >= 8)
   }
+
+  test("pHashOf: bits match an independent-order 2D DCT with wide margins (r15)") {
+    // the op folds x-then-y separably; the replica sums the FULL O(N^4)
+    // double loop per coefficient in y-then-x order — agreement of every bit
+    // plus a fat |coef - med| margin proves the bits are a property of the
+    // spectrum, not of one float-summation order
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { trial =>
+      val gray = Array.fill(1024)(rnd.nextInt(256))
+      val (hi, lo) = pHashOf(gray)
+      val b = dctBasis
+      val f = Array.tabulate(64) { i =>
+        val u = i / 8; val v = i % 8
+        var acc = 0.0
+        for (y <- 0 until 32; x <- 0 until 32)
+          acc += b(u)(x) * b(v)(y) * gray(y * 32 + x)
+        acc
+      }
+      val med = f.drop(1).sorted.apply(31)
+      val margin = f.map(c => math.abs(c - med)).filter(_ > 0).min
+      assert(margin > 1e-6, s"trial $trial: threshold margin too thin ($margin)")
+      var whi = 0L; var wlo = 0L
+      (0 until 64).foreach { i =>
+        if (f(i) > med) { if (i < 32) wlo |= 1L << i else whi |= 1L << (i - 32) }
+      }
+      assert((hi, lo) == ((whi, wlo)), s"trial $trial: bits diverge")
+      assert(hi >= 0L && lo >= 0L, "nonneg halves convention")
+    }
+  }
+
+  test("imagePHashes: decode -> 32x32 raster -> pHash equals pHashOf on the raw grid (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val grids = (0L until 4L).map { id =>
+      id -> Array.fill(1024)(rnd.nextInt(256))
+    }
+    val rows = grids.map { case (id, g) =>
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      g.zipWithIndex.foreach { case (v, p) =>
+        img.setRGB(p % 32, p / 32, (v << 16) | (v << 8) | v) }
+      MediaRow(id, "image", ImageCodec.encodePng(img), Map.empty)
+    }.toDS()
+    val got = imagePHashes(rows).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    grids.foreach { case (id, g) =>
+      assert(got(id) == pHashOf(g), s"id $id")
+    }
+  }
+
+  test("pHash robustness: small jitter moves pHash less than the strong jitter (mm4p fixture, r15)") {
+    import spark.implicits._
+    val rows = (0L to 7L).map(d =>
+      MediaRow(d, "image", mm4pFixturePng(d), Map.empty)).toDS()
+    val h = imagePHashes(rows).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def dist(a: Long, b: Long): Int = {
+      val (ah, al) = h(a); val (bh, bl) = h(b)
+      java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+    }
+    (0L to 4L by 4).foreach { g =>
+      // weakest jitter stays within the wide radius; strongest lands beyond it
+      assert(dist(g, g + 1) <= 7, s"g$g m1 ${dist(g, g + 1)}")
+      assert(dist(g, g + 3) > dist(g, g + 1), s"g$g jitter ordering")
+    }
+    assert(dist(0L, 4L) > 7, s"cross-group ${dist(0L, 4L)}")
+  }
 }
