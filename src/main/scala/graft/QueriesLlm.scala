@@ -427,6 +427,22 @@ object QueriesLlm {
           lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err"))
     }),
 
+    // e12: asymmetric scalar-quantized top-k (r15) — the SEARCH half of e5's
+    // int8 storage path: corpus as codes + (mn, mx), float queries, score =
+    // dot(query, dequantized) via the integer-fold expansion (never
+    // materializing the dequantized vector) — 8x less corpus I/O than
+    // float64 brute force at identical ranking (property-pinned in
+    // DedupAnnSpec; composes with e4's IVF cell pruning like e8 does for PQ)
+    "e12_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"),
+        AnnOps.quantizeInt8(col("v")).as("sq"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.sqTopK(corpus, "cid", "sq", queries, "qid", "qv", k = 5)
+    }),
+
     // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
     "mm1_byte_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -815,6 +831,32 @@ object QueriesLlm {
         col("tokens_filled"), col("boundary_id"), col("boundary_tokens"))
     }),
 
+    // samp11: token-budget materialization WITH repetition (the epoch plan) —
+    // sources smaller than their budget repeat for whole epochs (capped at
+    // maxEpochs=3) plus a partial top-up epoch under that epoch's OWN salted
+    // shuffle. Budgets exercise every branch at sf0.01: en partial-only
+    // (full=0), es 2 full epochs + mid-stream partial, fr capped at 3 epochs
+    // (filled < budget), zh an exact 2-epoch fill (rem=0), de absent -> 0
+    "samp11_epoch_plan" -> ((s, dir) => {
+      val (plan, _) = TextOps.tokenBudgetEpochPlan(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text", samp11Budgets, maxEpochs = 3)
+      plan.select(col("doc_id"), col("lang"), col("n_tokens"), col("n_epochs"))
+    }),
+
+    // samp11a: the per-source epoch accounting — total tokens, whole epochs,
+    // partial-epoch picks, tokens filled, and the partial boundary doc (null
+    // only when the epoch CAP, not the budget, stopped the fill — fr here;
+    // zh's exact 2-epoch fill reports the would-be-epoch-3 head as boundary)
+    "samp11a_epoch_ledger" -> ((s, dir) => {
+      val (_, ledger) = TextOps.tokenBudgetEpochPlan(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text", samp11Budgets, maxEpochs = 3)
+      ledger.select(col("lang"), col("budget"), col("total_tokens"),
+        col("full_epochs"), col("n_partial"), col("tokens_filled"),
+        col("boundary_id"), col("boundary_tokens"))
+    }),
+
     // g1: PageRank over a link graph (host-rank quality signals for web
     // curation) — 5 damped power iterations, per-round 9dp-decimal rounding so
     // every iteration is bit-portable; the events-derived edge fixture is a
@@ -942,6 +984,25 @@ object QueriesLlm {
             .when(col("m") === 2, col("lo0").bitwiseXOR(lit(0x1f00000L)))
             .otherwise(col("lo0")).as("lo"))
       DedupOps.hamming64PairsWide(codes, "doc_id", "hi", "lo", maxHamming = 7)
+    }),
+
+    // mm4p: pHash (DCT) perceptual near-dup pairs (r15) — the industry-
+    // standard ROBUST image hash: dHash's local gradients flip on small
+    // jitter, the low-frequency DCT spectrum doesn't (a +16-on-11-pixels
+    // probe measured pHash distance 0 where dHash moves), so pHash codes
+    // feed the WIDE chassis at the radius real re-encodes land. The whole
+    // path — PNG decode, 32x32 box-mean luma (identity on the exact-size
+    // fixture), separable DCT in a FIXED fold order with basis literals
+    // shared verbatim with the oracle, lower-median bit threshold, 8x8-band
+    // pairing — is hash-exact vs SQL. Fixture distances: 0-6 kept (weak
+    // jitters), 8-20 filtered (strong) — both sides of the verify line.
+    "mm4p_phash_neardups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val rows = mediaFixture(s, dir, "mm4p_png_v1", did =>
+        graft.multimodal.MultimodalOps.MediaRow(did, "image",
+          graft.multimodal.MultimodalOps.mm4pFixturePng(did), Map.empty))
+      val h = graft.multimodal.MultimodalOps.imagePHashes(rows)
+      DedupOps.hamming64PairsWide(h, "id", "hi", "lo", maxHamming = 7)
     }),
 
     // mm4r: mm4's REAL-DECODE twin (VERDICT r11 #2) — the payload→PNG-decode→
@@ -1108,6 +1169,35 @@ object QueriesLlm {
           vh.filter(col("id") % 10 =!= 0), vh.filter(col("id") % 10 === 0),
           "id", "hi", "lo")
         .crossJoin(DedupOps.hamming64CapStats(vh, "id", "hi", "lo"))
+    }),
+
+    // mm9w: WIDE-RADIUS incremental near-dup (r15) — mm9's contract through
+    // the 8x8-bit-band chassis, recall-exact at hamming <= 7: a daily drop of
+    // real re-encodes (distance 4-10) against a stored perceptual-code
+    // catalog, where the narrow chassis reports "novel" for everything past
+    // 3. mm4w's analytic codes (per-4-group md5 base + disjoint 4/5/7-bit
+    // member flips), every 10th doc as the drop, radius 6: member-0 drops
+    // best-match their member-1 peer at 4, member-2 drops their member-0 at
+    // 5, member-3 stays novel (7 > 6) — and the shard∪catalog WIDE cap
+    // ledger rides the row (the incremental audit contract).
+    "mm9w_incremental_wide" -> ((s, dir) => {
+      val g = md5(concat(lit("w"), (col("doc_id") / 4).cast("long").cast("string")))
+      val codes = t(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(g, 1, 8), 16, 10).cast("long").as("hi0"),
+          conv(substring(g, 9, 8), 16, 10).cast("long").as("lo0"),
+          pmod(col("doc_id"), lit(4)).as("m"))
+        .select(col("doc_id"),
+          when(col("m") === 3, col("hi0").bitwiseXOR(lit(0x7f00L)))
+            .otherwise(col("hi0")).as("hi"),
+          when(col("m") === 1, col("lo0").bitwiseXOR(lit(0xfL)))
+            .when(col("m") === 2, col("lo0").bitwiseXOR(lit(0x1f00000L)))
+            .otherwise(col("lo0")).as("lo"))
+      DedupOps.hamming64IncrementalNearDupsWide(
+          codes.filter(col("doc_id") % 10 =!= 0),
+          codes.filter(col("doc_id") % 10 === 0),
+          "doc_id", "hi", "lo", maxHamming = 6)
+        .crossJoin(DedupOps.hamming64CapStatsWide(codes, "doc_id", "hi", "lo"))
     }),
 
     // mm10: JOINT A/V video near-dup (VERDICT r14 #2) — the robust-against-
@@ -1684,6 +1774,50 @@ object QueriesLlm {
           FROM tk)"""
   }
 
+  /** samp11/samp11a shared budget map (every epoch-plan branch is hit at
+    * sf0.01 — see the query comments) and the SQL twin of
+    * [[graft.text.TextOps.tokenBudgetEpochPlan]]: per-lang totals feed the
+    * integral full-epoch division and remainder; the partial epoch's order
+    * key is salted with the epoch index (`e<full+1>:`), so each epoch
+    * re-shuffles independently. maxEpochs = 3. */
+  private val samp11Budgets: Map[String, Long] =
+    Map("en" -> 8000L, "es" -> 10000L, "fr" -> 50000L, "zh" -> 8286L)
+  private val samp11Ctes: String = {
+    val cases = samp11Budgets.toSeq.sortBy(_._1)
+      .map { case (l, b) => s"WHEN '$l' THEN $b" }.mkString(" ")
+    s"""tk AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents),
+        tot AS (
+          SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS budget
+          FROM tk GROUP BY lang),
+        pl0 AS (
+          SELECT lang, total_tokens, budget,
+            CAST(CASE WHEN total_tokens > 0
+              THEN LEAST(budget // total_tokens, 3) ELSE 0 END AS BIGINT)
+              AS full_epochs
+          FROM tot),
+        pl AS (
+          SELECT lang, total_tokens, budget, full_epochs,
+            CAST(CASE WHEN full_epochs >= 3 THEN 0
+              ELSE budget - full_epochs * total_tokens END AS BIGINT) AS rem
+          FROM pl0),
+        c AS (
+          SELECT t.doc_id, t.lang, t.n_tokens, p.total_tokens, p.budget,
+            p.full_epochs, p.rem,
+            ('0x' || substring(md5('tbudget:e' ||
+              CAST(p.full_epochs + 1 AS VARCHAR) || ':' ||
+              CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+          FROM tk t JOIN pl p USING (lang)),
+        cc AS (
+          SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang
+            ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM c)"""
+  }
+
   /** d21's k=16 universal-hash coefficients + generated SQL (fresh constants —
     * minhashCoeffs(16) is NOT a prefix of the k=32 d2 set). */
   private val (d21A, d21B) = DedupOps.minhashCoeffs(16)
@@ -1705,6 +1839,69 @@ object QueriesLlm {
   private val (mhA, mhB) = DedupOps.minhashCoeffs(32)
   private val aList = mhA.mkString("[", ", ", "]")
   private val bList = mhB.mkString("[", ", ", "]")
+
+  /** mm4p's oracle: the full decode-equivalent pipeline replayed in SQL — the
+    * analytic 32×32 grid (box-mean identity + r=g=b luma identity), the
+    * separable DCT with [[graft.multimodal.MultimodalOps.dctBasis]] inlined
+    * VERBATIM (both engines fold the identical doubles in the identical
+    * order — the d5 hyperplane convention), lower-median bit threshold, and
+    * the cap-aware 8×8-band pairing (mirrors banding exactly, not just the
+    * brute-force answer). */
+  private val mm4pSql: String = {
+    val b = graft.multimodal.MultimodalOps.dctBasis.flatten.mkString("[", ", ", "]")
+    s"""WITH bs AS (SELECT ($b)::DOUBLE[] AS b),
+      g AS (
+        SELECT doc_id, s.p,
+          ((('0x' || substring(md5((doc_id // 4)::VARCHAR || ':' || s.p::VARCHAR),
+              1, 4))::BIGINT % 256)
+           + CASE WHEN doc_id % 4 = 1 AND s.p % 29 = 0 THEN 24
+                  WHEN doc_id % 4 = 2 AND s.p % 11 = 0 THEN 32
+                  WHEN doc_id % 4 = 3 AND s.p % 5 = 0 THEN 48
+                  ELSE 0 END) % 256 AS v
+        FROM documents CROSS JOIN generate_series(0, 1023) s(p)),
+      ga AS (SELECT doc_id, list(v ORDER BY p) AS gv FROM g GROUP BY doc_id),
+      tt AS (
+        SELECT doc_id, uu.u AS u,
+          list_transform(generate_series(1, 32), y ->
+            list_sum(list_transform(generate_series(1, 32), x ->
+              b[uu.u * 32 + x] * gv[(y - 1) * 32 + x]))) AS t_arr
+        FROM ga CROSS JOIN bs CROSS JOIN generate_series(0, 7) uu(u)),
+      ff AS (
+        SELECT doc_id, u,
+          list_transform(generate_series(1, 8), vv ->
+            list_sum(list_transform(generate_series(1, 32), y ->
+              b[(vv - 1) * 32 + y] * t_arr[y]))) AS f_arr
+        FROM tt CROSS JOIN bs),
+      fc AS (SELECT doc_id, flatten(list(f_arr ORDER BY u)) AS f
+             FROM ff GROUP BY doc_id),
+      hm AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM fc),
+      hl AS (
+        SELECT doc_id,
+          CAST(COALESCE(SUM(CASE WHEN s.i >= 33 AND f[s.i] > med
+            THEN (1::BIGINT << (s.i - 33)) END), 0) AS BIGINT) AS hi,
+          CAST(COALESCE(SUM(CASE WHEN s.i <= 32 AND f[s.i] > med
+            THEN (1::BIGINT << (s.i - 1)) END), 0) AS BIGINT) AS lo
+        FROM hm CROSS JOIN generate_series(1, 64) s(i) GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, hi, lo, unnest([
+          '0:' || CAST(lo & 255 AS VARCHAR),
+          '1:' || CAST((lo >> 8) & 255 AS VARCHAR),
+          '2:' || CAST((lo >> 16) & 255 AS VARCHAR),
+          '3:' || CAST((lo >> 24) & 255 AS VARCHAR),
+          '4:' || CAST(hi & 255 AS VARCHAR),
+          '5:' || CAST((hi >> 8) & 255 AS VARCHAR),
+          '6:' || CAST((hi >> 16) & 255 AS VARCHAR),
+          '7:' || CAST((hi >> 24) & 255 AS VARCHAR)]) AS band
+        FROM hl),
+      bc AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= 2000),
+      p2 AS (
+        SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+          CAST(bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo))
+            AS BIGINT) AS hamming
+        FROM bands a JOIN bands b2 USING (band) JOIN bc USING (band)
+        WHERE a.doc_id < b2.doc_id)
+      SELECT id1, id2, hamming FROM p2 WHERE hamming <= 7"""
+  }
 
   /** The d5 hyperplanes, inlined as literals so DuckDB replicates the exact LSH
     * pipeline (same seeded constants as the Spark op). Dot products are written as
@@ -2508,6 +2705,35 @@ object QueriesLlm {
             MAX(b.n_tokens) AS boundary_tokens
           FROM c LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (lang)
           GROUP BY c.lang""",
+    // samp11: the epoch plan replayed — n_epochs = whole epochs (integral
+    // budget/total division, capped at 3) + 1 if the doc lands in the
+    // partial epoch's remainder prefix (epoch-salted stream order)
+    "samp11_epoch_plan" ->
+      s"""WITH $samp11Ctes
+          SELECT doc_id, lang, n_tokens,
+            CAST(full_epochs + CASE WHEN cum <= rem THEN 1 ELSE 0 END
+              AS BIGINT) AS n_epochs
+          FROM cc
+          WHERE full_epochs + CASE WHEN cum <= rem THEN 1 ELSE 0 END >= 1""",
+    // samp11a: one epoch-accounting row per lang; boundary = first excluded
+    // doc of the PARTIAL stream, null when the epoch cap stopped the fill
+    "samp11a_epoch_ledger" ->
+      s"""WITH $samp11Ctes,
+          b AS (
+            SELECT lang, doc_id, n_tokens,
+              row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+            FROM cc WHERE cum > rem AND full_epochs < 3)
+          SELECT cc.lang, MAX(cc.budget) AS budget,
+            MAX(cc.total_tokens) AS total_tokens,
+            MAX(cc.full_epochs) AS full_epochs,
+            COUNT(CASE WHEN cc.cum <= cc.rem THEN 1 END) AS n_partial,
+            CAST(MAX(cc.full_epochs) * MAX(cc.total_tokens) +
+              COALESCE(SUM(CASE WHEN cc.cum <= cc.rem THEN cc.n_tokens END), 0)
+              AS BIGINT) AS tokens_filled,
+            MAX(b.doc_id) AS boundary_id,
+            MAX(b.n_tokens) AS boundary_tokens
+          FROM cc LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (lang)
+          GROUP BY cc.lang""",
     // g1: the five power iterations unrolled as CTE pairs (message sum, then
     // re-rank) — every round re-rounds to 9dp on both engines
     "g1_pagerank" -> g1PagerankSql,
@@ -2574,6 +2800,7 @@ object QueriesLlm {
            WHERE a.doc_id < b2.doc_id)
          SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
          FROM p WHERE hamming <= 7""",
+    "mm4p_phash_neardups" -> mm4pSql,
     "mm5_video_keyframes" -> mm5KeyframesSql,
     "mm6_video_neardups" ->
       s"""WITH $mm6KfCtes
@@ -2636,6 +2863,54 @@ object QueriesLlm {
           SELECT id, matched_id, hamming, vs_corpus,
                  n_buckets, n_buckets_capped, n_members_excluded, max_bucket
           FROM r CROSS JOIN led WHERE rn = 1""",
+    // mm9w: the wide-radius incremental contract replayed brute-force (the
+    // 8x8 banding is recall-exact at <= 7 >= the query's radius 6, so the
+    // banded result == the all-pairs result), plus the wide cap ledger
+    "mm9w_incremental_wide" ->
+      """WITH c AS (
+           SELECT doc_id, doc_id % 4 AS m,
+             ('0x' || substring(md5('w' || (doc_id // 4)::VARCHAR), 1, 8))::BIGINT AS hi0,
+             ('0x' || substring(md5('w' || (doc_id // 4)::VARCHAR), 9, 8))::BIGINT AS lo0
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             CASE WHEN m = 3 THEN xor(hi0, 32512) ELSE hi0 END AS hi,
+             CASE WHEN m = 1 THEN xor(lo0, 15)
+                  WHEN m = 2 THEN xor(lo0, 32505856) ELSE lo0 END AS lo,
+             (doc_id % 10 = 0) AS isnew
+           FROM c),
+         p AS (
+           SELECT a.doc_id AS id, b.doc_id AS matched_id,
+             CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+               AS BIGINT) AS hamming,
+             NOT b.isnew AS vs_corpus
+           FROM h a JOIN h b ON a.doc_id <> b.doc_id
+           WHERE a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+             AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY id ORDER BY hamming, matched_id) AS rn FROM p),
+         bands AS (
+           SELECT doc_id, unnest([
+             '0:' || CAST(lo & 255 AS VARCHAR),
+             '1:' || CAST((lo >> 8) & 255 AS VARCHAR),
+             '2:' || CAST((lo >> 16) & 255 AS VARCHAR),
+             '3:' || CAST((lo >> 24) & 255 AS VARCHAR),
+             '4:' || CAST(hi & 255 AS VARCHAR),
+             '5:' || CAST((hi >> 8) & 255 AS VARCHAR),
+             '6:' || CAST((hi >> 16) & 255 AS VARCHAR),
+             '7:' || CAST((hi >> 24) & 255 AS VARCHAR)]) AS band
+           FROM h),
+         led AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                  CAST(SUM(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_buckets_capped,
+                  CAST(COALESCE(SUM(CASE WHEN n > 2000 THEN n END), 0) AS BIGINT)
+                    AS n_members_excluded,
+                  CAST(MAX(n) AS BIGINT) AS max_bucket
+           FROM (SELECT band, COUNT(*) AS n FROM bands GROUP BY band))
+         SELECT id AS doc_id, matched_id, hamming, vs_corpus,
+                n_buckets, n_buckets_capped, n_members_excluded, max_bucket
+         FROM r CROSS JOIN led WHERE rn = 1""",
     // mm10: both channels rebuilt analytically — the visual pooled hash via
     // the mm6/mm8 CTEs (mm10's frames ARE mm6's synthesis), the soundtrack
     // energy hash via the mm7 CTE shape re-keyed on docId/8 with the %8
@@ -3551,6 +3826,27 @@ object QueriesLlm {
             ROUND(list_max(list_transform(generate_series(1, 64),
                   j -> abs(v[j] - dq[j]))), 6) AS max_err
           FROM d""",
+    // e12: the SQ8 search replayed — the same quantize replica as e5, then
+    // the same integer-fold score expansion in the same float-op order
+    "e12_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cq AS (SELECT vec_id AS cid, list_min(v) AS mn, list_max(v) AS mx,
+              list_transform(v, x -> CASE WHEN list_max(v) = list_min(v) THEN 0
+                ELSE CAST(round((x - list_min(v)) / (list_max(v) - list_min(v)) * 255)
+                     - 128 AS INT) END) AS codes
+            FROM e),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          s AS (SELECT q.qid, cq.cid,
+              (cq.mx - cq.mn) / 255.0 *
+                list_sum(list_transform(generate_series(1, 64),
+                  j -> q.qv[j] * CAST(cq.codes[j] + 128 AS DOUBLE))) +
+              cq.mn * list_sum(q.qv) AS score0
+            FROM cq CROSS JOIN q),
+          r AS (SELECT qid, cid, ROUND(score0, 6) + 0 AS score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ROUND(score0, 6) DESC, cid ASC) AS rank
+                FROM s)
+          SELECT qid, cid, score, rank FROM r WHERE rank <= 5""",
     "mm1_byte_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length
          FROM documents""",
