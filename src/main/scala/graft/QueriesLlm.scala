@@ -443,6 +443,21 @@ object QueriesLlm {
       AnnOps.sqTopK(corpus, "cid", "sq", queries, "qid", "qv", k = 5)
     }),
 
+    // e13: IVF + SQ top-k (r15) — e12's quantized scoring behind e4's cell
+    // pruning, the SQ row of the quantized-index matrix (IVF+PQ = e8): the
+    // index stores only (id, cell, int8 codes), queries scan nProbe cells
+    "e13_ivfsq_topk" -> ((s, dir) => {
+      val centroids = (0 until 8).map(i =>
+        Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      AnnOps.ivfSqTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        centroids, nProbe = 2, k = 5)
+    }),
+
     // Multimodal plumbing: byte-length accounting through the typed mapPartitions path
     "mm1_byte_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -3826,6 +3841,39 @@ object QueriesLlm {
             ROUND(list_max(list_transform(generate_series(1, 64),
                   j -> abs(v[j] - dq[j]))), 6) AS max_err
           FROM d""",
+    // e13: e4's assign/probe CTEs composed with e12's quantize + score CTEs
+    "e13_ivfsq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          cscore AS (
+            SELECT vec_id, i AS cell,
+              CASE WHEN nv = 0 THEN 0.0 ELSE v[i + 1] / nv END AS cos
+            FROM norm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)),
+          assign AS (SELECT vec_id AS cid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore) WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+              FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+          cq AS (SELECT vec_id AS cid, list_min(v) AS mn, list_max(v) AS mx,
+              list_transform(v, x -> CASE WHEN list_max(v) = list_min(v) THEN 0
+                ELSE CAST(round((x - list_min(v)) / (list_max(v) - list_min(v)) * 255)
+                     - 128 AS INT) END) AS codes
+            FROM e),
+          cands AS (SELECT p.qid, a.cid FROM probes p JOIN assign a ON p.cell = a.cell),
+          s AS (SELECT c.qid, c.cid,
+              (cq.mx - cq.mn) / 255.0 *
+                list_sum(list_transform(generate_series(1, 64),
+                  j -> q.v[j] * CAST(cq.codes[j] + 128 AS DOUBLE))) +
+              cq.mn * list_sum(q.v) AS score0
+            FROM cands c JOIN cq ON c.cid = cq.cid JOIN e q ON c.qid = q.vec_id),
+          r AS (SELECT qid, cid, ROUND(score0, 6) + 0 AS score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ROUND(score0, 6) DESC, cid ASC) AS rank
+                FROM s)
+          SELECT qid, cid, score, rank FROM r WHERE rank <= 5""",
     // e12: the SQ8 search replayed — the same quantize replica as e5, then
     // the same integer-fold score expansion in the same float-op order
     "e12_sq_topk" ->

@@ -277,16 +277,48 @@ object AnnOps {
              queries: DataFrame, queryId: String, queryVec: String,
              k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
-    val codes = col(sqCol).getField("codes")
-    val mn = col(sqCol).getField("mn")
-    val mx = col(sqCol).getField("mx")
-    val s1 = aggregate(zip_with(col("_qv"), codes,
-      (qi, c) => qi * (c + lit(128)).cast("double")), lit(0.0), _ + _)
-    val s2 = aggregate(col("_qv"), lit(0.0), _ + _)
     corpus
       .crossJoin(broadcast(
         queries.select(col(queryId).as("_qid"), col(queryVec).as("_qv"))))
-      .withColumn("score", round((mx - mn) / lit(255.0) * s1 + mn * s2, 6))
+      .withColumn("score", sqScore(col("_qv"), col(sqCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("_qid"))
+          .orderBy(col("score").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryId), col(corpusId), col("score"), col("rank"))
+  }
+
+  /** The shared SQ asymmetric score (6dp-rounded): exactly
+    * `dot(qv, dequantize(sq))` via the integer-fold expansion — ONE
+    * definition behind [[sqTopK]] and [[ivfSqTopK]] so the flat and
+    * cell-pruned paths cannot drift. Native codegen'd kernel
+    * ([[graft.expr.SqDot]] — the interpreted HOF fold measured 47.6 s on
+    * e12's 20M-candidate 100× stream; VecOpsSpec pins HOF parity). */
+  private def sqScore(qv: Column, sq: Column): Column =
+    round(graft.expr.SqDot.expr(qv, sq), 6)
+
+  /** IVF + SQ top-k — [[sqTopK]] with [[ivfAssign]]'s cell pruning, the SQ
+    * row of the quantized-index matrix (IVF+PQ = e8, IVF+SQ = this): the
+    * INDEX stores only (id, cell, int8 codes + (mn, mx)) — the float vectors
+    * are dropped after index build, an 8× storage/bandwidth cut — and a query
+    * scans just its `nProbe` probed cells, scored by the same asymmetric
+    * integer-fold expansion as the flat op. Same posting-list plan as
+    * [[ivfTopK]]: one corpus pass to cells, probes broadcast, equi-join on
+    * cell id; recall loss is ivfTopK's (neighbors outside probed cells) plus
+    * SQ's quantization error (bounded at (mx−mn)/510 per component). */
+  def ivfSqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                centroids: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val indexed = corpus
+      .withColumn("_cell", ivfAssign(col(corpusVec), centroids))
+      .withColumn("_sq", quantizeInt8(col(corpusVec)))
+      .select(col(corpusId), col("_cell"), col("_sq"))
+    val probed = queries
+      .withColumn("_cell", explode(ivfProbes(col(queryVec), centroids, nProbe)))
+      .select(col(queryId).as("_qid"), col(queryVec).as("_qv"), col("_cell"))
+    indexed.join(broadcast(probed), "_cell")
+      .withColumn("score", sqScore(col("_qv"), col("_sq")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("_qid"))
           .orderBy(col("score").desc, col(corpusId))))

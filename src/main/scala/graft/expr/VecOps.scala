@@ -72,6 +72,28 @@ object VecOps {
     if (d == 0.0) 0.0 else ab / d
   }
 
+  /** The SQ asymmetric dot kernel — see [[SqDot]]. `sq` is the quantizeInt8
+    * struct row (codes: array<int>, mn: double, mx: double). Null elements or
+    * a length mismatch yield NULL (the zip_with-null-padding semantics). */
+  def sqDotBoxed(q: ArrayData, sq: org.apache.spark.sql.catalyst.InternalRow): java.lang.Double = {
+    if (sq.isNullAt(0) || sq.isNullAt(1) || sq.isNullAt(2)) return null
+    val codes = sq.getArray(0)
+    val mn = sq.getDouble(1)
+    val mx = sq.getDouble(2)
+    val n = q.numElements()
+    if (n != codes.numElements()) return null
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || codes.isNullAt(i)) return null
+      val qi = q.getDouble(i)
+      s1 += qi * (codes.getInt(i) + 128).toDouble
+      s2 += qi
+      i += 1
+    }
+    (mx - mn) / 255.0 * s1 + mn * s2
+  }
+
   @inline private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
 }
@@ -117,6 +139,55 @@ case class CosineSim(left: Expression, right: Expression) extends VecBinary {
     VecOps.cosineBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftF, rightF)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `sqDot(qv, sq)` — the asymmetric scalar-quantized dot product
+  * (`graft.ann.AnnOps.sqScore`'s kernel): exactly
+  * `(mx − mn)/255 · Σᵢ qvᵢ·(codesᵢ+128) + mn · Σᵢ qvᵢ` with both sums as
+  * independent left-to-right accumulators, bit-identical to the HOF
+  * formulation (pinned in VecOpsSpec) and to the SQL oracle's ordered
+  * `list_sum` folds. The HOF form evaluated INTERPRETED on the corpus×query
+  * candidate stream (e12's 100× solo first measured 47.6 s — the fold, not
+  * the scan, was the cost); this runs inside whole-stage codegen like
+  * [[VecDot]]. `right` is the `quantizeInt8` struct (codes, mn, mx). */
+case class SqDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_sq_dot"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), StructType(Array(
+          StructField("codes", ArrayType(IntegerType, _), _, _),
+          StructField("mn", DoubleType, _, _),
+          StructField("mx", DoubleType, _, _)))) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<double>, struct<codes:array<int>,mn:double,mx:double>), got ($l, $r)")
+    }
+  }
+
+  override def nullSafeEval(q: Any, s: Any): Any =
+    VecOps.sqDotBoxed(q.asInstanceOf[ArrayData],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, s) => {
+      val r = ctx.freshName("sqr")
+      s"""java.lang.Double $r = graft.expr.VecOps.sqDotBoxed($q, $s);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SqDot {
+  def expr(qv: Column, sq: Column): Column =
+    GraftSqlBridge.column(SqDot(GraftSqlBridge.expression(qv), GraftSqlBridge.expression(sq)))
 }
 
 object VecDot {

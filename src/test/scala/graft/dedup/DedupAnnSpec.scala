@@ -926,4 +926,29 @@ class DedupAnnSpec extends SparkSpec {
     val wantOrder = all.map(_._1).sortBy(c => (-wantScores(c), c)).toSeq
     assert(ranked == wantOrder)
   }
+
+  test("ivfSqTopK at full probes == flat sqTopK; fewer probes only lose, never invent (r15)") {
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val centroids = (0 until 4).map(i =>
+      Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+    val corpus = (0L until 60L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("cid", "cv")
+    val queries = (0L until 3L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("qid", "qv")
+    val flat = AnnOps.sqTopK(
+      corpus.select($"cid", AnnOps.quantizeInt8($"cv").as("sq")),
+      "cid", "sq", queries, "qid", "qv", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val full = AnnOps.ivfSqTopK(corpus, "cid", "cv", queries, "qid", "qv",
+      centroids, nProbe = 4, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == flat, "full probes must equal the flat search")
+    // a pruned search returns a subset of candidates, scored identically
+    val pruned = AnnOps.ivfSqTopK(corpus, "cid", "cv", queries, "qid", "qv",
+      centroids, nProbe = 1, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val flatScores = flat.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pruned.forall(r => flatScores.get((r._1, r._2)).forall(_ == r._3)))
+  }
 }

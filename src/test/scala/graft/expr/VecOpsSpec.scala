@@ -80,4 +80,33 @@ class VecOpsSpec extends SparkSpec {
     val g = vals()
     assert(i.getDouble(0) == g.getDouble(0) && i.getDouble(1) == g.getDouble(1))
   }
+
+  test("SqDot: bit-identical to the HOF expansion; null/mismatch/codegen parity (r15)") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian()), Seq.fill(16)(rng.nextGaussian()))
+    } ++ Seq((100L, Seq.fill(16)(2.5), Seq.fill(16)(rng.nextGaussian()))) // mx == mn
+    val df = rows.toDF("id", "cv", "qv")
+      .withColumn("sq", graft.ann.AnnOps.quantizeInt8(col("cv")))
+    def hofSq(qv: org.apache.spark.sql.Column, sq: org.apache.spark.sql.Column) = {
+      val s1 = aggregate(zip_with(qv, sq.getField("codes"),
+        (qi, c) => qi * (c + lit(128)).cast("double")), lit(0.0), (a, v) => a + v)
+      val s2 = aggregate(qv, lit(0.0), (a, v) => a + v)
+      (sq.getField("mx") - sq.getField("mn")) / lit(255.0) * s1 + sq.getField("mn") * s2
+    }
+    val cmp = df.withColumn("n", SqDot.expr(col("qv"), col("sq")))
+      .withColumn("h", hofSq(col("qv"), col("sq")))
+    assert(cmp.filter(not(col("n") <=> col("h"))).count() == 0, "sqdot parity")
+    // length mismatch -> null
+    val mm = df.limit(1).withColumn("q3", array(lit(1.0), lit(2.0)))
+      .select(SqDot.expr(col("q3"), col("sq"))).collect().head
+    assert(mm.isNullAt(0))
+    // codegen == interpreted
+    def vals() = df.orderBy("id").limit(3)
+      .select(SqDot.expr(col("qv"), col("sq"))).collect().map(_.getDouble(0)).toSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val i = vals()
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(i == vals())
+  }
 }

@@ -651,4 +651,36 @@ class StreamingSpec extends SparkSpec {
         got.mkString(", "))
     } finally q.stop()
   }
+
+  test("codeDedupStream: wide-radius catalog matches across batches, multi-band pairs emit once (r15)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // catalog: 10 -> code 0, 11 -> a far code (bit 7 of each byte set)
+    val catalog = Seq((10L, 0L, 0L), (11L, 0x80808080L, 0x80808080L))
+      .toDF("id", "hi", "lo")
+    val bandsWide = StreamingOps.codeBandTable(catalog, "id", "hi", "lo",
+      maxHamming = 6)
+    val input = MemoryStream[(Long, Timestamp, Long, Long)]
+    val out = StreamingOps.codeDedupStream(
+      input.toDF().toDF("id", "t", "hi", "lo"), bandsWide,
+      "id", "hi", "lo", "t", maxHamming = 6)
+    val q = out.writeStream.format("memory").queryName("code_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // 20: 5 bits from catalog 10 (inside radius 6, outside the narrow 3);
+      // 21: exact dup of 10 — every band collides, must emit ONE row;
+      // 22: 12 bits from everything -> silent
+      input.addData(
+        (20L, Timestamp.valueOf("2024-01-01 00:00:00"), 0x1fL, 0L),
+        (21L, Timestamp.valueOf("2024-01-01 00:00:01"), 0L, 0L))
+      q.processAllAvailable()
+      input.addData((22L, Timestamp.valueOf("2024-01-01 00:00:02"),
+        0x0f0f0000L, 0x0f000000L))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT id, matched_id, hamming FROM code_dedup_stream")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == Seq((20L, 10L, 5L), (21L, 10L, 0L)), got.mkString(", "))
+    } finally q.stop()
+  }
 }
