@@ -1230,14 +1230,23 @@ object QueriesLlm {
       val rows = mediaFixture(s, dir, "mm10_av_v1", did =>
         graft.multimodal.MultimodalOps.MediaRow(did, "video",
           graft.multimodal.MultimodalOps.mm10FixtureVideo(did), Map.empty))
+      // caller-held persists (r15 optimization round): avNearDups consumes each
+      // code table THREE times (banded pairing + two id-keyed join-backs), and
+      // each table sits behind a full container decode pass — unpersisted, the
+      // query re-decoded every video 3x for frames AND 3x for audio (measured
+      // 3.1 s; the two single-decode passes are the floor). The tables are one
+      // ~24-byte row per video, so the cache is O(videos) at any scale; the
+      // harness clearCache releases them, library callers unpersist.
       val vh = graft.multimodal.MultimodalOps.videoHash64(
           graft.multimodal.MultimodalOps.videoKeyframeHashes(
             graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
         .select(col("id"), col("hi"), col("lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val eh = graft.multimodal.MultimodalOps.videoAudioFeatures(rows).toDF()
         .select(col("id"),
           graft.multimodal.MultimodalOps.energyHash64(col("windowRms")).as("_eh"))
         .select(col("id"), col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.multimodal.MultimodalOps.avNearDups(vh, eh)
     }),
 
@@ -1317,12 +1326,19 @@ object QueriesLlm {
     // the plan.
     "pipe5_rag_slice" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // caller-held persist (r15 optimization round): bm25Retrieve consumes its
+      // corpus TWICE (the 1-row n_docs/avgdl stats agg + the postings build) —
+      // for raw documents that is two cheap scans, but here the corpus is the
+      // CHUNK table, so unpinned each consumer re-ran the whole sentence-chunk
+      // derivation (posexplode + per-doc window + reassembly groupBy). One
+      // chunking pass now feeds both; harness clearCache releases it.
       val chunks = TextOps.chunkBySentences(
           docs.withColumn("text2",
             regexp_replace(col("text"), "\\btable\\b", "table.")),
           "doc_id", "text2", maxTokens = 32)
         .select(concat(col("doc_id").cast("string"), lit("#"),
           col("chunk_id").cast("string")).as("cid"), col("chunk_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("qid"),
           concat_ws(" ",

@@ -63,8 +63,13 @@ object SpikeOps {
     // the reference skips candidates at series position 1 (0-based) and in the last 4
     // positions. (At position 0 it reads diff[-1] — python wraparound to the LAST
     // element; we do not replicate that accident: a null lag fails the condition.)
+    // r15 optimization round: the former descending row_number forced WindowExec
+    // to RE-SORT every series partition in reverse purely to express
+    // "not in the last 4 positions" — position-from-end is the same integer as
+    // count-over-partition − rn + 1, and the whole-partition count rides the
+    // ascending sort all the other windows already share (one sort, not two).
     val rnA = row_number().over(wf)
-    val rnD = row_number().over(Window.partitionBy(kc: _*).orderBy(col(timeCol).desc))
+    val rnD = count(lit(1)).over(Window.partitionBy(kc: _*)) - rnA + 1
     val potential = abs(d) > c && rnA =!= 2 && rnD >= 5
 
     val spike3 = potential &&

@@ -1260,13 +1260,14 @@ object TextOps {
           .cast("decimal(12,9)").as("_x"))
     val bias = labeled.select(col("_doc"), col("_y"), lit(-1L).as("_b"),
       lit(1).cast("decimal(12,9)").as("_x"))
-    // ONE up-front hash-shuffle on doc: every round's per-doc margin agg and
-    // its error join then reuse this partitioning with no further corpus-scale
-    // exchange — per round only the bucket-cardinality gradient partials move
-    // (without this, each of the `rounds` iterations re-shuffles the pair
-    // table twice; the union alone would discard the feature window's
-    // partitioning guarantee)
-    feat.unionByName(bias).repartition(col("_doc"))
+    // ONE up-front hash-shuffle on doc, SORTED within partitions (r15): the
+    // cached table advertises both hashpartitioning(_doc) and the _doc sort
+    // order, so every round's per-doc margin WINDOW in [[classifierTrain]]
+    // runs with zero exchange and zero per-round sort — per round only the
+    // bucket-cardinality gradient partials move (without this, each of the
+    // `rounds` iterations re-shuffled or re-sorted the pair table; the union
+    // alone would discard the feature window's partitioning guarantee)
+    feat.unionByName(bias).repartition(col("_doc")).sortWithinPartitions(col("_doc"))
   }
 
   /** `rounds` full-batch gradient steps over a [[classifierPairs]] table; returns
@@ -1278,33 +1279,71 @@ object TextOps {
     * libm boundary), gradient sums ride 18dp decimals (order-independent), and
     * the weight step rounds to 6dp. */
   private def classifierTrain(pairs: DataFrame, rounds: Int, lr: Double): DataFrame = {
-    val n = pairs.select(col("_doc")).distinct().agg(count(lit(1)).as("_n"))
-    var w = pairs.select(col("_b")).distinct()
-      .select(col("_b"), lit(0).cast("decimal(12,6)").as("_w"))
+    // r15 optimization-round restructure, measured not guessed: the former
+    // DataFrame-resident weight loop spent its time on per-round DRIVER overhead,
+    // not data — ~6 jobs per round (broadcast-exchange build, AQE stages, the
+    // localCheckpoint materialization, and the 1-row doc-count distinct that
+    // re-executed inside EVERY round's checkpoint job) plus ~0.2 s/round of
+    // planning gap (job-level probe at sf0.1: 63 jobs, job-sum 3.9 s, planning
+    // gap 1.9 s warm). The model is ≤ buckets+1 rows — the definition of
+    // model-sized — so the weights now live on the DRIVER (the e8t kmeansTrain
+    // precedent) and each round is ONE job: scan the cached pair table, look
+    // the weight up in a map literal, per-doc margin as a WINDOW riding the
+    // cache's (_doc partitioning, _doc sort) — zero exchange, zero sort, one
+    // pass where the old errs-agg + join-back shape scanned the cache twice
+    // and re-sorted it per round — then the ≤ buckets+1 gradient partials
+    // collect.
+    //
+    // Bit-exactness vs the engine-resident form (the DuckDB oracle replays the
+    // whole run, so every step must match to the last bit):
+    //  - margin: same order-independent exact decimal sum (window vs groupBy);
+    //  - _y is constant per doc (= the old MIN(_y));
+    //  - gradient: collected as java.math.BigDecimal — exact; Spark's
+    //    CAST(decimal AS DOUBLE) is BigDecimal.doubleValue — replicated;
+    //  - step: lr * (g / n) in IEEE double in the SAME operation order, then
+    //    Spark's round(double, 6) = BigDecimal.valueOf(d).setScale(6, HALF_UP)
+    //    — replicated literally (Scala's BigDecimal(d) has valueOf semantics);
+    //    the old double→decimal(12,6) cast after the round is value-identity
+    //    because distinct 6dp values are ≥ 1e-6 apart while the double ulp at
+    //    this magnitude is ≪ 0.5e-6;
+    //  - update: scale-6 BigDecimal subtraction — exact, as before.
+    val spark = pairs.sparkSession
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // one setup job: bucket id set (≤ buckets+1) + exact doc count
+    val setup = pairs.agg(collect_set(col("_b")), count_distinct(col("_doc"))).head()
+    val bucketIds: Array[Long] = setup.getSeq[Long](0).toArray.sorted
+    val nDocs = setup.getLong(1)
+    var w: Map[Long, JBD] = bucketIds.map(_ -> new JBD("0.000000")).toMap
+    val wdoc = Window.partitionBy(col("_doc"))
     for (_ <- 1 to rounds) {
-      val errs = pairs.join(broadcast(w), "_b")
-        .groupBy(col("_doc"))
-        .agg(min(col("_y")).as("_yd"), sum(col("_w") * col("_x")).as("_m"))
+      val wmap = map(bucketIds.toSeq.flatMap(b =>
+        Seq(lit(b), lit(w(b)).cast("decimal(12,6)"))): _*)
+      val gRows = pairs
+        .withColumn("_w", element_at(wmap, col("_b")))
+        .withColumn("_m", sum(col("_w") * col("_x")).over(wdoc))
         .withColumn("_z", col("_m").cast("double"))
         .withColumn("_p",
           round(lit(0.5) + lit(0.5) * (col("_z") / (lit(1.0) + abs(col("_z")))), 9)
             .cast("decimal(10,9)"))
-        .select(col("_doc"), (col("_p") - col("_yd")).as("_e"))
-      val grads = pairs.join(errs, "_doc")
+        .withColumn("_e", col("_p") - col("_y"))
         .groupBy(col("_b")).agg(sum(col("_e") * col("_x")).as("_g"))
-      w = w.join(grads, Seq("_b"), "left")
-        .crossJoin(broadcast(n))
-        .select(col("_b"),
-          (col("_w") - round(lit(lr) *
-              (coalesce(col("_g").cast("double"), lit(0.0)) / col("_n").cast("double")), 6)
-            .cast("decimal(12,6)")).cast("decimal(12,6)").as("_w"))
-        // w_t references w_{t-1} twice (directly and through the error table),
-        // so the lazy tree DOUBLES per round — the d7 lineage rule. Each round
-        // materializes the model (≤ buckets+1 rows: one tiny job over the
-        // persisted pair table) and the plan stays linear in `rounds`.
-        .localCheckpoint()
+        .collect() // ≤ buckets+1 rows — model-sized by construction
+      val g: Map[Long, JBD] = gRows.map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      w = w.map { case (b, wv) =>
+        val gd = g.get(b).filter(_ != null).map(_.doubleValue).getOrElse(0.0)
+        val step = JBD.valueOf(lr * (gd / nDocs.toDouble))
+          .setScale(6, RoundingMode.HALF_UP)
+        b -> wv.subtract(step)
+      }
     }
-    w
+    val rows = bucketIds.toSeq.map(b => org.apache.spark.sql.Row(b, w(b)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_w",
+          org.apache.spark.sql.types.DecimalType(12, 6), nullable = false))))
   }
 
   /** Trained hashed-feature linear classifier — the fastText-shaped quality /
@@ -1313,15 +1352,15 @@ object TextOps {
     * trained IN the engine by distributed full-batch gradient descent and
     * returned as the (bucket, w) weight table (bucket = -1 is the bias).
     *
-    * Scale shape: the (doc, bucket, x, y) pair table is corpus-linear, built
-    * once and persisted; each round is pairs ⨝ broadcast(weights) → per-doc
-    * partial agg → per-bucket partial agg — two linear shuffles per round, and
-    * the weight table (≤ buckets+1 rows) broadcasts at ANY corpus size. Doc
-    * count and gradient normalization ride 1-row broadcast cross joins; nothing
-    * collects — the model stays a DataFrame end to end, localCheckpoint'd per
-    * round (it references itself twice per step, so an unbroken lazy tree
-    * doubles per round — the d7 lineage rule; materializing ≤ buckets+1 rows
-    * per round is the cheap side of that trade at any corpus size). */
+    * Scale shape (r15): the (doc, bucket, x, y) pair table is corpus-linear,
+    * built once, persisted hash-partitioned AND sorted on the doc id; each
+    * round is ONE linear job — weight lookup in a ≤ buckets+1 map literal,
+    * per-doc margin as a zero-exchange zero-sort window over the cache, then
+    * the per-bucket gradient partials (the round's only shuffle, map-side
+    * combined to ≤ buckets+1 rows per task) collect to the driver, which is
+    * model-sized AT ANY corpus size. The weights live on the driver between
+    * rounds (the kmeansTrain precedent) — no per-round broadcast exchange, no
+    * per-round checkpoint, no lineage growth. */
   def linearClassifierWeights(docs: DataFrame, idCol: String, textCol: String,
                               label: Column, buckets: Int = 64, rounds: Int = 3,
                               lr: Double = 0.5): DataFrame = {
