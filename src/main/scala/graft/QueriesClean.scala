@@ -21,12 +21,13 @@ import graft.sources.{NetworkCatalogs, StationLists, StationStatus}
   * .standardize]] consumes. */
 object QueriesClean {
 
-  /** Scan-side repartition (same rationale as QueriesLlm's loader): the testdata
+  /** Scan-side fan-out (same rationale as QueriesLlm's loader): the testdata
     * tables are single-row-group parquet, so the scan is ONE task — and the clean
     * queries do java.time-heavy per-row work that must not run single-threaded.
-    * At production scale the file count already provides scan parallelism. */
+    * Conditional since r15: at production scale the file count already provides
+    * scan parallelism and the repartition shuffle is skipped. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    SparkEntry.loadTable(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+    SparkEntry.loadTableFanout(s, dir, name)
 
   private def r4(c: Column): Column = round(c, 4)
 

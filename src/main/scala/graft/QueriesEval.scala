@@ -14,7 +14,7 @@ import graft.ops.CaseStudyOps
 object QueriesEval {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    SparkEntry.loadTable(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+    SparkEntry.loadTableFanout(s, dir, name)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // event_subset + flags_during_event: range predicate (pushes to the scan)

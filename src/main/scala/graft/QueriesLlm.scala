@@ -19,12 +19,11 @@ object QueriesLlm {
   /** The LLM-quadrant tables arrive as single-row-group parquet at test scale, which
     * Spark scans as ONE task — and these queries do their heavy per-row compute
     * (md5 shingles, signatures, token stats) scan-side, so that serializes them on a
-    * single core. Spread rows across the cluster first; the shuffle is trivially small
-    * next to the expression work it parallelizes. (At production scale the file count
-    * already provides scan parallelism and the repartition collapses to a cheap
-    * round-robin of already-distributed rows.) */
+    * single core. [[SparkEntry.loadTableFanout]] spreads rows across the cluster
+    * ONLY when the scan cannot parallelize itself (r15: the former unconditional
+    * repartition was a full-corpus shuffle per read at any scale). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    SparkEntry.loadTable(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+    SparkEntry.loadTableFanout(s, dir, name)
 
   private def r4(c: Column): Column = round(c, 4)
 

@@ -49,6 +49,25 @@ object SparkEntry {
   /** Public alias for tests and pipelines. */
   def loadTable(s: SparkSession, dir: String, name: String): DataFrame = t(s, dir, name)
 
+  /** [[loadTable]] with CONDITIONAL scan fan-out (r15 optimization round,
+    * guide §2.4): the testdata tables are single-row-group parquet, so the
+    * scan is ONE task and the expression-heavy queries (md5 shingles,
+    * java.time parsing, token stats) would serialize on one core — the
+    * round-robin repartition spreads them. But an UNCONDITIONAL repartition
+    * is a full-corpus shuffle (plus the mandatory sort-before-repartition)
+    * per table read at ANY scale; at production the file count already
+    * provides scan parallelism and the shuffle is pure waste. The fan-out
+    * now fires only when the scan genuinely cannot parallelize (fewer input
+    * files than cores). Bench behavior is unchanged (1 file < 32 cores →
+    * repartition, as before); a many-file production layout skips the
+    * shuffle entirely. Results are partitioning-independent either way. */
+  def loadTableFanout(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    if (df.inputFiles.length < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
+
   /** Exact sum of a 2-decimal double column (order-independent across engines). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private def r4(c: Column): Column = round(c, 4)

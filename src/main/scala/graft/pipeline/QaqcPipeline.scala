@@ -123,10 +123,22 @@ object QaqcPipeline {
   /** A10 report off the pipeline output: flag value counts per variable, including the
     * `no_flag` and `total_obs_count` rows (`merge_eraqc_counts.py:22-84`). */
   def flagCountReport(df: DataFrame, flagColName: String): DataFrame = {
+    // r15 optimization round: the total derives from the aggregated counts,
+    // NOT a second pass over `df` — every row lands in exactly one coalesced
+    // flag group, so sum(cnt) IS count(*) (the rule
+    // [[flagCountReportByStation]] already followed). The counts table is
+    // PERSISTED because the union references it twice (its own rows + the
+    // total), and unpinned each reference re-evaluates the caller's whole
+    // upstream — in pipe1 that was the QAQC chain's unpinned stage-4 tail
+    // running twice. The cache is flag-cardinality (tiny at any corpus
+    // size); the bench harness clearCache releases it, library callers
+    // unpersist. coalesce keeps the empty-input total at 0 (and the column
+    // non-nullable), exactly as count() was.
     val counted = df
       .withColumn("flag", coalesce(col(flagColName).cast("string"), lit("no_flag")))
       .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counted.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
       .withColumn("flag", lit("total_obs_count"))
       .select(col("flag"), col("cnt"))
     counted.unionByName(total)

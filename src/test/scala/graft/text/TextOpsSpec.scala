@@ -736,4 +736,45 @@ class TextOpsSpec extends SparkSpec {
     val e3Order = mixDocs.sortBy(d => (ekey(3, d._1), d._1)).map(_._1).toSeq
     assert(e1Order != e3Order, "epoch salts must re-shuffle the stream")
   }
+
+  test("tokenCount (regexp_count form) == size(tokens()) on adversarial strings") {
+    // r15 pin: tokenCount switched from materializing the token array to
+    // counting \S+ runs — the two must agree on every whitespace shape,
+    // including empty, all-whitespace, tabs/newlines, leading/trailing
+    // runs, punctuation-only tokens, and null
+    val rows = Seq(
+      "a b c", "  leading", "trailing  ", "   ", "", "one",
+      "a\tb\nc\r\nd", "a  b   c", "!!! ,,, x", "ab\fc",
+      "multi  \n\n  gap", null.asInstanceOf[String])
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), TextOps.tokenCount(col("text")).as("fast"),
+        size(TextOps.tokens(col("text"))).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch at id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getInt(1) == r.getInt(2),
+          s"count mismatch at id=${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}")
+    }
+  }
+
+  test("trigram langid argmax (min-struct form) matches the row_number contract") {
+    // r15 pin: the per-doc argmax switched from a row_number window
+    // (_s desc, _ml asc) to min(struct(-_s, _ml)); plant an exact score TIE
+    // so the _ml-ascending tiebreak is exercised, not just the max
+    val docs = Seq(
+      (1L, "aaab", "en"),   // trigrams aaa, aab
+      (2L, "aaab", "fr"),   // identical text -> en and fr models are IDENTICAL
+      (3L, "zzzq", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.charTrigramLangId(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    // en and fr have identical count tables and totals, so every doc's
+    // en-score EXACTLY equals its fr-score -> the winner must be the
+    // lexicographically SMALLEST lang (the old window's _ml-ascending
+    // tiebreak)
+    assert(out(0).getString(2) == "en", "ties must break to the smallest lang id")
+    assert(out(1).getString(2) == "en", "ties must break to the smallest lang id")
+    assert(out(2).getString(2) == "de", "doc3 must still match its own model")
+  }
 }
