@@ -725,6 +725,9 @@ object QueriesLlm {
         .select(col("doc_id"), col("lang"),
           TextOps.qualityScore(col("text")).as("quality"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (the mm10 lesson): the gate's threshold agg and its
+      // join-probe are concurrent AQE jobs — lazy, each re-ran the regex pass
+      docs.count()
       graft.ops.AggOps.quantileGate(docs, Seq("lang"), "quality", 0.25)
         .select(col("doc_id"))
     }),
@@ -738,6 +741,8 @@ object QueriesLlm {
         .select(col("doc_id"), col("lang"),
           TextOps.qualityScore(col("text")).as("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (the t9 rationale)
+      docs.count()
       TextOps.perplexityBuckets(docs, Seq("lang"), "q", lowerIsBetter = false)
         .groupBy(col("lang"), col("ccnet_bucket"))
         .agg(count(lit(1)).as("n"),
@@ -1122,6 +1127,9 @@ object QueriesLlm {
       val kf = graft.multimodal.MultimodalOps.videoKeyframeHashes(
           graft.multimodal.MultimodalOps.videoGrayRasters(rows))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (the mm10 lesson, measured at 100×): a lazy cache
+      // first-touched by concurrently-submitted AQE jobs decodes once PER JOB
+      kf.count()
       graft.multimodal.MultimodalOps.videoNearDupsFromKeyframes(kf)
     }),
 
@@ -1137,6 +1145,9 @@ object QueriesLlm {
       val kf = graft.multimodal.MultimodalOps.videoKeyframeHashes(
           graft.multimodal.MultimodalOps.videoGrayRasters(rows))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (the mm10 lesson): four consumers land on this cache
+      // as concurrently-submitted broadcast-build jobs — lazy, each re-decoded
+      kf.count()
       val pairs = graft.multimodal.MultimodalOps.videoNearDupsFromKeyframes(kf)
       val dropped = pairs.select(col("vid2").as("id")).distinct()
       kf.select(col("id")).distinct().agg(count(lit(1)).as("n_input"))
@@ -1174,11 +1185,15 @@ object QueriesLlm {
       val rows = mediaFixture(s, dir, "mm6_avi_v2", did =>
         graft.multimodal.MultimodalOps.MediaRow(did, "video",
           graft.multimodal.MultimodalOps.mm6FixtureAvi(did), Map.empty))
-      // one decode feeds both sides (the d2 persist contract)
+      // one decode feeds both sides (the d2 persist contract); eagerly
+      // populated (the mm10 lesson) — the cap-stats crossJoin's broadcast
+      // build is submitted concurrently with the incremental chain, and a
+      // lazy cache would decode once per job
       val vh = graft.multimodal.MultimodalOps.videoHash64(
           graft.multimodal.MultimodalOps.videoKeyframeHashes(
             graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vh.count()
       DedupOps.hamming64IncrementalNearDups(
           vh.filter(col("id") % 10 =!= 0), vh.filter(col("id") % 10 === 0),
           "id", "hi", "lo")
@@ -1236,16 +1251,26 @@ object QueriesLlm {
       // 3.1 s; the two single-decode passes are the floor). The tables are one
       // ~24-byte row per video, so the cache is O(videos) at any scale; the
       // harness clearCache releases them, library callers unpersist.
+      //
+      // EAGER + SEQUENTIAL population (measured at 100×, T20Probe): a LAZY
+      // persist first-touched by avNearDups' concurrently-submitted AQE jobs
+      // does not dedupe the materialization — six parallel jobs each paid a
+      // full decode pass (~180 s apiece at 100×, job log in
+      // OPTIMIZATION_r15.md). The two count()s run INSIDE the timed query and
+      // pin the caches with exactly one decode pass per modality before the
+      // pairing fans out.
       val vh = graft.multimodal.MultimodalOps.videoHash64(
           graft.multimodal.MultimodalOps.videoKeyframeHashes(
             graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
         .select(col("id"), col("hi"), col("lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vh.count()
       val eh = graft.multimodal.MultimodalOps.videoAudioFeatures(rows).toDF()
         .select(col("id"),
           graft.multimodal.MultimodalOps.energyHash64(col("windowRms")).as("_eh"))
         .select(col("id"), col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eh.count()
       graft.multimodal.MultimodalOps.avNearDups(vh, eh)
     }),
 
@@ -1288,6 +1313,8 @@ object QueriesLlm {
         .select(col("id"), col("rms"),
           col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (the mm10 lesson): five consumers, concurrent builds
+      feats.count()
       val pairs = DedupOps.hamming64Pairs(feats, "id", "hi", "lo")
       val dropped = pairs.select(col("id2").as("id")).distinct()
       val survivors = feats.join(dropped, Seq("id"), "left_anti")
@@ -1338,6 +1365,10 @@ object QueriesLlm {
         .select(concat(col("doc_id").cast("string"), lit("#"),
           col("chunk_id").cast("string")).as("cid"), col("chunk_text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (the mm10 lesson): bm25Retrieve's stats agg and
+      // postings build are submitted as concurrent AQE jobs — a lazy cache
+      // first-touched by both re-runs the chunk derivation once per job
+      chunks.count()
       val qs = docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("qid"),
           concat_ws(" ",

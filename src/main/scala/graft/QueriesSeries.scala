@@ -197,12 +197,16 @@ object QueriesSeries {
         .agg(avg(col("value")).as("v"))
         .withColumn("hr", hour(col("tsh")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (r15, the mm10 lesson): the anomaly's stats side and
+      // its join-back are concurrent AQE jobs — lazy, both re-ran the hourly agg
+      e.count()
       val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "v", "std_anom")
       val interp = SeriesOps.interpolateLinear(std, Seq("event_type"), "tsh", "std_anom", "std_i")
         .withColumn("freq_s", lit(3600.0))
       val lp = graft.kernels.Butterworth.lowPass(interp, Seq("event_type"), "tsh",
           "std_i", "freq_s", "lp")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lp.count() // eager: the gap scan consumes lp from concurrent jobs too
       graft.kernels.GaussGapScan.flagged(lp, Seq("event_type", "hr"), "tsh", "lp")
         .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n_flagged"))
     }),
@@ -234,6 +238,9 @@ object QueriesSeries {
       // parquet re-scans of events)
       val std = AggOps.standardizedAnomaly(e, Seq("event_type", "hr"), "value", "std_anom")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager population (r15, the mm10 lesson): the Gaussian fit and the
+      // row-level flag join are concurrent consumers of this cache
+      std.count()
       graft.kernels.GaussGapScan.flagged(std, Seq("event_type", "hr"), "ts", "std_anom")
         .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n_flagged"))
     }),

@@ -138,6 +138,10 @@ object QaqcPipeline {
       .withColumn("flag", coalesce(col(flagColName).cast("string"), lit("no_flag")))
       .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager population (the mm10 lesson): the union's two branches are
+    // independent AQE stages submitted concurrently — a lazy cache would let
+    // both re-run the upstream; one count() pins it with one pass
+    counted.count()
     val total = counted.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
       .withColumn("flag", lit("total_obs_count"))
       .select(col("flag"), col("cnt"))

@@ -852,6 +852,10 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bg = pairs.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager population (r15, the mm10 lesson): fromCtx/cont/types feed three
+    // concurrently-built broadcast joins — lazy, each re-ran the corpus
+    // bigram explode; one count() pins bg (and pairs en route) in one pass
+    bg.count()
     val fromCtx = bg.groupBy(col("a"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
     val cont = bg.groupBy(col("b")).agg(count(lit(1)).as("n1rev"))
@@ -1176,6 +1180,9 @@ object TextOps {
       .withColumn("b", dsirBucket(col("g"), buckets))
       .drop("g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager population (r15, the mm10 lesson): the stats-side broadcast build
+    // and the per-doc probe are concurrent jobs — lazy, both re-ran the explode
+    ex.count()
     val stats = ex.groupBy(col("b")).agg(
       count(lit(1)).as("c_all"),
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
@@ -1230,6 +1237,10 @@ object TextOps {
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
       .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager population (r15, the mm10 lesson): dfreq's broadcast build and the
+    // final probe are concurrently-submitted AQE jobs — a lazy cache let both
+    // re-run the whole postings build (corpus tokenize + explode + shuffle)
+    pruned.count()
     // document frequencies for just the query terms (≤ |query vocab| keys)
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
