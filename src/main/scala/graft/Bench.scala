@@ -77,14 +77,27 @@ object Bench {
     val totalCold = results.map(_._3).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"total_cold":$totalCold,"reps":$reps,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
+    // r16 measurement-contract hardening (VERDICT r15 items 3/5, additions only —
+    // the timing protocol above is untouched): the full line is ~6 KB at 198
+    // queries and the driver's stdout-tail capture front-truncated it in BOTH
+    // r14 and r15 (PERF_r15 "parsed": null despite rc=0). A second, compact
+    // totals-only line fits any 4 KB tail so the headline survives truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$nFailed,"n":${results.size},"cpus":$cpus,"sf":"$sfDir"}""")
     // ALSO persist the full per-query map: the driver's captured stdout tail has
     // truncated mid-JSON before (BENCH_r10 parsed: null), which made round-over-
-    // round per-query diffs depend on BASELINE.md prose instead of an artifact
-    try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Exception => System.err.println(s"bench_last.json write failed: $e") }
+    // round per-query diffs depend on BASELINE.md prose instead of an artifact.
+    // r16: default filename is keyed on the core count so the driver's 32-core
+    // and 8-core runs no longer overwrite each other (bench_last.json kept as a
+    // compat copy; SPARK_GRAFT_BENCH_OUT still overrides).
+    def writeOut(path: String): Unit =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Exception => System.err.println(s"$path write failed: $e") }
+    sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(out) => writeOut(out)
+      case None => writeOut(s"bench_${cpus}c.json"); writeOut("bench_last.json")
+    }
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

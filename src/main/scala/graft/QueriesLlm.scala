@@ -1248,29 +1248,40 @@ object QueriesLlm {
       // code table THREE times (banded pairing + two id-keyed join-backs), and
       // each table sits behind a full container decode pass — unpersisted, the
       // query re-decoded every video 3x for frames AND 3x for audio (measured
-      // 3.1 s; the two single-decode passes are the floor). The tables are one
-      // ~24-byte row per video, so the cache is O(videos) at any scale; the
-      // harness clearCache releases them, library callers unpersist.
+      // 3.1 s; the decode pass is the floor). The tables are one ~24-byte row
+      // per video, so the cache is O(videos) at any scale; the harness
+      // clearCache releases them, library callers unpersist.
       //
       // EAGER + SEQUENTIAL population (measured at 100×, T20Probe): a LAZY
       // persist first-touched by avNearDups' concurrently-submitted AQE jobs
       // does not dedupe the materialization — six parallel jobs each paid a
       // full decode pass (~180 s apiece at 100×, job log in
-      // OPTIMIZATION_r15.md). The two count()s run INSIDE the timed query and
-      // pin the caches with exactly one decode pass per modality before the
-      // pairing fans out.
+      // OPTIMIZATION_r15.md). The count()s run INSIDE the timed query and
+      // pin the caches before the pairing fans out.
+      //
+      // r16 (VERDICT r15 item 5): ONE decode pass for BOTH channels — the
+      // visual and audio pipelines previously each walked and decoded every
+      // container (two full decode passes, the dominant mm10 cost at 100×).
+      // videoAvRasters emits rasters + window-RMS from a single walk; the
+      // per-video A/V feature cache is released as soon as the two code
+      // tables are pinned.
+      val av = graft.multimodal.MultimodalOps.videoAvRasters(rows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      av.count()
       val vh = graft.multimodal.MultimodalOps.videoHash64(
           graft.multimodal.MultimodalOps.videoKeyframeHashes(
-            graft.multimodal.MultimodalOps.videoGrayRasters(rows)))
+            av.select(col("id"), explode(col("frames")).as("_f"))
+              .select(col("id"), col("_f._1").as("frame_idx"), col("_f._2").as("gray"))))
         .select(col("id"), col("hi"), col("lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       vh.count()
-      val eh = graft.multimodal.MultimodalOps.videoAudioFeatures(rows).toDF()
+      val eh = av.filter(col("window_rms").isNotNull)
         .select(col("id"),
-          graft.multimodal.MultimodalOps.energyHash64(col("windowRms")).as("_eh"))
+          graft.multimodal.MultimodalOps.energyHash64(col("window_rms")).as("_eh"))
         .select(col("id"), col("_eh.hi").as("hi"), col("_eh.lo").as("lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eh.count()
+      av.unpersist()
       graft.multimodal.MultimodalOps.avNearDups(vh, eh)
     }),
 

@@ -35,20 +35,20 @@ object GraphOps {
     * rides a 1-row broadcast cross join. */
   def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85): DataFrame = {
-    // r15 optimization round: the distinct() leaves the cached edge table
-    // hashpartitioned on (src, dst), but every one of the `iterations` rounds
-    // joins edges on src — each round re-shuffled the FULL edge set (the
-    // corpus-sized side of PageRank) to src partitioning. One explicit
-    // repartition(src) at build time gives the cache the partitioning the
-    // loop actually consumes: the per-round edge exchange disappears (plan
-    // audit: plans/r15/g1_pagerank_*; the outDeg groupBy(src) shares it too),
-    // so per round only the node-sized rank table moves. Results unchanged —
-    // partitioning only (order-independent decimal message sums).
+    // r16: the r15 `repartition(col("src"))` on the cached edge table is
+    // REVERTED (VERDICT r15 item 2). Its own committed plans
+    // (plans/r15/g1_pagerank_*) showed the five per-iteration
+    // hashpartitioning(src) exchanges identical before and after — they
+    // shuffle node-sized (src, rank/deg) agg partials, not edges — so the
+    // change only ADDED a build-time full-edge shuffle. The repo's own w14
+    // lesson predicts why it can never help: a cached repartition(col) is
+    // presented as UnknownPartitioning through the InMemoryRelation boundary
+    // under AQE, so downstream joins/aggs don't recognize it. 100× evidence:
+    // g1 1.23 s (r14) → 4.25 s with the repartition (bench_scale100_r15opt).
     val edges = edgesRaw
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))

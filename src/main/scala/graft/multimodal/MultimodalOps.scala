@@ -1365,6 +1365,42 @@ object MultimodalOps {
     })
   }
 
+  /** BOTH A/V channels in ONE container walk + decode pass (r16, VERDICT r15
+    * item 5): joint consumers (mm10) previously ran [[videoGrayRasters]] AND
+    * [[videoAudioFeatures]] over the same corpus — every payload was read and
+    * its container walked/decoded twice (the stated mm10 floor, two full
+    * decode passes at 100×). One mapPartitions pass now emits, per video, the
+    * (frame_idx, gray) raster list (exactly videoGrayRasters' values — same
+    * VideoCodec.frames walk, same tryDecodeScratch, same grayRasterOf kernel)
+    * plus the soundtrack's window-RMS array (exactly videoAudioFeatures'
+    * windowRms via the same audioFeaturesOf kernel; NULL when the container
+    * has no decodable PCM track — the same drop rule, applied by the caller
+    * as a `window_rms IS NOT NULL` filter). Callers explode `frames` to
+    * recover the videoGrayRasters row shape; both downstream channels are
+    * bit-identical because every decode call and kernel is shared — only the
+    * number of container walks changes (2 → 1). */
+  def videoAvRasters(ds: Dataset[MediaRow], stride: Int = 1,
+                     hashW: Int = 8, hashH: Int = 8, windowSamples: Int = 256)
+                    (implicit spark: SparkSession): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      val grays: Seq[(Int, Seq[Int])] = VideoCodec.frames(r.payload).iterator.zipWithIndex
+        .filter(_._2 % stride == 0)
+        .flatMap { case (f, i) =>
+          ImageCodec.tryDecodeScratch(f)
+            .map(img => (i, grayRasterOf(img, hashW, hashH).toSeq))
+        }.toList
+      val rms: Seq[Double] =
+        (if (Mp4Codec.isMp4(r.payload)) Mp4Codec.audioSamples(r.payload)
+         else VideoCodec.audioSamples(r.payload))
+          .map { case (rate, s) =>
+            audioFeaturesOf(r.id, rate, s, windowSamples).windowRms.toSeq }
+          .orNull
+      (r.id, grays, rms)
+    }).toDF("id", "frames", "window_rms")
+  }
+
   /** Frame sampling: fixed-stride byte-window slices standing in for video frame
     * extraction (window size / stride are what a codec-backed version would use).
     * Emits (id, frameIdx, frame) rows via flatMap -- the UDTF shape. */

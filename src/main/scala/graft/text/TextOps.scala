@@ -1245,16 +1245,42 @@ object TextOps {
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
-    pruned.join(broadcast(qterms), "term")
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
+    // r16 (guide §1.2 step 2, §2.3, measured at 100×): the per-term idf and the
+    // per-(doc,term) contribution used to be computed AFTER the qterms fan-out —
+    // a posting shared by q queries paid the log/round/decimal chain q times, and
+    // the stage was 96% of e10's warm wall (StageProbe: 756 s CPU over ~25 M
+    // fan-out rows; cold rep 17× worse again while the JIT chewed the huge
+    // generated method). idf now rides the ≤|query vocab|-row dfreq table and
+    // _contrib is computed ONCE per posting (pruned-cache-sized), so the
+    // fan-out join only ships (term, id, _contrib) into the final decimal sum.
+    // Bit-identical by construction: idf/contrib are pure functions of
+    // (df, n_docs) and (tf, dl, avgdl, idf) — same expressions, same input
+    // values, evaluated on the same rows pre- vs post-join — and the decimal
+    // group-sum is order-independent.
+    val idf = dfreq.crossJoin(broadcast(stats))
       .withColumn("_idf",
         round(log(lit(1.0) +
           (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .select(col("term"), col("_idf"), col("avgdl"))
+    // decimal(8,6), not (14,6) — provably lossless narrowing (guide §2.3):
+    // 0 ≤ _idf = round(log1p((n_docs-df+0.5)/(df+0.5)), 6) ≤ log(1+2·2^63) < 44.3
+    // for ANY long n_docs, and the tf/(tf+·) factor is in (0,1], so
+    // |_contrib| < 45 — decimal(8,6) holds it exactly (same 6dp value the
+    // (14,6) cast produced). The point is the SUM below: sum(decimal(8,6))
+    // has result type decimal(18,6), which stays on Spark's compact-long
+    // Decimal fast path, where sum(decimal(14,6)) → decimal(24,6) forced a
+    // java.math.BigDecimal allocation per fan-out row in the hash agg — the
+    // top CPU site of the whole query in the 100× thread-dump profile
+    // (BigDecimal.valueOf/add + Decimal.changePrecision under
+    // hashAgg_doAggregate_sum).
+    val contrib = pruned
+      .join(broadcast(idf), "term")
       .withColumn("_contrib",
         round(col("_idf") * col("tf") /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
-          .cast("decimal(14,6)"))
+          .cast("decimal(8,6)"))
+      .select(col("term"), col(idCol), col("_contrib"))
+    contrib.join(broadcast(qterms), "term")
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("_contrib")).as("_s"))
       .withColumn("score", round(col("_s").cast("double"), 4))

@@ -877,6 +877,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoAvRasters == videoGrayRasters + videoAudioFeatures, one walk (r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // mm10 fixtures (MJPEG AVI + PCM track) plus one trackless video: the
+    // combined single-walk decode must reproduce BOTH channels bit-exactly,
+    // including the no-audio drop rule (null window_rms)
+    // trackless video: REAL decodable MJPEG frames (lifted from a fixture
+    // container), no audio track
+    val frames9 = VideoCodec.frames(mm10FixtureVideo(0L))
+    val rows = ((0L to 5L).map(d =>
+        MediaRow(d, "video", mm10FixtureVideo(d), Map.empty)) :+
+      MediaRow(9L, "video", VideoCodec.buildMjpegAvi(frames9, 8, 8), Map.empty)).toDS()
+    val av = videoAvRasters(rows)
+    val gotFrames = av.select(col("id"), explode(col("frames")).as("_f"))
+      .select(col("id"), col("_f._1").as("frame_idx"), col("_f._2").as("gray"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val wantFrames = videoGrayRasters(rows)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(gotFrames == wantFrames, "visual channel drifted from videoGrayRasters")
+    val gotRms = av.filter(col("window_rms").isNotNull)
+      .select(col("id"), col("window_rms"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val wantRms = videoAudioFeatures(rows).collect()
+      .map(f => f.id -> f.windowRms.toSeq).toMap
+    assert(gotRms == wantRms, "audio channel drifted from videoAudioFeatures")
+    // the trackless video must carry null audio but still contribute frames
+    assert(!gotRms.contains(9L) && gotFrames.exists(_._1 == 9L))
+  }
+
   test("avNearDups: either-channel match, both hammings reported, null-safe (r15)") {
     import spark.implicits._
     // visual: 1~2 (hamming 1); audio: 1~3 (hamming 2), 2 vs 3 far; video 4
